@@ -1,0 +1,193 @@
+"""Bit-packing of quantized weights into int32 words — TPU-native layout.
+
+The reference packs 32 3-bit values into 3 int32s with 30/31-bit straddles
+(reference: quant.py:158-187), a layout chosen for CUDA warp shuffles. On
+TPU that layout forces cross-lane bit surgery, so we use **blocked field
+packing** instead (capability parity, not format parity — SURVEY.md §7):
+
+  * a b-bit code is split into power-of-two-sized fields (3 = 2+1 bits);
+  * each field of width fb packs P = 32/fb consecutive K-positions into one
+    int32: word i holds positions [i*P, (i+1)*P), position p at bit fb*p;
+  * unpacking is then `(word[:, None, :] >> shifts) & mask` followed by a
+    leading-dims reshape — both layout-trivial on the VPU, no gathers.
+
+Codes are stored transposed as (K, N) = (in_features, out_features) so the
+serving matmul is y = x @ dequant(codes), feeding the MXU directly.
+
+BCQ bitplanes (reference: lut_gemm/quant.py:23 uses (K/32, bits, N)) use the
+same blocked 1-bit packing per plane, stored (bits, K/32, N).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# bits -> list of (field_bits, shift_in_code); fields must sum to `bits`
+FIELD_SPLITS = {
+    1: [(1, 0)],
+    2: [(2, 0)],
+    3: [(2, 0), (1, 2)],
+    4: [(4, 0)],
+    8: [(8, 0)],
+}
+
+
+def pack_codes(codes: jax.Array, bits: int) -> tuple[jax.Array, ...]:
+    """Pack unsigned codes (K, N) in [0, 2^bits) into blocked int32 words.
+
+    Returns one (K//P_f, N) int32 array per field. K must be divisible by 32.
+    """
+    K, N = codes.shape
+    if K % 32:
+        raise ValueError(f"K={K} must be a multiple of 32 for packing")
+    codes = codes.astype(jnp.uint32)
+    words = []
+    for fb, sh in FIELD_SPLITS[bits]:
+        P = 32 // fb
+        part = (codes >> sh) & ((1 << fb) - 1)
+        part = part.reshape(K // P, P, N)
+        shifts = (fb * jnp.arange(P, dtype=jnp.uint32))[None, :, None]
+        word = jnp.sum(part << shifts, axis=1, dtype=jnp.uint32)
+        words.append(word.astype(jnp.int32))
+    return tuple(words)
+
+
+def unpack_codes(words: tuple[jax.Array, ...], bits: int) -> jax.Array:
+    """Inverse of pack_codes -> (K, N) int32 codes."""
+    out = None
+    for (fb, sh), w in zip(FIELD_SPLITS[bits], words):
+        P = 32 // fb
+        Kp, N = w.shape
+        wu = w.astype(jnp.uint32)
+        shifts = (fb * jnp.arange(P, dtype=jnp.uint32))[None, :, None]
+        part = (wu[:, None, :] >> shifts) & ((1 << fb) - 1)
+        part = part.reshape(Kp * P, N).astype(jnp.int32) << sh
+        out = part if out is None else out + part
+    return out
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class PackedWeight:
+    """A served quantized linear: y = x @ dequant() + bias.
+
+    Uniform grids (reference Quant3Linear counterpart, quant.py:140-203):
+      words  — tuple of blocked int32 field arrays, K-major
+      scale  — (num_groups, N) f32
+      zoff   — (num_groups, N) f32, scale*zero so dequant = scale*q - zoff
+    BCQ (reference LutLinear counterpart, lut_gemm/quant.py:8-69):
+      words  — (bits, K//32, N) sign bitplanes in one int32 array
+      alpha  — (num_groups, bits, N) f32
+    Common:
+      bias   — (N,) or None
+      perm   — (K,) int32 activation permutation for act-order serving, or None
+    """
+
+    words: tuple[jax.Array, ...]
+    scale: Optional[jax.Array] = None
+    zoff: Optional[jax.Array] = None
+    alpha: Optional[jax.Array] = None
+    bias: Optional[jax.Array] = None
+    perm: Optional[jax.Array] = None
+    bits: int = field(default=4, metadata=dict(static=True))
+    K: int = field(default=0, metadata=dict(static=True))
+    N: int = field(default=0, metadata=dict(static=True))
+    groupsize: int = field(default=-1, metadata=dict(static=True))
+    fmt: str = field(default="uniform", metadata=dict(static=True))
+
+
+def quantize_to_codes(W: jax.Array, scale: jax.Array, zero: jax.Array, bits: int):
+    """Recover integer codes from a (quantize-dequantized) weight
+    (reference pack path: quant.py:158 rounds (W + zero*scale)/scale).
+
+    W: (N, K) dequantized weight; scale/zero: (num_groups, N).
+    Returns (K, N) codes plus broadcast scale/zoff as (num_groups, N)."""
+    Nn, K = W.shape
+    ng = scale.shape[0]
+    g = K // ng
+    Wt = W.astype(jnp.float32).T  # (K, N)
+    s = jnp.repeat(scale.astype(jnp.float32), g, axis=0)  # (K, N)
+    z = jnp.repeat(zero.astype(jnp.float32), g, axis=0)
+    codes = jnp.clip(jnp.round(Wt / s + z), 0, (1 << bits) - 1).astype(jnp.int32)
+    return codes
+
+
+def pack_quantized(
+    Q: jax.Array,
+    scale: jax.Array,
+    zero: jax.Array,
+    bits: int,
+    groupsize: int = -1,
+    bias: jax.Array | None = None,
+    perm: jax.Array | None = None,
+    actorder: bool = False,
+) -> PackedWeight:
+    """Pack a GPTQ-quantized weight for serving.
+
+    Q: (N, K) dequantized weight (gptq output, original column order).
+    scale/zero: (num_groups, N) grids from the solver.
+    perm: column permutation the solver used (act-order); when given with
+    actorder=True and groupsize>0, K is stored in permuted order and the
+    layer applies x -> x[perm] at run time (grids are per permuted-position
+    group only in the static_groups case; see gptq.py group_of()).
+    """
+    Nn, K = Q.shape
+    if actorder and perm is not None and groupsize > 0:
+        Qp = Q[:, perm]
+        store_perm = perm
+    else:
+        Qp = Q
+        store_perm = None
+    codes = quantize_to_codes(Qp, scale, zero, bits)
+    words = pack_codes(codes, bits)
+    zoff = (scale * zero).astype(jnp.float32)
+    return PackedWeight(
+        words=words,
+        scale=scale.astype(jnp.float32),
+        zoff=zoff,
+        bias=None if bias is None else bias,
+        perm=store_perm,
+        bits=bits,
+        K=K,
+        N=Nn,
+        groupsize=groupsize,
+        fmt="uniform",
+    )
+
+
+def pack_bcq(
+    B: jax.Array,
+    alpha: jax.Array,
+    bias: jax.Array | None = None,
+    groupsize: int = -1,
+) -> PackedWeight:
+    """Pack BCQ sign tensors for serving (reference: lut_gemm/quant.py:8-46).
+
+    B: (N, num_groups, g, bits) in {-1,+1}; alpha: (N, num_groups, bits).
+    Stored as (bits, K//32, N) blocked sign bitplanes (+1 -> bit set) and
+    alpha (num_groups, bits, N)."""
+    Nn, ng, g, bits = B.shape
+    K = ng * g
+    signs = (B.reshape(Nn, K, bits) > 0).astype(jnp.uint32)  # (N, K, bits)
+    signs = jnp.transpose(signs, (2, 1, 0))  # (bits, K, N)
+    planes = []
+    for b in range(bits):
+        (w,) = pack_codes(signs[b], 1)
+        planes.append(w)
+    words = jnp.stack(planes)  # (bits, K//32, N)
+    alpha_t = jnp.transpose(alpha.astype(jnp.float32), (1, 2, 0))  # (ng, bits, N)
+    return PackedWeight(
+        words=(words,),
+        alpha=alpha_t,
+        bias=bias,
+        bits=bits,
+        K=K,
+        N=Nn,
+        groupsize=g if groupsize != -1 else -1,
+        fmt="bcq",
+    )
