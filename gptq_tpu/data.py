@@ -1,0 +1,139 @@
+"""Calibration / evaluation dataset loaders with reference-parity RNG.
+
+Byte-identical token-window sampling vs the reference (reference:
+datautils.py:10-178) is required for PPL parity: the same `random.seed` and
+the same call sequence of `random.randint`, the same "\n\n" / " " joins and
+the same c4 retry loop. Everything returns numpy int arrays.
+
+In offline environments (no HF hub), pass `data_dir` pointing at local
+dataset copies, or use `synthetic_stream` for plumbing tests.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Any
+
+import numpy as np
+
+
+class TokenStream:
+    """Minimal stand-in for the reference's tokenizer output wrapper
+    (reference: datautils.py:98-101)."""
+
+    def __init__(self, input_ids: np.ndarray):
+        if input_ids.ndim == 1:
+            input_ids = input_ids[None]
+        self.input_ids = input_ids
+
+
+def _sample_windows(trainenc: np.ndarray, nsamples: int, seed: int, seqlen: int):
+    """Seeded random windows (reference: datautils.py:21-31)."""
+    rnd = random.Random()
+    rnd.seed(seed)
+    out = []
+    total = trainenc.shape[-1]
+    flat = trainenc.reshape(-1)
+    for _ in range(nsamples):
+        i = rnd.randint(0, total - seqlen - 1)
+        out.append(flat[i : i + seqlen])
+    return np.stack(out)
+
+
+def get_wikitext2(nsamples, seed, seqlen, tokenizer, data_dir=None):
+    from datasets import load_dataset
+
+    kwargs = {} if data_dir is None else {"cache_dir": data_dir}
+    traindata = load_dataset("wikitext", "wikitext-2-raw-v1", split="train", **kwargs)
+    testdata = load_dataset("wikitext", "wikitext-2-raw-v1", split="test", **kwargs)
+    trainenc = np.asarray(tokenizer("\n\n".join(traindata["text"])).input_ids)
+    testenc = np.asarray(tokenizer("\n\n".join(testdata["text"])).input_ids)
+    return _sample_windows(trainenc[None], nsamples, seed, seqlen), TokenStream(testenc)
+
+
+def get_ptb(nsamples, seed, seqlen, tokenizer, data_dir=None, new=False):
+    from datasets import load_dataset
+
+    kwargs = {} if data_dir is None else {"cache_dir": data_dir}
+    traindata = load_dataset("ptb_text_only", "penn_treebank", split="train", **kwargs)
+    val_split = "test" if new else "validation"
+    valdata = load_dataset("ptb_text_only", "penn_treebank", split=val_split, **kwargs)
+    join = " " if new else "\n\n"
+    trainenc = np.asarray(tokenizer(join.join(traindata["sentence"])).input_ids)
+    testenc = np.asarray(tokenizer(join.join(valdata["sentence"])).input_ids)
+    return _sample_windows(trainenc[None], nsamples, seed, seqlen), TokenStream(testenc)
+
+
+def get_c4(nsamples, seed, seqlen, tokenizer, data_dir=None, new=False):
+    """c4 sampling with the reference's per-document retry loop
+    (reference: datautils.py:69-103)."""
+    from datasets import load_dataset
+
+    kwargs = {} if data_dir is None else {"cache_dir": data_dir}
+    traindata = load_dataset(
+        "allenai/c4",
+        data_files={"train": "en/c4-train.00000-of-01024.json.gz"},
+        split="train",
+        **kwargs,
+    )
+    valdata = load_dataset(
+        "allenai/c4",
+        data_files={"validation": "en/c4-validation.00000-of-00008.json.gz"},
+        split="validation",
+        **kwargs,
+    )
+    rnd = random.Random()
+    rnd.seed(seed)
+    train = []
+    for _ in range(nsamples):
+        while True:
+            i = rnd.randint(0, len(traindata) - 1)
+            enc = np.asarray(tokenizer(traindata[i]["text"]).input_ids)
+            if enc.shape[0] >= seqlen:
+                break
+        i = rnd.randint(0, enc.shape[0] - seqlen - 1)
+        train.append(enc[i : i + seqlen])
+    train = np.stack(train)
+
+    if new:
+        valenc = np.asarray(tokenizer(" ".join(valdata[:1100]["text"])).input_ids)
+        valenc = valenc[: 256 * seqlen]
+    else:
+        rnd = random.Random()
+        rnd.seed(0)
+        chunks = []
+        for _ in range(256):
+            while True:
+                i = rnd.randint(0, len(valdata) - 1)
+                enc = np.asarray(tokenizer(valdata[i]["text"]).input_ids)
+                if enc.shape[0] >= seqlen:
+                    break
+            i = rnd.randint(0, enc.shape[0] - seqlen - 1)
+            chunks.append(enc[i : i + seqlen])
+        valenc = np.concatenate(chunks)
+    return train, TokenStream(valenc)
+
+
+def get_loaders(name: str, nsamples=128, seed=0, seqlen=2048, tokenizer=None,
+                data_dir=None):
+    """(reference: datautils.py:166-178)."""
+    if "wikitext2" in name:
+        return get_wikitext2(nsamples, seed, seqlen, tokenizer, data_dir)
+    if "ptb" in name:
+        return get_ptb(nsamples, seed, seqlen, tokenizer, data_dir, new="new" in name)
+    if "c4" in name:
+        return get_c4(nsamples, seed, seqlen, tokenizer, data_dir, new="new" in name)
+    raise ValueError(f"unknown dataset {name}")
+
+
+def synthetic_stream(vocab: int, n_tokens: int, seed: int = 0) -> np.ndarray:
+    """Deterministic pseudo-text for offline plumbing tests: a mixture of
+    zipf-ish unigrams with local repetition so models have learnable
+    structure."""
+    rng = np.random.default_rng(seed)
+    probs = 1.0 / np.arange(1, vocab + 1) ** 1.1
+    probs /= probs.sum()
+    ids = rng.choice(vocab, size=n_tokens, p=probs)
+    # inject repetition: every 17th token repeats the one 5 back
+    ids[17::17] = ids[12::17][: ids[17::17].shape[0]]
+    return ids.astype(np.int32)

@@ -1,0 +1,70 @@
+"""Recovery fine-tuning harness (CLM) — the reference's finetune/train.py
+counterpart, TPU-native.
+
+The reference wraps HF Trainer (reference: finetune/train.py:245-650,
+recipe train.sh: adafactor, bf16, block 2048). Here the train step is one
+jitted, mesh-sharded program: CLM cross-entropy + optax (adafactor or
+adamw), dp-sharded batch, tp-sharded weights — the `_mp_fn` xla_spawn hook
+(finetune/train.py:653-655) becomes `jax.distributed.initialize` +
+`make_mesh`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gptq_tpu.models.common import ArchSpec, model_forward
+from gptq_tpu.parallel.mesh import param_specs
+
+
+def clm_loss(spec: ArchSpec, params: dict, batch: jax.Array) -> jax.Array:
+    """Mean next-token cross-entropy over a (B, T) id batch."""
+    logits, _ = model_forward(spec, params, batch)
+    logits = logits[:, :-1].astype(jnp.float32)
+    targets = batch[:, 1:]
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    tok = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(logz - tok)
+
+
+def make_optimizer(name: str = "adafactor", lr: float = 2e-5) -> optax.GradientTransformation:
+    if name == "adafactor":
+        return optax.adafactor(learning_rate=lr)
+    return optax.adamw(learning_rate=lr)
+
+
+def make_train_step(spec: ArchSpec, optimizer: optax.GradientTransformation,
+                    mesh: Mesh | None = None):
+    """Returns (init_state, train_step). With a mesh, params follow the TP
+    rules of parallel.mesh and the batch is dp-sharded; XLA emits the
+    psum/all-reduce collectives from the shardings."""
+
+    def init_state(params):
+        opt_state = optimizer.init(params)
+        return opt_state
+
+    def _step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(partial(clm_loss, spec))(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    if mesh is None:
+        return init_state, jax.jit(_step)
+
+    # params arrive pre-sharded (parallel.mesh.shard_params); constrain the
+    # batch to the dp axis and let XLA propagate the rest
+    batch_sharding = NamedSharding(mesh, P("dp", None))
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
+        return _step(params, opt_state, batch)
+
+    return init_state, step

@@ -1,0 +1,172 @@
+"""Packed-checkpoint save/load.
+
+Counterpart of the reference's `--save` (torch.save of packed buffers,
+reference: opt.py:719-721) and `load_quant3` skeleton+state_dict load
+(reference: opt.py:375-402). Format: one .npz of flat key->array pairs plus
+a JSON header carrying the ArchSpec, QuantConfig and per-tensor metadata —
+self-describing and dependency-free.
+
+A layer-indexed `resume` journal is also written during quantization so an
+interrupted run can restart at the first un-quantized layer (improvement
+noted in SURVEY.md §5: the reference has no mid-quantization resume).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from gptq_tpu.config import QuantConfig
+from gptq_tpu.models.common import ArchSpec
+from gptq_tpu.ops.pack import PackedWeight
+
+
+def _flatten(tree, prefix="", out=None, meta=None):
+    out = {} if out is None else out
+    meta = {} if meta is None else meta
+    if tree is None:
+        return out, meta
+    if isinstance(tree, PackedWeight):
+        meta[prefix] = {
+            "packed": True, "bits": tree.bits, "K": tree.K, "N": tree.N,
+            "groupsize": tree.groupsize, "fmt": tree.fmt,
+            "n_words": len(tree.words),
+        }
+        for i, w in enumerate(tree.words):
+            out[f"{prefix}.words{i}"] = np.asarray(w)
+        for f in ("scale", "zoff", "alpha", "bias", "perm"):
+            v = getattr(tree, f)
+            if v is not None:
+                out[f"{prefix}.{f}"] = np.asarray(v)
+        return out, meta
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            _flatten(v, f"{prefix}.{k}" if prefix else k, out, meta)
+        return out, meta
+    if isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            _flatten(v, f"{prefix}.{i}", out, meta)
+        return out, meta
+    out[prefix] = np.asarray(tree)
+    return out, meta
+
+
+def save_checkpoint(path: str, spec: ArchSpec, params: dict,
+                    cfg: QuantConfig | None = None) -> None:
+    flat, meta = _flatten(params)
+    header = {
+        "spec": dataclasses.asdict(spec),
+        "config": dataclasses.asdict(cfg) if cfg else None,
+        "packed": meta,
+        "keys": sorted(flat.keys()),
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path if path.endswith(".npz") else path + ".npz",
+             __header__=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8),
+             **flat)
+
+
+def _set_path(tree, path_parts, value):
+    node = tree
+    for p in path_parts[:-1]:
+        key = int(p) if isinstance(node, list) else p
+        node = node[key]
+    last = path_parts[-1]
+    key = int(last) if isinstance(node, list) else last
+    node[key] = value
+
+
+def load_checkpoint(path: str):
+    """Returns (spec, params, cfg|None)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    z = np.load(path, allow_pickle=False)
+    header = json.loads(bytes(z["__header__"]).decode())
+    spec = ArchSpec(**header["spec"])
+    cfg = QuantConfig(**header["config"]) if header["config"] else None
+
+    # rebuild the nested structure from flat keys
+    params: dict = {"embed": {}, "layers": [], "final_ln": None, "lm_head": None}
+    packed_meta = header["packed"]
+
+    # collect plain arrays, grouping packed prefixes
+    packed_fields: dict[str, dict] = {p: {} for p in packed_meta}
+    plain: dict[str, np.ndarray] = {}
+    for k in header["keys"]:
+        owner = None
+        for p in packed_meta:
+            if k.startswith(p + "."):
+                owner = p
+                break
+        if owner is not None:
+            packed_fields[owner][k[len(owner) + 1:]] = z[k]
+        else:
+            plain[k] = z[k]
+
+    def build_packed(prefix):
+        m = packed_meta[prefix]
+        f = packed_fields[prefix]
+        words = tuple(jnp.asarray(f[f"words{i}"]) for i in range(m["n_words"]))
+        if m["fmt"] == "bcq" and m["n_words"] == 1:
+            pass
+        return PackedWeight(
+            words=words,
+            scale=jnp.asarray(f["scale"]) if "scale" in f else None,
+            zoff=jnp.asarray(f["zoff"]) if "zoff" in f else None,
+            alpha=jnp.asarray(f["alpha"]) if "alpha" in f else None,
+            bias=jnp.asarray(f["bias"]) if "bias" in f else None,
+            perm=jnp.asarray(f["perm"]) if "perm" in f else None,
+            bits=m["bits"], K=m["K"], N=m["N"], groupsize=m["groupsize"],
+            fmt=m["fmt"],
+        )
+
+    # ensure layer list capacity
+    n_layers = spec.n_layers
+    params["layers"] = [dict() for _ in range(n_layers)]
+
+    def ensure_path(parts):
+        node = params
+        for i, p in enumerate(parts[:-1]):
+            key = int(p) if isinstance(node, list) else p
+            if isinstance(node, list):
+                node = node[key]
+            else:
+                if key not in node or node[key] is None:
+                    nxt = parts[i + 1]
+                    node[key] = [dict() for _ in range(n_layers)] if nxt.isdigit() and key == "layers" else {}
+                node = node[key]
+        return node
+
+    for k, v in plain.items():
+        parts = k.split(".")
+        node = ensure_path(parts)
+        key = int(parts[-1]) if isinstance(node, list) else parts[-1]
+        node[key] = jnp.asarray(v)
+
+    for prefix in packed_meta:
+        parts = prefix.split(".")
+        node = ensure_path(parts)
+        key = int(parts[-1]) if isinstance(node, list) else parts[-1]
+        node[key] = build_packed(prefix)
+
+    # normalize linears: every {"w": ...} dict gets a "b" key
+    def add_b(node):
+        if isinstance(node, dict):
+            if "w" in node and "b" not in node:
+                node["b"] = None
+            for v in node.values():
+                add_b(v)
+        elif isinstance(node, list):
+            for v in node:
+                add_b(v)
+
+    add_b(params)
+    if "final_ln" not in params or params["final_ln"] == {}:
+        params["final_ln"] = params.get("final_ln") or None
+    if params.get("lm_head") == {}:
+        params["lm_head"] = None
+    return spec, params, cfg

@@ -1,0 +1,464 @@
+"""Shared functional decoder core.
+
+Replaces the reference's four copy-pasted HF drivers (reference: opt.py,
+bloom.py, llama.py, gemma.py) with one parameterized block function. Params
+are plain nested dicts (pytrees); a "linear" is {"w": (out,in) [, "b"]} and
+`linear_apply` transparently serves PackedWeight low-bit weights through the
+fused dequant kernels, the TPU counterpart of make_quant3's module swap
+(reference: quant.py:205-216).
+
+Every block forward can also return the calibration captures — the inputs
+seen by each linear — which replaces torch forward hooks
+(reference: opt.py:177-187) in the functional setting.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gptq_tpu.ops.bcq_matmul import bcq_matmul
+from gptq_tpu.ops.pack import PackedWeight
+from gptq_tpu.ops.qmatmul import dequant_matmul
+
+NEG_INF = -1e9
+
+
+@dataclass(frozen=True)
+class ArchSpec:
+    """Static architecture description (derived from an HF config)."""
+
+    arch: str  # opt | bloom | llama | gemma
+    n_layers: int
+    hidden: int
+    n_heads: int
+    ffn: int
+    vocab: int
+    max_pos: int
+    n_kv_heads: int = -1  # -1 -> = n_heads
+    head_dim: int = -1  # -1 -> hidden // n_heads
+    norm_eps: float = 1e-5
+    act: str = "relu"  # relu | gelu | silu | gelu_tanh
+    pos: str = "learned"  # learned | alibi | rope
+    rope_theta: float = 10000.0
+    norm_type: str = "layernorm"  # layernorm | rmsnorm | rmsnorm1p
+    qk_scale: float = -1.0  # -1 -> 1/sqrt(head_dim)
+    embed_scale: float = 1.0  # gemma scales embeddings by sqrt(hidden)
+    do_layer_norm_before: bool = True  # OPT variant flag
+    tie_embeddings: bool = False
+    linear_bias: bool = True  # per-block linears have bias terms
+    # projections between embed dim and hidden (OPT project_in/out)
+    word_embed_dim: int = -1  # -1 -> = hidden
+
+    @property
+    def kv_heads(self) -> int:
+        return self.n_kv_heads if self.n_kv_heads > 0 else self.n_heads
+
+    @property
+    def hd(self) -> int:
+        return self.head_dim if self.head_dim > 0 else self.hidden // self.n_heads
+
+    @property
+    def scale(self) -> float:
+        return self.qk_scale if self.qk_scale > 0 else 1.0 / float(np.sqrt(self.hd))
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def linear_apply(lin: dict, x: jax.Array) -> jax.Array:
+    w = lin["w"]
+    if isinstance(w, PackedWeight):
+        if w.fmt == "bcq":
+            y = bcq_matmul(x, w)
+        else:
+            y = dequant_matmul(x, w)
+        # PackedWeight carries its own bias when packed with one; a separate
+        # "b" entry (from the original linear) still applies.
+    else:
+        y = jnp.einsum("...k,nk->...n", x, w)
+    if lin.get("b") is not None:
+        y = y + lin["b"]
+    return y
+
+
+def norm_apply(spec: ArchSpec, p: dict, x: jax.Array) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    if spec.norm_type == "layernorm":
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        y = (x32 - mu) * jax.lax.rsqrt(var + spec.norm_eps)
+        y = y * p["w"] + p["b"]
+    else:
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        y = x32 * jax.lax.rsqrt(var + spec.norm_eps)
+        w = p["w"].astype(jnp.float32)
+        y = y * (1.0 + w) if spec.norm_type == "rmsnorm1p" else y * w
+    return y.astype(x.dtype)
+
+
+def activation(spec: ArchSpec, x: jax.Array) -> jax.Array:
+    if spec.act == "relu":
+        return jax.nn.relu(x)
+    if spec.act == "gelu":
+        return jax.nn.gelu(x, approximate=False)
+    if spec.act == "gelu_tanh":
+        return jax.nn.gelu(x, approximate=True)
+    return jax.nn.silu(x)
+
+
+def rope_tables(spec: ArchSpec, positions: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """positions: (B, T) -> cos/sin (B, T, hd)."""
+    hd = spec.hd
+    inv_freq = 1.0 / (spec.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    ang = positions[..., None].astype(jnp.float32) * inv_freq  # (B, T, hd/2)
+    ang = jnp.concatenate([ang, ang], axis=-1)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: (B, T, H, hd); HF 'rotate_half' convention
+    (reference checkpoint converter permutes accordingly,
+    script/convert_llama_weights_to_hf.py:134)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos[:, :, None, :] + rot * sin[:, :, None, :]
+
+
+def alibi_slopes(n_heads: int) -> np.ndarray:
+    """BLOOM alibi slopes (HF formula)."""
+    closest = 2 ** int(np.floor(np.log2(n_heads)))
+    base = 2.0 ** (-(2.0 ** -(np.log2(closest) - 3)))
+    slopes = base ** np.arange(1, closest + 1)
+    if closest != n_heads:
+        extra_base = 2.0 ** (-(2.0 ** -(np.log2(2 * closest) - 3)))
+        extra = extra_base ** np.arange(1, 2 * (n_heads - closest) + 1, 2)
+        slopes = np.concatenate([slopes, extra])
+    return slopes.astype(np.float32)
+
+
+class KVCache(NamedTuple):
+    """Per-layer preallocated cache; `length` is the filled prefix."""
+
+    k: jax.Array  # (L, B, max_len, kv_heads, hd)
+    v: jax.Array
+    length: jax.Array  # scalar int32
+
+    @staticmethod
+    def init(spec: ArchSpec, batch: int, max_len: int, dtype=jnp.bfloat16) -> "KVCache":
+        shape = (spec.n_layers, batch, max_len, spec.kv_heads, spec.hd)
+        return KVCache(
+            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+            length=jnp.zeros((), jnp.int32),
+        )
+
+
+# ---------------------------------------------------------------------------
+# attention
+# ---------------------------------------------------------------------------
+
+def attention(
+    spec: ArchSpec,
+    q: jax.Array,  # (B, T, n_heads, hd)
+    k: jax.Array,  # (B, S, kv_heads, hd)
+    v: jax.Array,
+    mask: jax.Array,  # (B, 1, T, S) additive bias (0 / -inf, + alibi)
+) -> jax.Array:
+    B, T, H, hd = q.shape
+    kvh = k.shape[2]
+    if kvh != H:
+        rep = H // kvh
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    qf = q.astype(jnp.float32) * spec.scale
+    scores = jnp.einsum("bthd,bshd->bhts", qf, k.astype(jnp.float32))
+    scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32))
+    return out.reshape(B, T, H * hd).astype(q.dtype)
+
+
+def causal_mask(T: int, S: int, dtype=jnp.float32) -> jax.Array:
+    """(1, 1, T, S) additive mask; queries are the last T of S positions."""
+    q_pos = jnp.arange(T)[:, None] + (S - T)
+    k_pos = jnp.arange(S)[None, :]
+    m = jnp.where(k_pos <= q_pos, 0.0, NEG_INF).astype(dtype)
+    return m[None, None]
+
+
+def alibi_bias(spec: ArchSpec, T: int, S: int) -> jax.Array:
+    """(1, H, T, S) BLOOM alibi additive bias (HF convention: slope * key_pos
+    relative offsets)."""
+    slopes = jnp.asarray(alibi_slopes(spec.n_heads))  # (H,)
+    k_pos = jnp.arange(S, dtype=jnp.float32)[None, :]
+    q_pos = jnp.arange(T, dtype=jnp.float32)[:, None] + (S - T)
+    rel = k_pos - q_pos  # <= 0 on/below diagonal
+    bias = slopes[:, None, None] * rel[None]
+    return bias[None]
+
+
+# ---------------------------------------------------------------------------
+# block forward (all archs)
+# ---------------------------------------------------------------------------
+
+def _qkv(spec: ArchSpec, p: dict, x: jax.Array, captures: Optional[dict]):
+    B, T, _ = x.shape
+    if spec.arch == "bloom":
+        fused = linear_apply(p["qkv"], x)
+        if captures is not None:
+            captures["self_attention.query_key_value"] = x
+        fused = fused.reshape(B, T, spec.n_heads, 3 * spec.hd)
+        q, k, v = jnp.split(fused, 3, axis=-1)
+    else:
+        if captures is not None:
+            # q/k/v share the same input; one capture each keeps the
+            # reference's per-linear Hessian bookkeeping (XLA CSEs the
+            # duplicate accumulations)
+            captures["self_attn.q_proj"] = x
+            captures["self_attn.k_proj"] = x
+            captures["self_attn.v_proj"] = x
+        q = linear_apply(p["q"], x).reshape(B, T, spec.n_heads, spec.hd)
+        k = linear_apply(p["k"], x).reshape(B, T, spec.kv_heads, spec.hd)
+        v = linear_apply(p["v"], x).reshape(B, T, spec.kv_heads, spec.hd)
+    return q, k, v
+
+
+def block_forward(
+    spec: ArchSpec,
+    p: dict,
+    x: jax.Array,  # (B, T, hidden)
+    *,
+    positions: jax.Array | None = None,  # (B, T) absolute positions
+    mask: jax.Array | None = None,  # (B|1, 1|H, T, S) additive bias
+    cache: tuple[jax.Array, jax.Array] | None = None,  # (k,v): (B, max, kvh, hd)
+    cache_len: jax.Array | None = None,
+    capture: bool = False,
+):
+    """One decoder block. Returns (out, new_kv, captures).
+
+    With `cache`, keys/values are written at [cache_len, cache_len+T) and
+    attention runs against the full cache prefix (decode path); otherwise
+    S = T (calibration/eval path).
+    """
+    captures: Optional[dict] = {} if capture else None
+    B, T, _ = x.shape
+
+    residual = x
+    h = norm_apply(spec, p["ln1"], x) if spec.do_layer_norm_before else x
+    q, k, v = _qkv(spec, p, h, captures)
+
+    if spec.pos == "rope":
+        cos, sin = rope_tables(spec, positions)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+    if cache is not None:
+        ck, cv = cache
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
+        k_all, v_all = ck, cv
+        new_kv = (ck, cv)
+    else:
+        k_all, v_all = k, v
+        new_kv = None
+
+    attn = attention(spec, q, k_all, v_all, mask)
+    o_name = {"bloom": "self_attention.dense", "opt": "self_attn.out_proj"}.get(
+        spec.arch, "self_attn.o_proj"
+    )
+    if captures is not None:
+        captures[o_name] = attn
+    attn_out = linear_apply(p["o"], attn)
+    h = residual + attn_out
+    if not spec.do_layer_norm_before:  # OPT 350m-style post-norm
+        h = norm_apply(spec, p["ln1"], h)
+
+    residual = h
+    m = norm_apply(spec, p["ln2"], h) if spec.do_layer_norm_before else h
+    if spec.arch in ("llama", "gemma"):
+        if captures is not None:
+            captures["mlp.gate_proj"] = m
+            captures["mlp.up_proj"] = m
+        gate = activation(spec, linear_apply(p["gate"], m))
+        up = linear_apply(p["up"], m)
+        inner = gate * up
+        if captures is not None:
+            captures["mlp.down_proj"] = inner
+        mlp_out = linear_apply(p["down"], inner)
+    else:
+        fc1_name = "mlp.dense_h_to_4h" if spec.arch == "bloom" else "fc1"
+        fc2_name = "mlp.dense_4h_to_h" if spec.arch == "bloom" else "fc2"
+        if captures is not None:
+            captures[fc1_name] = m
+        inner = activation(spec, linear_apply(p["fc1"], m))
+        if captures is not None:
+            captures[fc2_name] = inner
+        mlp_out = linear_apply(p["fc2"], inner)
+    out = residual + mlp_out
+    if not spec.do_layer_norm_before:
+        out = norm_apply(spec, p["ln2"], out)
+    return out, new_kv, captures
+
+
+# ---------------------------------------------------------------------------
+# embedding / head
+# ---------------------------------------------------------------------------
+
+def embed_forward(spec: ArchSpec, params: dict, input_ids: jax.Array,
+                  positions: jax.Array) -> jax.Array:
+    emb = params["embed"]["tokens"][input_ids]
+    if spec.arch == "opt":
+        if params["embed"].get("project_in") is not None:
+            emb = linear_apply(params["embed"]["project_in"], emb)
+        # OPT learned positions with +2 offset (HF OPTLearnedPositionalEmbedding)
+        emb = emb + params["embed"]["positions"][positions + 2]
+    elif spec.arch == "bloom":
+        emb = norm_apply(spec, params["embed"]["ln"], emb)
+    elif spec.arch == "gemma":
+        emb = emb * jnp.asarray(spec.embed_scale, emb.dtype)
+    return emb
+
+
+def head_forward(spec: ArchSpec, params: dict, h: jax.Array) -> jax.Array:
+    if params.get("final_ln") is not None:
+        h = norm_apply(spec, params["final_ln"], h)
+    if spec.arch == "opt" and params["embed"].get("project_out") is not None:
+        h = linear_apply(params["embed"]["project_out"], h)
+    lm = params.get("lm_head")
+    if lm is None:  # tied embeddings
+        w = params["embed"]["tokens"]
+        return jnp.einsum("...h,vh->...v", h, w)
+    return linear_apply(lm, h)
+
+
+def build_mask(spec: ArchSpec, T: int, S: int) -> jax.Array:
+    mask = causal_mask(T, S)
+    if spec.pos == "alibi":
+        mask = mask + alibi_bias(spec, T, S)
+    return mask
+
+
+def model_forward(
+    spec: ArchSpec,
+    params: dict,
+    input_ids: jax.Array,  # (B, T)
+    cache: KVCache | None = None,
+) -> tuple[jax.Array, KVCache | None]:
+    """Full forward -> logits (B, T, vocab). With a cache, runs the decode
+    path appending T tokens at cache.length."""
+    B, T = input_ids.shape
+    if cache is None:
+        positions = jnp.broadcast_to(jnp.arange(T), (B, T))
+        mask = build_mask(spec, T, T)
+    else:
+        positions = cache.length + jnp.broadcast_to(jnp.arange(T), (B, T))
+        S = cache.k.shape[2]
+        # mask out positions beyond the filled prefix + current tokens
+        k_pos = jnp.arange(S)[None, :]
+        q_pos = cache.length + jnp.arange(T)[:, None]
+        m = jnp.where(k_pos <= q_pos, 0.0, NEG_INF).astype(jnp.float32)
+        mask = m[None, None]
+        if spec.pos == "alibi":
+            slopes = jnp.asarray(alibi_slopes(spec.n_heads))
+            rel = k_pos.astype(jnp.float32) - q_pos.astype(jnp.float32)  # (T, S)
+            bias = slopes[None, :, None, None] * rel[None, None]
+            mask = mask + jnp.where((k_pos <= q_pos)[None, None], bias, 0.0)
+
+    h = embed_forward(spec, params, input_ids, positions)
+    new_k, new_v = [], []
+    for i, bp in enumerate(params["layers"]):
+        layer_cache = None
+        clen = None
+        if cache is not None:
+            layer_cache = (cache.k[i], cache.v[i])
+            clen = cache.length
+        h, new_kv, _ = block_forward(
+            spec, bp, h, positions=positions, mask=mask,
+            cache=layer_cache, cache_len=clen,
+        )
+        if new_kv is not None:
+            new_k.append(new_kv[0])
+            new_v.append(new_kv[1])
+    logits = head_forward(spec, params, h)
+    new_cache = None
+    if cache is not None:
+        new_cache = KVCache(
+            k=jnp.stack(new_k), v=jnp.stack(new_v), length=cache.length + T
+        )
+    return logits, new_cache
+
+
+# ---------------------------------------------------------------------------
+# random init (tests / benchmarks on synthetic weights)
+# ---------------------------------------------------------------------------
+
+def _lin(key, out_d, in_d, bias, dtype):
+    k1, _ = jax.random.split(key)
+    w = jax.random.normal(k1, (out_d, in_d), dtype) * (0.4 / np.sqrt(in_d))
+    d = {"w": w}
+    d["b"] = jnp.zeros((out_d,), dtype) if bias else None
+    return d
+
+
+def init_params(spec: ArchSpec, key: jax.Array, dtype=jnp.float32) -> dict:
+    """Random params with the exact pytree structure of converted HF weights."""
+    keys = jax.random.split(key, spec.n_layers + 2)
+    h, f = spec.hidden, spec.ffn
+    bias = spec.linear_bias
+
+    def norm_p():
+        if spec.norm_type == "layernorm":
+            return {"w": jnp.ones((h,), dtype), "b": jnp.zeros((h,), dtype)}
+        return {"w": jnp.ones((h,), dtype) if spec.norm_type == "rmsnorm"
+                else jnp.zeros((h,), dtype)}
+
+    layers = []
+    for i in range(spec.n_layers):
+        lk = jax.random.split(keys[i], 8)
+        p = {"ln1": norm_p(), "ln2": norm_p()}
+        if spec.arch == "bloom":
+            p["qkv"] = _lin(lk[0], 3 * h, h, bias, dtype)
+            p["o"] = _lin(lk[1], h, h, bias, dtype)
+            p["fc1"] = _lin(lk[2], f, h, bias, dtype)
+            p["fc2"] = _lin(lk[3], h, f, bias, dtype)
+        elif spec.arch in ("llama", "gemma"):
+            qd = spec.n_heads * spec.hd
+            kvd = spec.kv_heads * spec.hd
+            p["q"] = _lin(lk[0], qd, h, bias, dtype)
+            p["k"] = _lin(lk[1], kvd, h, bias, dtype)
+            p["v"] = _lin(lk[2], kvd, h, bias, dtype)
+            p["o"] = _lin(lk[3], h, qd, bias, dtype)
+            p["gate"] = _lin(lk[4], f, h, bias, dtype)
+            p["up"] = _lin(lk[5], f, h, bias, dtype)
+            p["down"] = _lin(lk[6], h, f, bias, dtype)
+        else:  # opt
+            p["q"] = _lin(lk[0], h, h, bias, dtype)
+            p["k"] = _lin(lk[1], h, h, bias, dtype)
+            p["v"] = _lin(lk[2], h, h, bias, dtype)
+            p["o"] = _lin(lk[3], h, h, bias, dtype)
+            p["fc1"] = _lin(lk[4], f, h, bias, dtype)
+            p["fc2"] = _lin(lk[5], h, f, bias, dtype)
+        layers.append(p)
+
+    embed = {"tokens": jax.random.normal(keys[-1], (spec.vocab, h), dtype) * 0.02}
+    if spec.arch == "opt":
+        embed["positions"] = (
+            jax.random.normal(keys[-2], (spec.max_pos + 2, h), dtype) * 0.02
+        )
+        embed["project_in"] = None
+        embed["project_out"] = None
+    if spec.arch == "bloom":
+        embed["ln"] = norm_p()
+    params = {"embed": embed, "layers": layers, "final_ln": norm_p()}
+    if spec.tie_embeddings:
+        params["lm_head"] = None
+    else:
+        params["lm_head"] = {"w": jax.random.normal(keys[-2], (spec.vocab, h), dtype) * 0.02,
+                             "b": None}
+    return params

@@ -1,0 +1,176 @@
+"""HF checkpoint -> gptq_tpu param pytree conversion.
+
+Replaces the reference's in-place use of transformers modules (reference:
+opt.py:17-27, llama.py:20-30) with an explicit weight import. Sources:
+  * a live transformers model instance (tests use random-init tiny models)
+  * a directory of *.safetensors / pytorch_model*.bin (offline serving)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from gptq_tpu.models.common import ArchSpec
+from gptq_tpu.models.registry import arch_of_hf_config, spec_from_hf_config
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor / array-like -> numpy (f32 for fp16/bf16 sources)."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu()
+        if str(t.dtype) in ("torch.bfloat16", "torch.float16"):
+            t = t.float()
+        return t.numpy()
+    return np.asarray(t)
+
+
+def _lin(sd: dict, prefix: str, dtype) -> dict:
+    w = jnp.asarray(_np(sd[prefix + ".weight"]), dtype)
+    b = sd.get(prefix + ".bias")
+    return {"w": w, "b": None if b is None else jnp.asarray(_np(b), dtype)}
+
+
+def _norm(sd: dict, prefix: str, dtype, has_bias=True) -> dict:
+    p = {"w": jnp.asarray(_np(sd[prefix + ".weight"]), dtype)}
+    if has_bias and prefix + ".bias" in sd:
+        p["b"] = jnp.asarray(_np(sd[prefix + ".bias"]), dtype)
+    return p
+
+
+def load_state_dict_dir(path: str) -> dict:
+    """Load raw tensors from a checkpoint directory (safetensors preferred)."""
+    sd: dict[str, Any] = {}
+    st_files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if st_files:
+        from safetensors import safe_open
+
+        for f in st_files:
+            with safe_open(f, framework="np") as fh:
+                for k in fh.keys():
+                    sd[k] = fh.get_tensor(k)
+        return sd
+    import torch
+
+    for f in sorted(glob.glob(os.path.join(path, "pytorch_model*.bin"))):
+        sd.update(torch.load(f, map_location="cpu", weights_only=True))
+    if not sd:
+        raise FileNotFoundError(f"no checkpoint shards under {path}")
+    return sd
+
+
+def params_from_hf_torch(model, dtype=jnp.float32) -> tuple[ArchSpec, dict]:
+    """Convert a live transformers *ForCausalLM model."""
+    spec = spec_from_hf_config(model.config)
+    sd = dict(model.state_dict())
+    return spec, params_from_state_dict(sd, spec, dtype)
+
+
+def params_from_dir(path: str, dtype=jnp.float32) -> tuple[ArchSpec, dict]:
+    from transformers import AutoConfig
+
+    config = AutoConfig.from_pretrained(path)
+    spec = spec_from_hf_config(config)
+    sd = load_state_dict_dir(path)
+    return spec, params_from_state_dict(sd, spec, dtype)
+
+
+def params_from_state_dict(sd: dict, spec: ArchSpec, dtype=jnp.float32) -> dict:
+    arch = spec.arch
+    if arch == "opt":
+        return _convert_opt(sd, spec, dtype)
+    if arch == "bloom":
+        return _convert_bloom(sd, spec, dtype)
+    return _convert_llama(sd, spec, dtype)  # llama & gemma share names
+
+
+def _convert_opt(sd, spec, dtype):
+    pre = "model.decoder."
+    embed = {
+        "tokens": jnp.asarray(_np(sd[pre + "embed_tokens.weight"]), dtype),
+        "positions": jnp.asarray(_np(sd[pre + "embed_positions.weight"]), dtype),
+        "project_in": _lin(sd, pre + "project_in", dtype)
+        if pre + "project_in.weight" in sd else None,
+        "project_out": _lin(sd, pre + "project_out", dtype)
+        if pre + "project_out.weight" in sd else None,
+    }
+    layers = []
+    for i in range(spec.n_layers):
+        lp = f"{pre}layers.{i}."
+        layers.append({
+            "q": _lin(sd, lp + "self_attn.q_proj", dtype),
+            "k": _lin(sd, lp + "self_attn.k_proj", dtype),
+            "v": _lin(sd, lp + "self_attn.v_proj", dtype),
+            "o": _lin(sd, lp + "self_attn.out_proj", dtype),
+            "fc1": _lin(sd, lp + "fc1", dtype),
+            "fc2": _lin(sd, lp + "fc2", dtype),
+            "ln1": _norm(sd, lp + "self_attn_layer_norm", dtype),
+            "ln2": _norm(sd, lp + "final_layer_norm", dtype),
+        })
+    final_ln = (
+        _norm(sd, pre + "final_layer_norm", dtype)
+        if pre + "final_layer_norm.weight" in sd else None
+    )
+    lm = None
+    if "lm_head.weight" in sd:
+        lm = {"w": jnp.asarray(_np(sd["lm_head.weight"]), dtype), "b": None}
+    return {"embed": embed, "layers": layers, "final_ln": final_ln,
+            "lm_head": lm}
+
+
+def _convert_bloom(sd, spec, dtype):
+    pre = "transformer."
+    embed = {
+        "tokens": jnp.asarray(_np(sd[pre + "word_embeddings.weight"]), dtype),
+        "ln": _norm(sd, pre + "word_embeddings_layernorm", dtype),
+    }
+    layers = []
+    for i in range(spec.n_layers):
+        lp = f"{pre}h.{i}."
+        layers.append({
+            "qkv": _lin(sd, lp + "self_attention.query_key_value", dtype),
+            "o": _lin(sd, lp + "self_attention.dense", dtype),
+            "fc1": _lin(sd, lp + "mlp.dense_h_to_4h", dtype),
+            "fc2": _lin(sd, lp + "mlp.dense_4h_to_h", dtype),
+            "ln1": _norm(sd, lp + "input_layernorm", dtype),
+            "ln2": _norm(sd, lp + "post_attention_layernorm", dtype),
+        })
+    return {
+        "embed": embed,
+        "layers": layers,
+        "final_ln": _norm(sd, pre + "ln_f", dtype),
+        "lm_head": None,  # tied
+    }
+
+
+def _convert_llama(sd, spec, dtype):
+    pre = "model."
+    embed = {"tokens": jnp.asarray(_np(sd[pre + "embed_tokens.weight"]), dtype)}
+    layers = []
+    for i in range(spec.n_layers):
+        lp = f"{pre}layers.{i}."
+        layers.append({
+            "q": _lin(sd, lp + "self_attn.q_proj", dtype),
+            "k": _lin(sd, lp + "self_attn.k_proj", dtype),
+            "v": _lin(sd, lp + "self_attn.v_proj", dtype),
+            "o": _lin(sd, lp + "self_attn.o_proj", dtype),
+            "gate": _lin(sd, lp + "mlp.gate_proj", dtype),
+            "up": _lin(sd, lp + "mlp.up_proj", dtype),
+            "down": _lin(sd, lp + "mlp.down_proj", dtype),
+            "ln1": _norm(sd, lp + "input_layernorm", dtype, has_bias=False),
+            "ln2": _norm(sd, lp + "post_attention_layernorm", dtype, has_bias=False),
+        })
+    lm = None
+    if "lm_head.weight" in sd and not spec.tie_embeddings:
+        lm = {"w": jnp.asarray(_np(sd["lm_head.weight"]), dtype), "b": None}
+    return {
+        "embed": embed,
+        "layers": layers,
+        "final_ln": _norm(sd, pre + "norm", dtype, has_bias=False),
+        "lm_head": lm,
+    }

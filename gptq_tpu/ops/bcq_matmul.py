@@ -64,7 +64,10 @@ def _bcq_kernel(bits, tk, tn, n_kt, x_ref, alpha_ref, words_ref, out_ref, acc_re
         plane = (wu[b][:, None, :] >> shifts) & 1  # (tk//32, 32, tn)
         sgn = 2.0 * plane.reshape(tk, tn).astype(jnp.float32) - 1.0
         ab = alpha_ref[:, b, :]  # (ng_tile, tn)
-        a = pltpu.repeat(ab, reps, axis=0) if reps > 1 else ab
+        if reps > 1:
+            a = jnp.broadcast_to(ab[:, None, :], (ng_tile, reps, tn)).reshape(tk, tn)
+        else:
+            a = ab
         contrib = sgn * a
         w = contrib if w is None else w + contrib
 

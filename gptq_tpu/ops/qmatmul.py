@@ -71,9 +71,13 @@ def _qmm_kernel(bits, tk, tn, n_kt, x_ref, scale_ref, zoff_ref, *rest):
     codes = _unpack_tile(word_refs, bits, tk, tn).astype(jnp.float32)
     ng_tile = scale_ref.shape[0]
     reps = tk // ng_tile
-    s = pltpu.repeat(scale_ref[:], reps, axis=0) if reps > 1 else scale_ref[:]
-    z = pltpu.repeat(zoff_ref[:], reps, axis=0) if reps > 1 else zoff_ref[:]
-    w = codes * s - z  # (tk, tn) f32
+
+    def expand(r):  # (ng_tile, tn) -> (tk, tn), elementwise group repeat
+        if reps == 1:
+            return r[:]
+        return jnp.broadcast_to(r[:][:, None, :], (ng_tile, reps, tn)).reshape(tk, tn)
+
+    w = codes * expand(scale_ref) - expand(zoff_ref)  # (tk, tn) f32
 
     partial = jnp.dot(
         x_ref[:].astype(jnp.float32), w, preferred_element_type=jnp.float32

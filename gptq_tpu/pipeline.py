@@ -1,0 +1,225 @@
+"""Sequential layer-by-layer quantization pipeline (arch-generic).
+
+TPU-native redesign of the reference's per-arch `X_sequential` drivers
+(reference: opt.py:30-228, llama.py:60-160, bloom.py, gemma.py). The torch
+version streams layers CPU<->GPU and uses forward hooks; here each layer's
+calibration is ONE jitted program: a `lax.scan` over calibration samples
+that runs the block forward, captures every linear's input functionally and
+folds it into that linear's Hessian on the fly — no activation stash, no
+hooks.
+
+true-sequential sub-block ordering (reference: llama.py:97-105) re-captures
+Hessians per group after the previous group is quantized — the reference's
+mis-indentation bug (llama.py:106-110, only the last subset quantized) is
+intentionally NOT replicated.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from gptq_tpu.config import MixedPrecision, QuantConfig
+from gptq_tpu.models.common import ArchSpec, block_forward, build_mask, embed_forward
+from gptq_tpu.models.registry import get_arch
+from gptq_tpu.ops.pack import pack_bcq, pack_quantized
+from gptq_tpu.quant.bcq import quantize_shift
+from gptq_tpu.quant.gptq import SolverConfig, gptq_quantize, hessian_init, hessian_update
+from gptq_tpu.quant.rtn import bcq_rtn_weight, rtn_quantize_weight
+
+
+def solver_config_for(cfg: QuantConfig, bits: int, columnwise: bool | None = None) -> SolverConfig:
+    """Map the CLI surface onto a SolverConfig (reference dispatch:
+    opt.py:111-175 quantizer-selection matrix)."""
+    columnwise = cfg.columnwise if columnwise is None else columnwise
+    if cfg.non_linear:
+        mode = "nonlinear"
+    elif columnwise:
+        mode = "columnwise"
+    elif cfg.lut_eval:
+        mode = "lut"
+    else:
+        mode = "uniform"
+    return SolverConfig(
+        mode=mode,
+        bits=bits,
+        blocksize=cfg.blocksize,
+        percdamp=cfg.percdamp,
+        groupsize=cfg.groupsize,
+        actorder=cfg.act_order,
+        static_groups=cfg.static_groups,
+        sym=cfg.sym,
+        trits=cfg.trits,
+        mse=cfg.mse,
+        bcq_rounds=cfg.bcq_round,
+        use_bst=cfg.use_bst,
+        apot_nums=cfg.apot_nums,
+        hyperbits=cfg.hyperbits if not (cfg.layermix or cfg.linearmix) else bits + 2,
+        explore_bits=cfg.exploreBits,
+        explore_split=cfg.exploreSplit,
+    )
+
+
+@partial(jax.jit, static_argnames=("spec", "names", "capture"))
+def _layer_scan(spec: ArchSpec, bp: dict, inps: jax.Array, positions: jax.Array,
+                mask: jax.Array, names: tuple, capture: bool = True):
+    """Scan over calibration samples: returns (outs, hessian states per name).
+
+    inps: (nsamples, T, hidden). Hessians accumulate exactly as the
+    reference's add_batch (per-sample rescale, reference: gptq.py:59-65)."""
+    arch = get_arch(spec.arch)
+    key_of = arch.linears
+
+    def cols_of(name):
+        return bp[key_of[name]]["w"].shape[1]
+
+    h0 = {n: hessian_init(cols_of(n)) for n in names}
+
+    def step(hstates, inp):
+        out, _, caps = block_forward(
+            spec, bp, inp[None], positions=positions, mask=mask, capture=True
+        )
+        new_h = {n: hessian_update(hstates[n], caps[n]) for n in names}
+        return new_h, out[0]
+
+    if capture and names:
+        hstates, outs = jax.lax.scan(step, h0, inps)
+    else:
+        def fwd(inp):
+            out, _, _ = block_forward(spec, bp, inp[None], positions=positions, mask=mask)
+            return out[0]
+        outs = jax.lax.map(fwd, inps)
+        hstates = h0
+    return outs, hstates
+
+
+@dataclass
+class QuantResult:
+    quantizers: dict  # module path -> dict of packing params
+    losses: dict      # module path -> float proxy loss
+    times: dict
+
+
+def quantize_model(
+    spec: ArchSpec,
+    params: dict,
+    calib_ids: jax.Array,  # (nsamples, seqlen) token ids
+    cfg: QuantConfig,
+    mixed: MixedPrecision | None = None,
+    log: Callable[[str], None] = print,
+) -> QuantResult:
+    """Quantize every per-block linear in place (params mutated).
+
+    Mirrors the reference control flow (reference: opt.py:30-228): embed the
+    calibration set once, then per layer: capture -> solve -> write back ->
+    replay for next-layer inputs.
+    """
+    arch = get_arch(spec.arch)
+    nsamples, T = calib_ids.shape
+    positions = jnp.arange(T)[None]
+    mask = build_mask(spec, T, T)
+
+    embed = jax.jit(
+        lambda ids: embed_forward(spec, params, ids, jnp.broadcast_to(jnp.arange(T), ids.shape))
+    )
+    inps = jnp.stack([embed(calib_ids[j : j + 1])[0] for j in range(nsamples)])
+
+    if cfg.true_sequential:
+        groups = [tuple(g) for g in arch.seq_groups]
+    else:
+        groups = [tuple(arch.linears.keys())]
+
+    layer_prefix = arch.hf_prefix
+    quantizers: dict[str, Any] = {}
+    losses: dict[str, float] = {}
+    times: dict[str, float] = {}
+
+    for i, bp in enumerate(params["layers"]):
+        t_layer = time.time()
+        for gi, names in enumerate(groups):
+            if cfg.nearest or cfg.bcq:
+                # Hessian-free paths: no capture needed
+                hstates = {}
+            else:
+                _, hstates = _layer_scan(spec, bp, inps, positions, mask, names)
+            for name in names:
+                key = arch.linears[name]
+                W = bp[key]["w"]
+                full_name = f"{layer_prefix}.{i}.{name}"
+                bits = cfg.wbits
+                columnwise = cfg.columnwise
+                if mixed is not None:
+                    bits = mixed.bits_for(i, name, bits)
+                    columnwise = mixed.columnwise_for(i, name, columnwise)
+                t0 = time.time()
+                if cfg.nearest:
+                    Q = rtn_quantize_weight(W, bits, sym=cfg.sym, mse=cfg.mse,
+                                            groupsize=cfg.groupsize)
+                    bp[key]["w"] = Q
+                    quantizers[full_name] = {"mode": "rtn", "bits": bits}
+                elif cfg.bcq:
+                    Q = bcq_rtn_weight(W, bits, rounds=cfg.bcq_round,
+                                       groupsize=cfg.groupsize,
+                                       apot_nums=cfg.apot_nums, use_bst=cfg.use_bst)
+                    bp[key]["w"] = Q
+                    quantizers[full_name] = {"mode": "bcq_rtn", "bits": bits}
+                else:
+                    scfg = solver_config_for(cfg, bits, columnwise)
+                    H, _, mean_input = hstates[name]
+                    out = gptq_quantize(W, H, scfg, mean_input)
+                    bp[key]["w"] = out["Q"].astype(W.dtype)
+                    loss = float(out["loss"])
+                    losses[full_name] = loss
+                    q = {"mode": scfg.mode, "bits": bits, "groupsize": cfg.groupsize,
+                         "perm": out["perm"] if scfg.actorder else None}
+                    if "scale" in out:
+                        q["scale"], q["zero"] = out["scale"], out["zero"]
+                    if "alpha" in out:
+                        q["alpha"] = out["alpha"]
+                    quantizers[full_name] = q
+                    times[full_name] = time.time() - t0
+                    log(f"layer {i} {name}: loss={losses.get(full_name, 0):.1f} "
+                        f"t={times[full_name]:.2f}s")
+        # replay with quantized weights -> inputs for the next layer
+        # (reference: opt.py:216-224)
+        inps, _ = _layer_scan(spec, bp, inps, positions, mask, (), capture=False)
+        log(f"layer {i} done in {time.time() - t_layer:.2f}s")
+
+    return QuantResult(quantizers=quantizers, losses=losses, times=times)
+
+
+def pack_model(spec: ArchSpec, params: dict, quantizers: dict,
+               cfg: QuantConfig) -> dict:
+    """Swap quantized dense linears for PackedWeight serving formats —
+    the make_quant3/pack counterpart (reference: opt.py:362-373).
+
+    Uniform grids pack to blocked bit-fields; lut/BCQ packs bitplanes.
+    Layers without an entry stay dense."""
+    arch = get_arch(spec.arch)
+    for i, bp in enumerate(params["layers"]):
+        for name, key in arch.linears.items():
+            full_name = f"{arch.hf_prefix}.{i}.{name}"
+            q = quantizers.get(full_name)
+            if q is None:
+                continue
+            W = bp[key]["w"]
+            if q["mode"] == "uniform" and q["bits"] in (1, 2, 3, 4, 8):
+                pw = pack_quantized(
+                    W.astype(jnp.float32), q["scale"], q["zero"], q["bits"],
+                    groupsize=q.get("groupsize", -1),
+                    perm=q.get("perm"),
+                    actorder=q.get("perm") is not None,
+                )
+                bp[key]["w"] = pw
+            elif q["mode"] == "lut":
+                from gptq_tpu.quant.bcq import bcq_quantize
+
+                gs = q.get("groupsize", -1)
+                _, B = bcq_quantize(W.astype(jnp.float32), q["alpha"], groupsize=gs)
+                bp[key]["w"] = pack_bcq(B, q["alpha"], groupsize=gs)
+    return params

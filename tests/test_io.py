@@ -1,0 +1,45 @@
+"""Checkpoint roundtrip: quantize -> pack -> save -> load -> same logits
+(reference --save / load_quant3 counterpart, opt.py:375-402,719-721)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gptq_tpu.config import QuantConfig
+from gptq_tpu.io import load_checkpoint, save_checkpoint
+from gptq_tpu.models.common import ArchSpec, init_params, model_forward
+from gptq_tpu.pipeline import pack_model, quantize_model
+
+SPEC = ArchSpec(arch="llama", n_layers=2, hidden=32, n_heads=4, n_kv_heads=4,
+                ffn=64, vocab=61, max_pos=64, act="silu", pos="rope",
+                norm_type="rmsnorm", linear_bias=False, tie_embeddings=False)
+
+
+def test_packed_checkpoint_roundtrip(tmp_path):
+    params = init_params(SPEC, jax.random.PRNGKey(0))
+    calib = jnp.asarray(np.random.default_rng(0).integers(0, 61, size=(4, 16)))
+    cfg = QuantConfig(wbits=4, nsamples=4)
+    res = quantize_model(SPEC, params, calib, cfg, log=lambda s: None)
+    pack_model(SPEC, params, res.quantizers, cfg)
+
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 61, size=(1, 12)))
+    want, _ = model_forward(SPEC, params, ids)
+
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, SPEC, params, cfg)
+    spec2, params2, cfg2 = load_checkpoint(path)
+    assert spec2 == SPEC
+    assert cfg2.wbits == 4
+    got, _ = model_forward(spec2, params2, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_dense_checkpoint_roundtrip(tmp_path):
+    params = init_params(SPEC, jax.random.PRNGKey(1))
+    ids = jnp.asarray(np.random.default_rng(2).integers(0, 61, size=(1, 12)))
+    want, _ = model_forward(SPEC, params, ids)
+    path = str(tmp_path / "dense")
+    save_checkpoint(path, SPEC, params)
+    spec2, params2, _ = load_checkpoint(path)
+    got, _ = model_forward(spec2, params2, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)

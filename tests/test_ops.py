@@ -1,0 +1,154 @@
+"""Packed-format and kernel property tests (SURVEY.md §4 item (b)):
+pack -> kernel -> unpack must equal the dense matmul within tolerance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gptq_tpu.ops.bcq_matmul import bcq_dequant, bcq_matmul
+from gptq_tpu.ops.pack import (
+    PackedWeight,
+    pack_bcq,
+    pack_codes,
+    pack_quantized,
+    unpack_codes,
+)
+from gptq_tpu.ops.qmatmul import dequant, dequant_matmul
+from gptq_tpu.quant.bcq import quantize_shift
+from gptq_tpu.quant.gptq import SolverConfig, gptq_quantize, hessian_init, hessian_update
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+@pytest.mark.parametrize("bits", [1, 2, 3, 4, 8])
+def test_pack_unpack_roundtrip(bits):
+    rng = np.random.default_rng(0)
+    K, N = 128, 64
+    codes = rng.integers(0, 2**bits, size=(K, N)).astype(np.int32)
+    words = pack_codes(jnp.asarray(codes), bits)
+    got = np.asarray(unpack_codes(words, bits))
+    np.testing.assert_array_equal(got, codes)
+    # storage really is `bits` per value
+    total_words = sum(int(np.prod(w.shape)) for w in words)
+    assert total_words * 32 == K * N * bits
+
+
+def make_packed(bits=4, K=256, N=128, groupsize=-1, seed=0):
+    rng = np.random.default_rng(seed)
+    ng = 1 if groupsize <= 0 else K // groupsize
+    scale = jnp.asarray(np.abs(rng.normal(size=(ng, N))).astype(np.float32) + 0.05)
+    zero = jnp.asarray(
+        rng.integers(0, 2**bits, size=(ng, N)).astype(np.float32)
+    )
+    codes = rng.integers(0, 2**bits, size=(K, N)).astype(np.int32)
+    # dequantized dense weight (N, K) like a GPTQ output
+    s = np.repeat(np.asarray(scale), K // ng, axis=0)
+    z = np.repeat(np.asarray(zero), K // ng, axis=0)
+    W_dense = (codes * s - s * z).T  # (N, K)
+    pw = pack_quantized(jnp.asarray(W_dense), scale, zero, bits, groupsize=groupsize)
+    return pw, W_dense
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4, 8])
+@pytest.mark.parametrize("groupsize", [-1, 64])
+def test_dequant_equals_dense(bits, groupsize):
+    pw, W_dense = make_packed(bits=bits, groupsize=groupsize)
+    got = np.asarray(dequant(pw))
+    np.testing.assert_allclose(got, W_dense.T, rtol=1e-5, atol=1e-3)
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4])
+def test_xla_matmul_matches_dense(bits):
+    pw, W_dense = make_packed(bits=bits)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, 256)).astype(np.float32))
+    y = dequant_matmul(x, pw, impl="xla")
+    want = np.asarray(x) @ W_dense.T
+    np.testing.assert_allclose(np.asarray(y), want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("bits", [3, 4])
+@pytest.mark.parametrize("groupsize", [-1, 64])
+def test_pallas_matmul_matches_xla(bits, groupsize):
+    """Pallas kernel (interpret mode off-TPU) vs the XLA oracle."""
+    pw, _ = make_packed(bits=bits, K=512, N=256, groupsize=groupsize)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(8, 512)).astype(np.float32))
+    y_ref = dequant_matmul(x, pw, impl="xla")
+    y_pal = dequant_matmul(x, pw, impl="pallas", interpret=not ON_TPU)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_matvec_single_token():
+    """Decode shape: M=1 (padded internally to sublane minimum)."""
+    pw, W_dense = make_packed(bits=4, K=512, N=256)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 512)).astype(np.float32))
+    y = dequant_matmul(x, pw, impl="pallas", interpret=not ON_TPU)
+    want = np.asarray(x) @ W_dense.T
+    np.testing.assert_allclose(np.asarray(y), want, rtol=2e-4, atol=2e-4)
+
+
+def test_bias_and_3d_input():
+    pw, W_dense = make_packed(bits=4, K=256, N=128)
+    pw.bias = jnp.arange(128, dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 3, 256)).astype(np.float32))
+    y = dequant_matmul(x, pw, impl="xla")
+    want = np.asarray(x) @ W_dense.T + np.arange(128)
+    assert y.shape == (2, 3, 128)
+    np.testing.assert_allclose(np.asarray(y), want, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# BCQ bitplane kernels
+# ---------------------------------------------------------------------------
+
+def make_bcq(bits=3, K=256, N=64, groupsize=-1, seed=5):
+    rng = np.random.default_rng(seed)
+    W = jnp.asarray(rng.normal(size=(N, K)).astype(np.float32))
+    ret, B, alpha = quantize_shift(W, qbits=bits, rounds=2, group_size=groupsize)
+    pw = pack_bcq(B, alpha, groupsize=groupsize)
+    return pw, np.asarray(ret)  # ret: (N, K) dequantized
+
+
+@pytest.mark.parametrize("groupsize", [-1, 64])
+def test_bcq_dequant_matches_fit(groupsize):
+    pw, ret = make_bcq(groupsize=groupsize)
+    got = np.asarray(bcq_dequant(pw))  # (K, N)
+    np.testing.assert_allclose(got, ret.T, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("bits", [2, 3])
+@pytest.mark.parametrize("groupsize", [-1, 128])
+def test_bcq_pallas_matches_xla(bits, groupsize):
+    pw, ret = make_bcq(bits=bits, K=512, N=256, groupsize=groupsize)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(8, 512)).astype(np.float32))
+    y_ref = bcq_matmul(x, pw, impl="xla")
+    y_pal = bcq_matmul(x, pw, impl="pallas", interpret=not ON_TPU)
+    want = np.asarray(x) @ ret.T
+    np.testing.assert_allclose(np.asarray(y_ref), want, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: GPTQ solve -> pack -> serve equals the solver's Q
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("groupsize", [-1, 32])
+def test_gptq_to_packed_serving(groupsize):
+    rng = np.random.default_rng(7)
+    rows, cols = 64, 128
+    W = rng.normal(size=(rows, cols)).astype(np.float32)
+    X = rng.normal(size=(256, cols)).astype(np.float32)
+    state = hessian_update(hessian_init(cols), jnp.asarray(X[None]))
+    cfg = SolverConfig(mode="uniform", bits=4, groupsize=groupsize)
+    out = gptq_quantize(jnp.asarray(W), state[0], cfg)
+    pw = pack_quantized(out["Q"], out["scale"], out["zero"], bits=4,
+                        groupsize=groupsize)
+    x = jnp.asarray(rng.normal(size=(4, cols)).astype(np.float32))
+    y_packed = dequant_matmul(x, pw, impl="xla")
+    y_dense = np.asarray(x) @ np.asarray(out["Q"]).T
+    np.testing.assert_allclose(np.asarray(y_packed), y_dense, rtol=1e-3, atol=1e-3)
