@@ -69,13 +69,15 @@ def _qmm_kernel(bits, tk, tn, n_kt, x_ref, scale_ref, zoff_ref, *rest):
     kt = pl.program_id(1)
 
     codes = _unpack_tile(word_refs, bits, tk, tn).astype(jnp.float32)
+    # scale/zoff refs are (ng_tile, 1, tn): the group axis leads so Mosaic's
+    # sublane-divisibility rule applies to the (1, tn) tail
     ng_tile = scale_ref.shape[0]
     reps = tk // ng_tile
 
-    def expand(r):  # (ng_tile, tn) -> (tk, tn), elementwise group repeat
+    def expand(r):  # (ng_tile, 1, tn) -> (tk, tn), elementwise group repeat
         if reps == 1:
-            return r[:]
-        return jnp.broadcast_to(r[:][:, None, :], (ng_tile, reps, tn)).reshape(tk, tn)
+            return r[:].reshape(ng_tile, tn)
+        return jnp.broadcast_to(r[:], (ng_tile, reps, tn)).reshape(tk, tn)
 
     w = codes * expand(scale_ref) - expand(zoff_ref)  # (tk, tn) f32
 
@@ -110,17 +112,17 @@ def _matmul_pallas(x: jax.Array, pw: PackedWeight, tk: int = 512, tn: int = 256,
     # group spanning whole tiles. index_map returns BLOCK indices.
     if tk % g == 0:
         ng_tile = tk // g
-        scale_map = lambda nt, kt: (kt, nt)
+        scale_map = lambda nt, kt: (kt, 0, nt)
     else:
         assert g % tk == 0, (g, tk)
         ng_tile = 1
-        scale_map = lambda nt, kt: ((kt * tk) // g, nt)
+        scale_map = lambda nt, kt: ((kt * tk) // g, 0, nt)
 
     grid = (n_nt, n_kt)
     in_specs = [
         pl.BlockSpec((M, tk), lambda nt, kt: (0, kt), memory_space=pltpu.VMEM),
-        pl.BlockSpec((ng_tile, tn), scale_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((ng_tile, tn), scale_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((ng_tile, 1, tn), scale_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((ng_tile, 1, tn), scale_map, memory_space=pltpu.VMEM),
     ]
     for (fb, _sh), warr in zip(FIELD_SPLITS[pw.bits], pw.words):
         P = 32 // fb
@@ -147,7 +149,7 @@ def _matmul_pallas(x: jax.Array, pw: PackedWeight, tk: int = 512, tn: int = 256,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, pw.scale, pw.zoff, *pw.words)
+    )(x, pw.scale[:, None, :], pw.zoff[:, None, :], *pw.words)
     return out
 
 
