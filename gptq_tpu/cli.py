@@ -1,0 +1,240 @@
+"""Unified CLI — one driver for every architecture.
+
+Replaces the reference's four ~700-line __main__ blocks (reference:
+opt.py:510-721, llama.py:340-488, bloom.py:421-467, gemma.py) with a single
+argparse surface whose flags match the reference's (SURVEY.md §2.4), so
+recipes in script/*.sh translate directly:
+
+    python -m gptq_tpu.cli facebook/opt-125m c4 --wbits 4 --save q.npz
+    python -m gptq_tpu.cli meta-llama/Llama-2-7b-hf c4 --wbits 4 \
+        --true-sequential --act-order --new-eval
+    python -m gptq_tpu.cli MODEL c4 --load q.npz --benchmark 128 --check
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("gptq_tpu")
+    p.add_argument("model", type=str,
+                   help="HF model id or local checkpoint directory")
+    p.add_argument("dataset", type=str, nargs="?", default="c4",
+                   choices=["wikitext2", "ptb", "c4", "ptb-new", "c4-new"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--nsamples", type=int, default=128)
+    p.add_argument("--percdamp", type=float, default=0.01)
+    p.add_argument("--nearest", action="store_true")
+    p.add_argument("--wbits", type=int, default=16, choices=[1, 2, 3, 4, 8, 16])
+    p.add_argument("--trits", action="store_true")
+    p.add_argument("--groupsize", type=int, default=-1)
+    p.add_argument("--sym", action="store_true")
+    p.add_argument("--save", type=str, default="")
+    p.add_argument("--load", type=str, default="")
+    p.add_argument("--benchmark", type=int, default=0)
+    p.add_argument("--check", action="store_true")
+    p.add_argument("--new-eval", action="store_true")
+    p.add_argument("--faster-kernel", action="store_true")
+    p.add_argument("--act-order", action="store_true")
+    p.add_argument("--static-groups", action="store_true")
+    p.add_argument("--true-sequential", action="store_true")
+    p.add_argument("--load_weights", type=str, default="")
+    p.add_argument("--load_safetensor", type=str, default="")
+    # BCQ / LUT
+    p.add_argument("--bcq", action="store_true")
+    p.add_argument("--lut_bench", action="store_true")
+    p.add_argument("--lut_eval", action="store_true")
+    p.add_argument("--bcq_round", type=int, default=5)
+    p.add_argument("--columnwise", action="store_true")
+    p.add_argument("--use_bst", action="store_true", default=True)
+    p.add_argument("--apot_nums", type=int, default=2)
+    # non-linear
+    p.add_argument("--non_linear", action="store_true")
+    p.add_argument("--hyperbits", type=int, default=5)
+    p.add_argument("--exploreBits", type=int, default=1)
+    p.add_argument("--exploreSplit", type=int, default=20)
+    # mixed precision
+    p.add_argument("--linearmix", action="store_true")
+    p.add_argument("--layermix", action="store_true")
+    p.add_argument("--quant_config", type=str, default="")
+    # zero-shot / analysis extras
+    p.add_argument("--task", type=str, default="",
+                   help="comma-separated zero-shot tasks to run after quantization")
+    p.add_argument("--analyse", action="store_true",
+                   help="run sensitivity analysis instead of quantization")
+    p.add_argument("--data_dir", type=str, default="",
+                   help="local datasets cache for offline runs")
+    p.add_argument("--eval_pack", action="store_true",
+                   help="pack weights and evaluate through the serving kernels")
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel ways")
+    p.add_argument("--results_log", type=str, default="results/ppl.txt")
+    return p
+
+
+def config_from_args(args) -> "QuantConfig":
+    from gptq_tpu.config import QuantConfig
+
+    return QuantConfig(
+        wbits=args.wbits, trits=args.trits, groupsize=args.groupsize,
+        sym=args.sym, percdamp=args.percdamp, act_order=args.act_order,
+        static_groups=args.static_groups, true_sequential=args.true_sequential,
+        nearest=args.nearest, dataset=args.dataset, nsamples=args.nsamples,
+        seed=args.seed, lut_eval=args.lut_eval, columnwise=args.columnwise,
+        bcq_round=args.bcq_round, use_bst=args.use_bst,
+        apot_nums=args.apot_nums, bcq=args.bcq, non_linear=args.non_linear,
+        hyperbits=args.hyperbits, exploreBits=args.exploreBits,
+        exploreSplit=args.exploreSplit, layermix=args.layermix,
+        linearmix=args.linearmix,
+        quant_config=args.quant_config or None,
+        save=args.save or None, load=args.load or None,
+        benchmark=args.benchmark, check=args.check,
+        faster_kernel=args.faster_kernel, new_eval=args.new_eval,
+    )
+
+
+def load_mixed_precision(args, model_name: str):
+    from gptq_tpu.config import MixedPrecision
+
+    if args.quant_config:
+        with open(args.quant_config) as f:
+            return MixedPrecision(module_config=json.load(f))
+    if args.layermix:
+        with open("quant_bit/layerwise.json") as f:
+            table = json.load(f)
+        return MixedPrecision(layer_bits=table[model_name.split("/")[-1]])
+    if args.linearmix:
+        with open("quant_bit/linearwise.json") as f:
+            return MixedPrecision(linear_bits=json.load(f))
+    return None
+
+
+def append_result_log(path: str, args, ppl: float, dataset: str) -> None:
+    """Structured result line (reference: opt.py:335-357)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    line = (f"model = {args.model.split('/')[-1]}, dataset = {dataset}, "
+            f"wbits = {args.wbits}, groupsize = {args.groupsize}, "
+            f"lut = {args.lut_eval}, nonLinear = {args.non_linear}, "
+            f"columnwise = {args.columnwise}   :   {ppl}")
+    if args.non_linear:
+        line += (f"  ||  hyperbits = {args.hyperbits}, exploreBits = "
+                 f"{args.exploreBits}, exploreSplit = {args.exploreSplit}")
+    if args.lut_eval or args.columnwise:
+        line += (f"  ||  bcq_round = {args.bcq_round}  ||  apot_nums = "
+                 f"{args.apot_nums} use_bst = {args.use_bst}")
+    with open(path, "a") as f:
+        f.write(line + "\n")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from gptq_tpu.data import get_loaders
+    from gptq_tpu.eval.ppl import eval_ppl
+    from gptq_tpu.io import load_checkpoint, save_checkpoint
+    from gptq_tpu.models.convert import params_from_dir
+
+    cfg = config_from_args(args)
+
+    if args.load:
+        spec, params, _ = load_checkpoint(args.load)
+        print(f"loaded packed checkpoint {args.load}")
+    else:
+        spec, params = params_from_dir(args.model)
+
+    from transformers import AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(args.model, use_fast=False)
+    seqlen = spec.max_pos
+
+    if args.tp > 1:
+        from gptq_tpu.parallel.mesh import make_mesh, shard_params
+
+        mesh = make_mesh(tp=args.tp)
+        params = shard_params(spec, params, mesh)
+        print(f"sharded over tp={args.tp}")
+
+    if args.analyse:
+        from gptq_tpu.analysis import analyse_model, derive_quant_config
+
+        import jax.numpy as jnp
+
+        calib, _ = get_loaders(args.dataset, nsamples=args.nsamples,
+                               seed=args.seed, seqlen=seqlen,
+                               tokenizer=tokenizer,
+                               data_dir=args.data_dir or None)
+        st = analyse_model(spec, params, jnp.asarray(calib))
+        qc = derive_quant_config(st, bits=args.wbits,
+                                 out_path="results/quant_config.json")
+        print(json.dumps(qc, indent=2))
+        return 0
+
+    quantizers = None
+    if not args.load and (args.wbits < 16 or args.trits):
+        import jax.numpy as jnp
+
+        from gptq_tpu.pipeline import quantize_model
+
+        calib, _ = get_loaders(args.dataset, nsamples=args.nsamples,
+                               seed=args.seed, seqlen=seqlen,
+                               tokenizer=tokenizer,
+                               data_dir=args.data_dir or None)
+        mixed = load_mixed_precision(args, args.model)
+        t0 = time.time()
+        res = quantize_model(spec, params, jnp.asarray(calib), cfg, mixed=mixed)
+        quantizers = res.quantizers
+        print(f"quantization done in {time.time() - t0:.1f}s")
+
+        if args.eval_pack or args.save:
+            from gptq_tpu.pipeline import pack_model
+
+            pack_model(spec, params, quantizers, cfg)
+        if args.save:
+            save_checkpoint(args.save, spec, params, cfg)
+            print(f"saved {args.save}")
+
+    # PPL eval (reference: opt.py:707-715 evaluates wikitext2/ptb/c4 [+new])
+    datasets = ["wikitext2", "ptb", "c4"]
+    if args.new_eval:
+        datasets = ["wikitext2", "ptb-new", "c4-new"]
+    for ds in datasets:
+        try:
+            _, testenc = get_loaders(ds, seed=args.seed, seqlen=seqlen,
+                                     tokenizer=tokenizer,
+                                     data_dir=args.data_dir or None)
+        except Exception as e:  # noqa: BLE001
+            print(f"skipping {ds}: {type(e).__name__}: {e}")
+            continue
+        ppl = eval_ppl(spec, params, testenc.input_ids, seqlen)
+        append_result_log(args.results_log, args, ppl, ds)
+
+    if args.task:
+        from gptq_tpu.eval.zeroshot import JaxLM, simple_evaluate
+        from gptq_tpu.eval.zeroshot.evaluator import make_table
+
+        lm = JaxLM(spec, params, tokenizer, max_length=seqlen)
+        tasks = [t.strip() for t in args.task.split(",") if t.strip()]
+        res = simple_evaluate(lm, tasks)
+        print(json.dumps(res["results"], indent=2))
+        print(make_table(res))
+
+    if args.benchmark:
+        from gptq_tpu.engine.decode import benchmark_decode
+
+        ids = np.random.default_rng(args.seed).integers(
+            0, spec.vocab, size=(1, args.benchmark))
+        benchmark_decode(spec, params, ids, check=args.check,
+                         trace_dir="results/profile" if args.check else None)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
