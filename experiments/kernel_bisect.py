@@ -93,7 +93,7 @@ def m2_kernel(n_kt, x_ref, w_ref, o_ref, acc_ref):
     kt = pl.program_id(1)
     wu = w_ref[:].astype(jnp.uint32)
     shifts = 4 * jax.lax.broadcasted_iota(jnp.uint32, (1, P, 1), 1)
-    c = ((wu[:, None, :] >> shifts) & 15).reshape(TK, TN)
+    c = ((wu[:, None, :] >> shifts) & 15).reshape(TK, TN).astype(jnp.int32)
     part = jnp.sum(c.astype(jnp.float32), axis=0, keepdims=True)
     part = jnp.broadcast_to(part, (M, TN))
 
@@ -111,7 +111,7 @@ def m3_kernel(n_kt, x_ref, w_ref, o_ref, acc_ref):
     kt = pl.program_id(1)
     wu = w_ref[:].astype(jnp.uint32)
     shifts = 4 * jax.lax.broadcasted_iota(jnp.uint32, (1, P, 1), 1)
-    c = ((wu[:, None, :] >> shifts) & 15).reshape(TK, TN).astype(jnp.float32)
+    c = ((wu[:, None, :] >> shifts) & 15).astype(jnp.int32).reshape(TK, TN).astype(jnp.float32)
     part = jnp.dot(x_ref[:], c, preferred_element_type=jnp.float32)
 
     @pl.when(kt == 0)

@@ -1,0 +1,138 @@
+"""Recovery fine-tuning driver (reference: finetune/train.py:245-650).
+
+The reference wraps HF Trainer; here the loop is explicit: tokenize ->
+group_texts(block) -> train steps with optax -> periodic eval
+(perplexity = exp(eval_loss), reference: train.py:622-636) -> checkpoint
+save/resume (reference: train.py:293-306,601-607).
+
+Recipe parity (reference finetune/train.sh): adafactor, block 2048,
+per-device batch via --batch_size, wikitext-2 dataset.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def group_texts(token_stream: np.ndarray, block_size: int) -> np.ndarray:
+    """Concatenate-and-chunk (reference: finetune/train.py group_texts)."""
+    total = (len(token_stream) // block_size) * block_size
+    return token_stream[:total].reshape(-1, block_size)
+
+
+def latest_checkpoint(out_dir: str) -> str | None:
+    """(reference: get_last_checkpoint use at train.py:293-306)."""
+    if not os.path.isdir(out_dir):
+        return None
+    cks = [d for d in os.listdir(out_dir) if d.startswith("checkpoint-")]
+    if not cks:
+        return None
+    return os.path.join(out_dir, max(cks, key=lambda d: int(d.split("-")[1])))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser("gptq_tpu.finetune")
+    p.add_argument("--model_name_or_path", required=True)
+    p.add_argument("--dataset_name", default="wikitext")
+    p.add_argument("--dataset_config_name", default="wikitext-2-raw-v1")
+    p.add_argument("--block_size", type=int, default=2048)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--learning_rate", type=float, default=2e-5)
+    p.add_argument("--optim", default="adafactor", choices=["adafactor", "adamw"])
+    p.add_argument("--num_train_epochs", type=float, default=1.0)
+    p.add_argument("--max_steps", type=int, default=-1)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--save_steps", type=int, default=500)
+    p.add_argument("--eval_steps", type=int, default=500)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--overwrite_output_dir", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from gptq_tpu.finetune import clm_loss, make_optimizer, make_train_step
+    from gptq_tpu.io import load_checkpoint, save_checkpoint
+    from gptq_tpu.models.convert import params_from_dir
+
+    from transformers import AutoTokenizer
+    from datasets import load_dataset
+
+    spec, params = params_from_dir(args.model_name_or_path)
+    tokenizer = AutoTokenizer.from_pretrained(args.model_name_or_path, use_fast=False)
+
+    raw = load_dataset(args.dataset_name, args.dataset_config_name)
+    text_col = "text" if "text" in raw["train"].column_names else raw["train"].column_names[0]
+    train_tokens = np.asarray(
+        tokenizer("\n\n".join(raw["train"][text_col])).input_ids, dtype=np.int32)
+    eval_tokens = np.asarray(
+        tokenizer("\n\n".join(raw["validation"][text_col])).input_ids, dtype=np.int32)
+    train_blocks = group_texts(train_tokens, args.block_size)
+    eval_blocks = group_texts(eval_tokens, args.block_size)
+
+    mesh = None
+    if args.tp * args.dp > 1:
+        from gptq_tpu.parallel.mesh import make_mesh, shard_params
+
+        mesh = make_mesh(tp=args.tp, dp=args.dp)
+        params = shard_params(spec, params, mesh)
+
+    opt = make_optimizer(args.optim, lr=args.learning_rate)
+    init, step = make_train_step(spec, opt, mesh=mesh)
+    opt_state = init(params)
+
+    start_step = 0
+    resume = latest_checkpoint(args.output_dir)
+    if resume and not args.overwrite_output_dir:
+        spec, params, _ = load_checkpoint(os.path.join(resume, "model"))
+        with open(os.path.join(resume, "state.json")) as f:
+            start_step = json.load(f)["step"]
+        print(f"resumed from {resume} at step {start_step}")
+
+    rng = np.random.default_rng(args.seed)
+    steps_per_epoch = len(train_blocks) // args.batch_size
+    total_steps = (args.max_steps if args.max_steps > 0
+                   else int(args.num_train_epochs * steps_per_epoch))
+
+    eval_fn = jax.jit(lambda p, b: clm_loss(spec, p, b))
+
+    def evaluate() -> float:
+        losses = []
+        for i in range(0, min(len(eval_blocks), 16), args.batch_size):
+            b = jnp.asarray(eval_blocks[i : i + args.batch_size])
+            losses.append(float(eval_fn(params, b)))
+        return float(np.exp(np.mean(losses)))
+
+    t0 = time.time()
+    for s in range(start_step, total_steps):
+        idx = rng.integers(0, len(train_blocks), size=args.batch_size)
+        batch = jnp.asarray(train_blocks[idx])
+        params, opt_state, loss = step(params, opt_state, batch)
+        if (s + 1) % 50 == 0:
+            print(f"step {s+1}/{total_steps} loss={float(loss):.4f} "
+                  f"({(s + 1 - start_step) / (time.time() - t0):.2f} it/s)")
+        if (s + 1) % args.eval_steps == 0:
+            print(f"eval ppl = {evaluate():.4f}")
+        if (s + 1) % args.save_steps == 0 or s + 1 == total_steps:
+            ck = os.path.join(args.output_dir, f"checkpoint-{s+1}")
+            os.makedirs(ck, exist_ok=True)
+            save_checkpoint(os.path.join(ck, "model"), spec, params)
+            with open(os.path.join(ck, "state.json"), "w") as f:
+                json.dump({"step": s + 1}, f)
+            print(f"saved {ck}")
+
+    print(f"final eval ppl = {evaluate():.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -72,6 +72,12 @@ class ArchSpec:
 # ---------------------------------------------------------------------------
 
 def linear_apply(lin: dict, x: jax.Array) -> jax.Array:
+    aq = lin.get("act_q")
+    if aq is not None:
+        # activation quantization (reference ActQuantWrapper,
+        # zeroShot/models/quant.py:127-141): per-feature grid on the input
+        q = jnp.clip(jnp.round(x / aq["scale"]) + aq["zero"], 0, aq["maxq"])
+        x = (aq["scale"] * (q - aq["zero"])).astype(x.dtype)
     w = lin["w"]
     if isinstance(w, PackedWeight):
         if w.fmt == "bcq":

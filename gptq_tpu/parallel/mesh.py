@@ -103,10 +103,10 @@ def param_specs(spec: ArchSpec, params: dict) -> dict:
         else:
             wspec = _dense_spec(kind)
         out = {"w": wspec}
-        if lin.get("b") is not None:
-            out["b"] = _bias_spec(kind)
-        else:
-            out["b"] = None
+        if "b" in lin:
+            out["b"] = _bias_spec(kind) if lin["b"] is not None else None
+        if "act_q" in lin:
+            out["act_q"] = {k: _REP for k in lin["act_q"]}
         return out
 
     def norm_spec(p):

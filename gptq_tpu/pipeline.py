@@ -193,6 +193,44 @@ def quantize_model(
     return QuantResult(quantizers=quantizers, losses=losses, times=times)
 
 
+def add_actquant(
+    spec: ArchSpec,
+    params: dict,
+    calib_ids: jax.Array,
+    bits: int,
+    sym: bool = False,
+) -> None:
+    """Fit per-input-feature activation quantizers for every block linear
+    (reference: add_actquant + Quantizer.find_params(weight=False),
+    zeroShot/models/quant.py:143-167). Stores {scale, zero, maxq} under each
+    linear's "act_q" key; linear_apply fake-quantizes its input thereafter."""
+    from gptq_tpu.quant.uniform import find_params
+
+    arch = get_arch(spec.arch)
+    nsamples, T = calib_ids.shape
+    positions = jnp.arange(T)[None]
+    mask = build_mask(spec, T, T)
+    embed = jax.jit(
+        lambda ids: embed_forward(spec, params, ids,
+                                  jnp.broadcast_to(jnp.arange(T), ids.shape))
+    )
+    inps = jnp.stack([embed(calib_ids[j : j + 1])[0] for j in range(nsamples)])
+    names = tuple(arch.linears.keys())
+    maxq = (1 << bits) - 1
+    for bp in params["layers"]:
+        # capture one representative batch of inputs per linear
+        _, _, caps = block_forward(
+            spec, bp, inps[:1], positions=positions, mask=mask, capture=True
+        )
+        for name in names:
+            key = arch.linears[name]
+            p = find_params(caps[name], bits=bits, perchannel=True, sym=sym,
+                            weight=False)
+            bp[key]["act_q"] = {"scale": p.scale[0], "zero": p.zero[0],
+                                "maxq": maxq}
+        inps, _ = _layer_scan(spec, bp, inps, positions, mask, (), capture=False)
+
+
 def pack_model(spec: ArchSpec, params: dict, quantizers: dict,
                cfg: QuantConfig) -> dict:
     """Swap quantized dense linears for PackedWeight serving formats —

@@ -97,6 +97,9 @@ class SolverConfig:
     hyperbits: int = 5
     explore_bits: int = 1
     explore_split: int = 20
+    # TrueOBS variants (reference: zeroShot/models/fast_trueobs.py:108-144)
+    sparse_outliers: bool = False  # keep (w-q)^2 > .25*scale^2 weights dense
+    nearest: bool = False          # disable error feedback (RTN w/ same grid)
 
     @property
     def maxq(self) -> int:
@@ -229,8 +232,12 @@ def gptq_quantize(W, H, cfg: SolverConfig, mean_input=None):
     # (reference: gptq.py:181-185)
     alpha0 = None
     book0 = None
+    outlier_thresh = None
     if cfg.mode == "uniform" and not cfg.static_groups and cfg.groupsize <= 0:
         fixed_scale, fixed_zero = _row_params(W, cfg)
+        if cfg.sparse_outliers:
+            # (reference: fast_trueobs.py:108) outlier = .25 * scale^2
+            outlier_thresh = 0.25 * fixed_scale**2
     if cfg.mode == "lut":
         _, _, alpha0 = bcq_mod._fit(
             W, cfg.bits, cfg.bcq_rounds, cfg.groupsize, cfg.use_bst, cfg.apot_nums, apot=True
@@ -366,7 +373,7 @@ def gptq_quantize(W, H, cfg: SolverConfig, mean_input=None):
         return q[0], (alpha,)
 
     def block_body(carry, xs):
-        W_stale, qstate = carry
+        W_stale, qstate, n_out = carry
         b_idx, Hinv_b = xs
         i1 = b_idx * bs
         W1 = jax.lax.dynamic_slice(W_stale, (0, i1), (rows, bs))
@@ -375,31 +382,40 @@ def gptq_quantize(W, H, cfg: SolverConfig, mean_input=None):
         E1 = jnp.zeros((rows, bs), W1.dtype)
 
         def col_body(i, st):
-            W1, Q1, L1, E1, qstate = st
+            W1, Q1, L1, E1, qstate, n_out = st
             idx = i1 + i
             w = jax.lax.dynamic_slice(W1, (0, i), (rows, 1))[:, 0]
             hrow_full = jax.lax.dynamic_slice(Hinv_b, (i, 0), (1, cols_pad))[0]
             d = hrow_full[idx]
             q, qstate = quantize_column(qstate, w, idx, i, W_stale, W1)
+            if outlier_thresh is not None:
+                # TrueOBS sparse outliers: keep large-error weights dense
+                # (reference: fast_trueobs.py:131-137)
+                sel = ((w - q) ** 2 > outlier_thresh) & (idx < cols)
+                q = jnp.where(sel, w, q)
+                n_out = n_out + jnp.sum(sel)
             err = (w - q) / d
             hrow = jax.lax.dynamic_slice(hrow_full, (i1,), (bs,))
             mask = (jnp.arange(bs) >= i).astype(W1.dtype)
-            W1 = W1 - err[:, None] * (hrow * mask)[None, :]
+            if not cfg.nearest:
+                W1 = W1 - err[:, None] * (hrow * mask)[None, :]
             Q1 = jax.lax.dynamic_update_slice(Q1, q[:, None], (0, i))
             L1 = jax.lax.dynamic_update_slice(L1, ((w - q) ** 2 / d**2)[:, None], (0, i))
             E1 = jax.lax.dynamic_update_slice(E1, err[:, None], (0, i))
-            return (W1, Q1, L1, E1, qstate)
+            return (W1, Q1, L1, E1, qstate, n_out)
 
-        W1, Q1, L1, E1, qstate = jax.lax.fori_loop(
-            0, bs, col_body, (W1, Q1, L1, E1, qstate)
+        W1, Q1, L1, E1, qstate, n_out = jax.lax.fori_loop(
+            0, bs, col_body, (W1, Q1, L1, E1, qstate, n_out)
         )
         # trailing update; columns < i1 see zeros (Hinv upper-triangular) and
         # columns inside the finished block are never read again.
-        W_stale = W_stale - jnp.matmul(E1, Hinv_b, precision=HIGH)
-        return (W_stale, qstate), (Q1, L1)
+        if not cfg.nearest:
+            W_stale = W_stale - jnp.matmul(E1, Hinv_b, precision=HIGH)
+        return (W_stale, qstate, n_out), (Q1, L1)
 
-    (_, qstate), (Qb, Lb) = jax.lax.scan(
-        block_body, (Wp, qstate), (jnp.arange(nb), Hinv_blocks)
+    (_, qstate, n_out), (Qb, Lb) = jax.lax.scan(
+        block_body, (Wp, qstate, jnp.zeros((), jnp.int32)),
+        (jnp.arange(nb), Hinv_blocks)
     )
     Q = jnp.transpose(Qb, (1, 0, 2)).reshape(rows, cols_pad)
     L = jnp.transpose(Lb, (1, 0, 2)).reshape(rows, cols_pad) / 2
@@ -409,6 +425,8 @@ def gptq_quantize(W, H, cfg: SolverConfig, mean_input=None):
         Q = Q[:, invperm]
 
     out = {"Q": Q, "loss": loss, "perm": perm}
+    if outlier_thresh is not None:
+        out["outlier_frac"] = n_out.astype(jnp.float32) / (rows * cols)
     if cfg.mode == "uniform":
         out["scale"], out["zero"] = qstate[0], qstate[1]
     elif cfg.mode == "nonlinear":
