@@ -45,12 +45,18 @@ def synth_packed_params(spec, bits=4, groupsize=-1, dtype=None, seed=0):
     dtype = dtype or jnp.bfloat16
     rng = np.random.default_rng(seed)
 
+    from gptq_tpu.ops.pack import FIELD_SPLITS
+
     def packed_linear(out_d, in_d):
         ng = 1 if groupsize <= 0 else in_d // groupsize
-        codes = jnp.asarray(
-            rng.integers(0, 2**bits, size=(in_d, out_d), dtype=np.int32)
+        # random packed words directly (codes are irrelevant for timing)
+        words = tuple(
+            jnp.asarray(rng.integers(np.iinfo(np.int32).min,
+                                     np.iinfo(np.int32).max,
+                                     size=(in_d // (32 // fb), out_d),
+                                     dtype=np.int32))
+            for fb, _ in FIELD_SPLITS[bits]
         )
-        words = pack_codes(codes, bits)
         scale = jnp.asarray(rng.normal(0.01, 0.002, size=(ng, out_d)).astype(np.float32))
         zoff = scale * (2 ** (bits - 1))
         return {"w": PackedWeight(words=words, scale=scale, zoff=zoff,

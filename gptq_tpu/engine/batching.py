@@ -1,0 +1,195 @@
+"""Continuous batching decode engine.
+
+Beyond-reference capability (the reference serves batch 1 only —
+Quant3Linear.forward raises on multi-token input, quant.py:203): a fixed
+pool of batch slots decodes in lock-step while finished slots are refilled
+with queued prompts, keeping the chip's weight-streaming amortized across
+requests. Per-slot cache offsets ride the vmapped dynamic_update_slice in
+models.common.block_forward.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gptq_tpu.models.common import (
+    ArchSpec,
+    NEG_INF,
+    block_forward,
+    embed_forward,
+    head_forward,
+)
+
+
+@dataclass
+class Request:
+    uid: int
+    prompt: np.ndarray  # (T,) token ids
+    max_new_tokens: int
+    eos_id: int | None = None
+    output: list = field(default_factory=list)
+    done: bool = False
+
+
+def _decode_step_fn(spec: ArchSpec):
+    """Batched single-token decode with per-slot positions and lengths."""
+
+    @jax.jit
+    def step(params, kc, vc, tokens, lengths, active):
+        # tokens: (B,) ; lengths: (B,) filled prefix per slot ; active: (B,)
+        B = tokens.shape[0]
+        S = kc.shape[2]
+        positions = lengths[:, None]  # (B, 1)
+        h = embed_forward(spec, params, tokens[:, None], positions)
+        k_pos = jnp.arange(S)[None, None, None, :]
+        q_pos = lengths[:, None, None, None]
+        mask = jnp.where(k_pos <= q_pos, 0.0, NEG_INF).astype(jnp.float32)
+        if spec.pos == "alibi":
+            from gptq_tpu.models.common import alibi_slopes
+
+            slopes = jnp.asarray(alibi_slopes(spec.n_heads))
+            rel = (k_pos - q_pos).astype(jnp.float32)
+            bias = slopes[None, :, None, None] * rel
+            mask = mask + jnp.where(k_pos <= q_pos, bias, 0.0)
+        new_k, new_v = [], []
+        for i, bp in enumerate(params["layers"]):
+            h, kv, _ = block_forward(
+                spec, bp, h, positions=positions, mask=mask,
+                cache=(kc[i], vc[i]), cache_len=lengths,
+            )
+            new_k.append(kv[0])
+            new_v.append(kv[1])
+        logits = head_forward(spec, params, h)[:, 0]
+        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        lengths = lengths + active.astype(jnp.int32)
+        return jnp.stack(new_k), jnp.stack(new_v), next_tok, lengths, logits
+
+    return step
+
+
+def _prefill_fn(spec: ArchSpec):
+    @partial(jax.jit, static_argnames=())
+    def prefill(params, kc_slot, vc_slot, ids):
+        # kc_slot: (L, 1, S, H, hd); ids: (1, T)
+        T = ids.shape[1]
+        S = kc_slot.shape[2]
+        positions = jnp.arange(T)[None]
+        k_pos = jnp.arange(S)[None, :]
+        q_pos = jnp.arange(T)[:, None]
+        mask = jnp.where(k_pos[None, None] <= q_pos[None, None], 0.0, NEG_INF)
+        mask = mask.astype(jnp.float32)
+        if spec.pos == "alibi":
+            from gptq_tpu.models.common import alibi_slopes
+
+            slopes = jnp.asarray(alibi_slopes(spec.n_heads))
+            rel = (k_pos - q_pos).astype(jnp.float32)
+            bias = slopes[None, :, None, None] * rel[None, None]
+            mask = mask + jnp.where((k_pos <= q_pos)[None, None], bias, 0.0)
+        h = embed_forward(spec, params, ids, positions)
+        new_k, new_v = [], []
+        zero = jnp.zeros((), jnp.int32)
+        for i, bp in enumerate(params["layers"]):
+            h, kv, _ = block_forward(
+                spec, bp, h, positions=positions, mask=mask,
+                cache=(kc_slot[i], vc_slot[i]), cache_len=zero,
+            )
+            new_k.append(kv[0])
+            new_v.append(kv[1])
+        logits = head_forward(spec, params, h)[:, -1]
+        return jnp.stack(new_k), jnp.stack(new_v), jnp.argmax(logits, -1).astype(jnp.int32)
+
+    return prefill
+
+
+class ContinuousBatcher:
+    def __init__(self, spec: ArchSpec, params: dict, batch_slots: int = 8,
+                 max_len: int = 2048, cache_dtype=jnp.bfloat16,
+                 prefill_buckets=(32, 64, 128, 256, 512, 1024)):
+        self.spec = spec
+        self.params = params
+        self.B = batch_slots
+        self.S = max_len
+        shape = (spec.n_layers, batch_slots, max_len, spec.kv_heads, spec.hd)
+        self.kc = jnp.zeros(shape, cache_dtype)
+        self.vc = jnp.zeros(shape, cache_dtype)
+        self.lengths = jnp.zeros((batch_slots,), jnp.int32)
+        self.tokens = jnp.zeros((batch_slots,), jnp.int32)
+        self.slot_req: list[Request | None] = [None] * batch_slots
+        self.queue: list[Request] = []
+        self.finished: list[Request] = []
+        self._step = _decode_step_fn(spec)
+        self._prefill = _prefill_fn(spec)
+        self._buckets = prefill_buckets
+        self._uid = 0
+
+    def submit(self, prompt: np.ndarray, max_new_tokens: int = 64,
+               eos_id: int | None = None) -> int:
+        self._uid += 1
+        self.queue.append(Request(self._uid, np.asarray(prompt).reshape(-1),
+                                  max_new_tokens, eos_id))
+        return self._uid
+
+    def _bucket(self, n: int) -> int:
+        for b in self._buckets:
+            if n <= b:
+                return b
+        return self.S
+
+    def _fill_slots(self) -> None:
+        for slot in range(self.B):
+            if self.slot_req[slot] is not None or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            T = len(req.prompt)
+            Tp = self._bucket(T)
+            ids = np.zeros((1, Tp), np.int32)
+            ids[0, :T] = req.prompt
+            kc_slot = self.kc[:, slot : slot + 1]
+            vc_slot = self.vc[:, slot : slot + 1]
+            nk, nv, _ = self._prefill(self.params, kc_slot, vc_slot,
+                                      jnp.asarray(ids))
+            self.kc = self.kc.at[:, slot : slot + 1].set(nk)
+            self.vc = self.vc.at[:, slot : slot + 1].set(nv)
+            # re-decode from the true prompt end (padding wrote junk beyond T,
+            # but lengths masks it out)
+            self.lengths = self.lengths.at[slot].set(T - 1)
+            self.tokens = self.tokens.at[slot].set(int(req.prompt[-1]))
+            self.slot_req[slot] = req
+
+    def step(self) -> None:
+        active = jnp.asarray(
+            [1 if r is not None and not r.done else 0 for r in self.slot_req],
+            jnp.int32,
+        )
+        self.kc, self.vc, next_tok, self.lengths, _ = self._step(
+            self.params, self.kc, self.vc, self.tokens, self.lengths, active)
+        toks = np.asarray(next_tok)
+        self.tokens = next_tok
+        for slot, req in enumerate(self.slot_req):
+            if req is None:
+                continue
+            t = int(toks[slot])
+            req.output.append(t)
+            if (req.eos_id is not None and t == req.eos_id) or (
+                len(req.output) >= req.max_new_tokens
+            ):
+                req.done = True
+                self.finished.append(req)
+                self.slot_req[slot] = None
+                self.lengths = self.lengths.at[slot].set(0)
+
+    def run(self, progress: Callable[[int, int], None] | None = None) -> list[Request]:
+        while self.queue or any(r is not None for r in self.slot_req):
+            self._fill_slots()
+            self.step()
+            if progress:
+                progress(len(self.finished), len(self.queue))
+        out = sorted(self.finished, key=lambda r: r.uid)
+        self.finished = []
+        return out

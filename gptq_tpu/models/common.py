@@ -266,8 +266,19 @@ def block_forward(
 
     if cache is not None:
         ck, cv = cache
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
+        if getattr(cache_len, "ndim", 0) == 1:
+            # per-slot offsets (continuous batching): vmap the update over B
+            upd = jax.vmap(
+                lambda c, val, off: jax.lax.dynamic_update_slice(
+                    c, val.astype(c.dtype), (off, 0, 0))
+            )
+            ck = upd(ck, k, cache_len)
+            cv = upd(cv, v, cache_len)
+        else:
+            ck = jax.lax.dynamic_update_slice(
+                ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
         k_all, v_all = ck, cv
         new_kv = (ck, cv)
     else:

@@ -23,6 +23,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gptq_tpu.config import MixedPrecision, QuantConfig
 from gptq_tpu.models.common import ArchSpec, block_forward, build_mask, embed_forward
@@ -112,12 +113,18 @@ def quantize_model(
     cfg: QuantConfig,
     mixed: MixedPrecision | None = None,
     log: Callable[[str], None] = print,
+    resume_dir: str | None = None,
 ) -> QuantResult:
     """Quantize every per-block linear in place (params mutated).
 
     Mirrors the reference control flow (reference: opt.py:30-228): embed the
     calibration set once, then per layer: capture -> solve -> write back ->
     replay for next-layer inputs.
+
+    With `resume_dir`, a per-layer journal is written so an interrupted run
+    restarts at the first unfinished layer (the reference has no
+    mid-quantization resume — SURVEY.md §5); calibration inputs are rebuilt
+    by replaying the already-quantized prefix.
     """
     arch = get_arch(spec.arch)
     nsamples, T = calib_ids.shape
@@ -139,7 +146,16 @@ def quantize_model(
     losses: dict[str, float] = {}
     times: dict[str, float] = {}
 
+    start_layer = 0
+    if resume_dir is not None:
+        start_layer = _resume_load(resume_dir, spec, params, quantizers, losses, log)
+        for i in range(start_layer):
+            inps, _ = _layer_scan(spec, params["layers"][i], inps, positions,
+                                  mask, (), capture=False)
+
     for i, bp in enumerate(params["layers"]):
+        if i < start_layer:
+            continue
         t_layer = time.time()
         for gi, names in enumerate(groups):
             if cfg.nearest or cfg.bcq:
@@ -189,8 +205,49 @@ def quantize_model(
         # (reference: opt.py:216-224)
         inps, _ = _layer_scan(spec, bp, inps, positions, mask, (), capture=False)
         log(f"layer {i} done in {time.time() - t_layer:.2f}s")
+        if resume_dir is not None:
+            _resume_save(resume_dir, i, bp, quantizers, losses, layer_prefix, arch)
 
     return QuantResult(quantizers=quantizers, losses=losses, times=times)
+
+
+def _resume_save(resume_dir, layer_idx, bp, quantizers, losses, prefix, arch):
+    import os
+    import pickle
+
+    os.makedirs(resume_dir, exist_ok=True)
+    blob = {
+        "weights": {k: np.asarray(bp[k]["w"]) for k in arch.linears.values()},
+        "quantizers": {k: jax.tree.map(np.asarray, v)
+                       for k, v in quantizers.items()
+                       if k.startswith(f"{prefix}.{layer_idx}.")},
+        "losses": {k: v for k, v in losses.items()
+                   if k.startswith(f"{prefix}.{layer_idx}.")},
+    }
+    tmp = os.path.join(resume_dir, f"layer_{layer_idx}.pkl.tmp")
+    with open(tmp, "wb") as f:
+        pickle.dump(blob, f)
+    os.replace(tmp, os.path.join(resume_dir, f"layer_{layer_idx}.pkl"))
+
+
+def _resume_load(resume_dir, spec, params, quantizers, losses, log) -> int:
+    import os
+    import pickle
+
+    arch = get_arch(spec.arch)
+    i = 0
+    while os.path.exists(os.path.join(resume_dir, f"layer_{i}.pkl")):
+        with open(os.path.join(resume_dir, f"layer_{i}.pkl"), "rb") as f:
+            blob = pickle.load(f)
+        bp = params["layers"][i]
+        for k, w in blob["weights"].items():
+            bp[k]["w"] = jnp.asarray(w, bp[k]["w"].dtype)
+        quantizers.update(blob["quantizers"])
+        losses.update(blob["losses"])
+        i += 1
+    if i:
+        log(f"resumed: layers 0..{i-1} already quantized")
+    return i
 
 
 def add_actquant(

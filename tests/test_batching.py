@@ -1,0 +1,45 @@
+"""Continuous batching: concurrent requests must produce exactly the tokens
+that sequential single-request greedy decoding produces."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gptq_tpu.engine.batching import ContinuousBatcher
+from gptq_tpu.engine.decode import DecodeEngine
+from gptq_tpu.models.common import ArchSpec, init_params
+
+SPEC = ArchSpec(arch="llama", n_layers=2, hidden=32, n_heads=4, n_kv_heads=2,
+                ffn=64, vocab=61, max_pos=128, act="silu", pos="rope",
+                norm_type="rmsnorm", linear_bias=False, tie_embeddings=False)
+
+
+def test_continuous_batching_matches_sequential():
+    params = init_params(SPEC, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, 61, size=(n,)) for n in (4, 7, 5, 9, 3)]
+
+    engine = DecodeEngine(SPEC, params, max_len=64, cache_dtype=jnp.float32)
+    want = [engine.generate(p[None], max_new_tokens=6)[0].tolist()
+            for p in prompts]
+
+    cb = ContinuousBatcher(SPEC, params, batch_slots=2, max_len=64,
+                           cache_dtype=jnp.float32, prefill_buckets=(4, 8, 16))
+    uids = [cb.submit(p, max_new_tokens=6) for p in prompts]
+    results = cb.run()
+    assert [r.uid for r in results] == uids
+    got = [r.output for r in results]
+    assert got == want
+
+
+def test_more_requests_than_slots_all_complete():
+    params = init_params(SPEC, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(1)
+    cb = ContinuousBatcher(SPEC, params, batch_slots=3, max_len=64,
+                           cache_dtype=jnp.float32, prefill_buckets=(8,))
+    n = 7
+    for _ in range(n):
+        cb.submit(rng.integers(1, 61, size=(5,)), max_new_tokens=4)
+    results = cb.run()
+    assert len(results) == n
+    assert all(len(r.output) == 4 for r in results)
