@@ -20,6 +20,9 @@ from gptq_tpu.models.common import ArchSpec
 from gptq_tpu.models.registry import arch_of_hf_config, spec_from_hf_config
 
 
+_HOST = False  # set via host_params() context to keep weights on host
+
+
 def _np(t) -> np.ndarray:
     """torch tensor / array-like -> numpy (f32 for fp16/bf16 sources)."""
     if hasattr(t, "detach"):
@@ -30,8 +33,15 @@ def _np(t) -> np.ndarray:
     return np.asarray(t)
 
 
+def _arr(t, dtype):
+    """device array, or host numpy when converting with host=True."""
+    if _HOST:
+        return _np(t).astype(np.float32 if dtype == jnp.float32 else np.float16)
+    return jnp.asarray(_np(t), dtype)
+
+
 def _lin(sd: dict, prefix: str, dtype) -> dict:
-    w = jnp.asarray(_np(sd[prefix + ".weight"]), dtype)
+    w = _arr(sd[prefix + ".weight"], dtype)
     b = sd.get(prefix + ".bias")
     return {"w": w, "b": None if b is None else jnp.asarray(_np(b), dtype)}
 
@@ -71,13 +81,21 @@ def params_from_hf_torch(model, dtype=jnp.float32) -> tuple[ArchSpec, dict]:
     return spec, params_from_state_dict(sd, spec, dtype)
 
 
-def params_from_dir(path: str, dtype=jnp.float32) -> tuple[ArchSpec, dict]:
+def params_from_dir(path: str, dtype=jnp.float32,
+                    host: bool = False) -> tuple[ArchSpec, dict]:
+    """host=True keeps per-block linear weights as numpy so multi-GB models
+    can be quantized layer-streamed on a single chip (pipeline offload)."""
     from transformers import AutoConfig
 
     config = AutoConfig.from_pretrained(path)
     spec = spec_from_hf_config(config)
     sd = load_state_dict_dir(path)
-    return spec, params_from_state_dict(sd, spec, dtype)
+    global _HOST
+    _HOST = host
+    try:
+        return spec, params_from_state_dict(sd, spec, dtype)
+    finally:
+        _HOST = False
 
 
 def params_from_state_dict(sd: dict, spec: ArchSpec, dtype=jnp.float32) -> dict:

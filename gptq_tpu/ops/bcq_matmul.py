@@ -86,11 +86,13 @@ def _bcq_kernel(bits, tk, tn, n_kt, x_ref, alpha_ref, words_ref, out_ref, acc_re
 
 def _matmul_pallas(x: jax.Array, pw: PackedWeight, tk: int = 512, tn: int = 256,
                    interpret: bool = False) -> jax.Array:
+    from gptq_tpu.ops.qmatmul import _pick_tile
+
     M, K = x.shape
     N = pw.N
     bits = pw.bits
-    tk = min(tk, K)
-    tn = min(tn, N)
+    tk = _pick_tile(K, tk) if K % tk else min(tk, K)
+    tn = _pick_tile(N, tn) if N % tn else min(tn, N)
     assert K % tk == 0 and N % tn == 0
     n_kt, n_nt = K // tk, N // tn
     ng = pw.alpha.shape[0]

@@ -96,13 +96,29 @@ def _qmm_kernel(bits, tk, tn, n_kt, x_ref, scale_ref, zoff_ref, *rest):
         out_ref[:] = acc_ref[:]
 
 
+def _pick_tile(dim: int, prefer: int, minimum: int = 128) -> int:
+    """Largest power-of-two-ish tile <= prefer that divides dim."""
+    t = min(prefer, dim)
+    while t >= minimum:
+        if dim % t == 0:
+            return t
+        t //= 2
+    return dim  # fall back to the whole dimension
+
+
 def _matmul_pallas(x: jax.Array, pw: PackedWeight, tk: int = 512, tn: int = 256,
                    interpret: bool = False) -> jax.Array:
     M, K = x.shape
     N = pw.N
     assert K == pw.K, (K, pw.K)
-    tk = min(tk, K)
-    tn = min(tn, N)
+    if K % tk:
+        tk = _pick_tile(K, tk)
+    else:
+        tk = min(tk, K)
+    if N % tn:
+        tn = _pick_tile(N, tn)
+    else:
+        tn = min(tn, N)
     assert K % tk == 0 and N % tn == 0, (K, tk, N, tn)
     n_kt = K // tk
     n_nt = N // tn

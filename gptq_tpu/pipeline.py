@@ -153,9 +153,18 @@ def quantize_model(
             inps, _ = _layer_scan(spec, params["layers"][i], inps, positions,
                                   mask, (), capture=False)
 
-    for i, bp in enumerate(params["layers"]):
+    # host-resident params stream per layer, mirroring the reference's
+    # CPU<->GPU layer streaming (reference: opt.py:103-224): leaves that are
+    # numpy arrays are staged to device for the layer's work, and quantized
+    # weights land back on host.
+    def _is_host(bp):
+        return isinstance(bp[next(iter(arch.linears.values()))]["w"], np.ndarray)
+
+    for i, host_bp in enumerate(params["layers"]):
         if i < start_layer:
             continue
+        offload = _is_host(host_bp)
+        bp = jax.tree.map(jnp.asarray, host_bp) if offload else host_bp
         t_layer = time.time()
         for gi, names in enumerate(groups):
             if cfg.nearest or cfg.bcq:
@@ -204,9 +213,14 @@ def quantize_model(
         # replay with quantized weights -> inputs for the next layer
         # (reference: opt.py:216-224)
         inps, _ = _layer_scan(spec, bp, inps, positions, mask, (), capture=False)
+        if offload:
+            for key in arch.linears.values():
+                host_bp[key]["w"] = np.asarray(bp[key]["w"])
+            del bp
         log(f"layer {i} done in {time.time() - t_layer:.2f}s")
         if resume_dir is not None:
-            _resume_save(resume_dir, i, bp, quantizers, losses, layer_prefix, arch)
+            _resume_save(resume_dir, i, host_bp, quantizers, losses,
+                         layer_prefix, arch)
 
     return QuantResult(quantizers=quantizers, losses=losses, times=times)
 
