@@ -99,6 +99,16 @@ def config_from_args(args) -> "QuantConfig":
     )
 
 
+def _cfg_path(name: str) -> str:
+    """Prefer a local quant_bit/ (reference layout) then repo configs/."""
+    for cand in (os.path.join("quant_bit", name), os.path.join("configs", name),
+                 os.path.join(os.path.dirname(os.path.dirname(
+                     os.path.abspath(__file__))), "configs", name)):
+        if os.path.exists(cand):
+            return cand
+    return name
+
+
 def load_mixed_precision(args, model_name: str):
     from gptq_tpu.config import MixedPrecision
 
@@ -106,11 +116,11 @@ def load_mixed_precision(args, model_name: str):
         with open(args.quant_config) as f:
             return MixedPrecision(module_config=json.load(f))
     if args.layermix:
-        with open("quant_bit/layerwise.json") as f:
+        with open(_cfg_path("layerwise.json")) as f:
             table = json.load(f)
         return MixedPrecision(layer_bits=table[model_name.split("/")[-1]])
     if args.linearmix:
-        with open("quant_bit/linearwise.json") as f:
+        with open(_cfg_path("linearwise.json")) as f:
             return MixedPrecision(linear_bits=json.load(f))
     return None
 
