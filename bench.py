@@ -35,29 +35,27 @@ def llama7b_spec():
 
 
 def synth_packed_params(spec, bits=4, groupsize=-1, dtype=None, seed=0):
-    """Random packed weights, built layer by layer to bound host memory."""
+    """Random packed weights, generated ON DEVICE (host generation + relay
+    upload of multi-GB tensors dominates otherwise)."""
     import jax
     import jax.numpy as jnp
 
-    from gptq_tpu.models.common import init_params
-    from gptq_tpu.ops.pack import PackedWeight, pack_codes
+    from gptq_tpu.ops.pack import FIELD_SPLITS, PackedWeight
 
     dtype = dtype or jnp.bfloat16
-    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
 
-    from gptq_tpu.ops.pack import FIELD_SPLITS
-
-    def packed_linear(out_d, in_d):
+    def packed_linear(out_d, in_d, s):
         ng = 1 if groupsize <= 0 else in_d // groupsize
-        # random packed words directly (codes are irrelevant for timing)
         words = tuple(
-            jnp.asarray(rng.integers(np.iinfo(np.int32).min,
-                                     np.iinfo(np.int32).max,
-                                     size=(in_d // (32 // fb), out_d),
-                                     dtype=np.int32))
-            for fb, _ in FIELD_SPLITS[bits]
+            jax.random.randint(jax.random.fold_in(key, s * 4 + wi),
+                               (in_d // (32 // fb), out_d),
+                               jnp.iinfo(jnp.int32).min,
+                               jnp.iinfo(jnp.int32).max, jnp.int32)
+            for wi, (fb, _) in enumerate(FIELD_SPLITS[bits])
         )
-        scale = jnp.asarray(rng.normal(0.01, 0.002, size=(ng, out_d)).astype(np.float32))
+        scale = jnp.abs(jax.random.normal(
+            jax.random.fold_in(key, s * 4 + 3), (ng, out_d))) * 0.002 + 0.01
         zoff = scale * (2 ** (bits - 1))
         return {"w": PackedWeight(words=words, scale=scale, zoff=zoff,
                                   bits=bits, K=in_d, N=out_d,
@@ -66,51 +64,51 @@ def synth_packed_params(spec, bits=4, groupsize=-1, dtype=None, seed=0):
 
     h, f = spec.hidden, spec.ffn
     layers = []
-    for _ in range(spec.n_layers):
+    for li in range(spec.n_layers):
+        b = li * 8
         layers.append({
-            "q": packed_linear(h, h), "k": packed_linear(h, h),
-            "v": packed_linear(h, h), "o": packed_linear(h, h),
-            "gate": packed_linear(f, h), "up": packed_linear(f, h),
-            "down": packed_linear(h, f),
+            "q": packed_linear(h, h, b), "k": packed_linear(h, h, b + 1),
+            "v": packed_linear(h, h, b + 2), "o": packed_linear(h, h, b + 3),
+            "gate": packed_linear(f, h, b + 4), "up": packed_linear(f, h, b + 5),
+            "down": packed_linear(h, f, b + 6),
             "ln1": {"w": jnp.ones((h,), dtype)},
             "ln2": {"w": jnp.ones((h,), dtype)},
         })
-    embed = {"tokens": jnp.asarray(
-        rng.normal(0, 0.02, size=(spec.vocab, h)).astype(np.float32), dtype)}
-    lm = {"w": jnp.asarray(
-        rng.normal(0, 0.02, size=(spec.vocab, h)).astype(np.float32), dtype),
-        "b": None}
-    return {"embed": embed, "layers": layers, "final_ln": {"w": jnp.ones((h,), dtype)},
-            "lm_head": lm}
+    emb = jax.random.normal(jax.random.fold_in(key, 10**6),
+                            (spec.vocab, h), dtype) * 0.02
+    return {"embed": {"tokens": emb}, "layers": layers,
+            "final_ln": {"w": jnp.ones((h,), dtype)},
+            "lm_head": {"w": emb, "b": None}}
 
 
 def synth_dense_params(spec, dtype=None, seed=0):
+    import jax
     import jax.numpy as jnp
 
-    rng = np.random.default_rng(seed)
     dtype = dtype or jnp.bfloat16
+    key = jax.random.PRNGKey(seed)
     h, f = spec.hidden, spec.ffn
 
-    def lin(out_d, in_d):
-        return {"w": jnp.asarray(
-            (rng.normal(0, 1, size=(out_d, in_d)) * 0.01).astype(np.float32), dtype),
-            "b": None}
+    def lin(out_d, in_d, s):
+        return {"w": jax.random.normal(jax.random.fold_in(key, s),
+                                       (out_d, in_d), dtype) * 0.01,
+                "b": None}
 
     layers = []
-    for _ in range(spec.n_layers):
+    for li in range(spec.n_layers):
+        b = li * 8
         layers.append({
-            "q": lin(h, h), "k": lin(h, h), "v": lin(h, h), "o": lin(h, h),
-            "gate": lin(f, h), "up": lin(f, h), "down": lin(h, f),
+            "q": lin(h, h, b), "k": lin(h, h, b + 1), "v": lin(h, h, b + 2),
+            "o": lin(h, h, b + 3), "gate": lin(f, h, b + 4),
+            "up": lin(f, h, b + 5), "down": lin(h, f, b + 6),
             "ln1": {"w": jnp.ones((h,), dtype)},
             "ln2": {"w": jnp.ones((h,), dtype)},
         })
-    embed = {"tokens": jnp.asarray(
-        rng.normal(0, 0.02, size=(spec.vocab, h)).astype(np.float32), dtype)}
-    lm = {"w": jnp.asarray(
-        rng.normal(0, 0.02, size=(spec.vocab, h)).astype(np.float32), dtype),
-        "b": None}
-    return {"embed": embed, "layers": layers, "final_ln": {"w": jnp.ones((h,), dtype)},
-            "lm_head": lm}
+    emb = jax.random.normal(jax.random.fold_in(key, 10**6),
+                            (spec.vocab, h), dtype) * 0.02
+    return {"embed": {"tokens": emb}, "layers": layers,
+            "final_ln": {"w": jnp.ones((h,), dtype)},
+            "lm_head": {"w": emb, "b": None}}
 
 
 def measure_decode(spec, params, n_tokens=48, warmup=8, max_len=256):
@@ -128,13 +126,14 @@ def measure_decode(spec, params, n_tokens=48, warmup=8, max_len=256):
     tok = jnp.zeros((1, 1), jnp.int32)
     for _ in range(warmup):
         nxt, cache = step(params, cache, tok)
-    jax.block_until_ready(nxt)
+    int(np.asarray(nxt)[0])  # forced host sync: block_until_ready returns
+    # early on the axon relay, so every timed step must round-trip a value
 
     times = []
     for _ in range(n_tokens):
         t0 = time.perf_counter()
         nxt, cache = step(params, cache, tok)
-        nxt.block_until_ready()
+        tok_host = int(np.asarray(nxt)[0])
         times.append(time.perf_counter() - t0)
         tok = nxt[:, None]
     return float(np.median(times))

@@ -83,7 +83,7 @@ def benchmark_decode(
     warm_cache = engine.new_cache()
     for _ in range(warmup):
         logits, _ = step(params, warm_cache, tok0)
-    jax.block_until_ready(logits)
+    float(np.asarray(logits[0, 0]))
 
     if trace_dir:
         with jax.profiler.trace(trace_dir):
@@ -97,7 +97,9 @@ def benchmark_decode(
         tok = jnp.asarray(ids[:, i : i + 1])
         t0 = time.perf_counter()
         logits, cache = step(params, cache, tok)
-        jax.block_until_ready(logits)
+        # force a host round-trip: on relayed backends block_until_ready can
+        # return before device execution finishes
+        float(np.asarray(logits[0, 0]))
         times.append(time.perf_counter() - t0)
         if check and i != n - 1:
             lp = jax.nn.log_softmax(logits[0].astype(jnp.float32))
