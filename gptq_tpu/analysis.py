@@ -111,6 +111,30 @@ def plot_sensitivity(losses: dict, out_png: str, title: str = "") -> bool:
     return True
 
 
+def plot_sensitivity_diff(losses_a: dict, losses_b: dict, out_png: str,
+                          label_a: str = "a", label_b: str = "b") -> bool:
+    """Per-module loss difference bars (reference: draw_sensitivity_diff.py)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:  # noqa: BLE001
+        return False
+    names = [n for n in losses_a if n in losses_b]
+    diffs = [losses_a[n] - losses_b[n] for n in names]
+    fig, ax = plt.subplots(figsize=(max(8, len(names) * 0.25), 4))
+    ax.bar(range(len(names)), diffs,
+           color=["tab:red" if d > 0 else "tab:green" for d in diffs])
+    ax.set_xticks(range(len(names)))
+    ax.set_xticklabels([n.split(".", 3)[-1] for n in names], rotation=90, fontsize=5)
+    ax.set_ylabel(f"loss({label_a}) - loss({label_b})")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=120)
+    plt.close(fig)
+    return True
+
+
 def plot_distribution2d(W, out_png: str) -> bool:
     """Weight-distribution heatmap (reference: plot_activation.py:6-76)."""
     try:

@@ -1,0 +1,126 @@
+"""Kernel latency microbenchmark harness + seeded test fixtures.
+
+Counterpart of the reference's lutgemm benchmark tooling: the
+makeRandom{Input,Weight,Alpha,...} device fixtures
+(reference: lut_gemm/lutgemm_cuda.cpp:52-107) and the in-kernel
+min/max/avg latency loop (reference: lutgemm_cuda_kernel.cu:14-60,150-176).
+Timing forces a host round-trip per repetition (the relayed backend's
+block_until_ready is unreliable — see DESIGN.md).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gptq_tpu.ops.bcq_matmul import bcq_matmul
+from gptq_tpu.ops.pack import FIELD_SPLITS, PackedWeight, pack_bcq, pack_codes
+from gptq_tpu.ops.qmatmul import dequant_matmul
+
+
+# --- fixtures (reference: lutgemm_cuda.cpp makeRandom*) -------------------
+
+def make_random_input(key, m: int, k: int, dtype=jnp.float32) -> jax.Array:
+    return jax.random.normal(key, (m, k), dtype)
+
+
+def make_random_packed(key, k: int, n: int, bits: int, groupsize: int = -1
+                       ) -> PackedWeight:
+    ng = 1 if groupsize <= 0 else k // groupsize
+    keys = jax.random.split(key, 3)
+    codes = jax.random.randint(keys[0], (k, n), 0, 2**bits, jnp.int32)
+    words = pack_codes(codes, bits)
+    scale = jnp.abs(jax.random.normal(keys[1], (ng, n))) * 0.01 + 0.001
+    zoff = scale * (2 ** (bits - 1))
+    return PackedWeight(words=words, scale=scale, zoff=zoff, bits=bits,
+                        K=k, N=n, groupsize=groupsize, fmt="uniform")
+
+
+def make_random_bcq(key, k: int, n: int, bits: int, groupsize: int = -1
+                    ) -> PackedWeight:
+    ng = 1 if groupsize <= 0 else k // groupsize
+    g = k if groupsize <= 0 else groupsize
+    keys = jax.random.split(key, 2)
+    B = jnp.where(jax.random.normal(keys[0], (n, ng, g, bits)) > 0, 1.0, -1.0)
+    alpha = jnp.abs(jax.random.normal(keys[1], (n, ng, bits))) * 0.01
+    return pack_bcq(B, alpha, groupsize=groupsize)
+
+
+# --- latency harness ------------------------------------------------------
+
+@dataclass
+class LatencyStats:
+    min_s: float
+    max_s: float
+    avg_s: float
+    median_s: float
+    p90_s: float
+
+    def __str__(self) -> str:
+        return (f"min {self.min_s*1e6:.1f}us avg {self.avg_s*1e6:.1f}us "
+                f"median {self.median_s*1e6:.1f}us p90 {self.p90_s*1e6:.1f}us "
+                f"max {self.max_s*1e6:.1f}us")
+
+
+def time_fn(fn, *args, iters: int = 20, warmup: int = 3) -> LatencyStats:
+    """Latency stats with a forced host round-trip per repetition."""
+    f = jax.jit(fn)
+    for _ in range(warmup):
+        y = f(*args)
+    float(np.asarray(y).ravel()[0])
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        y = f(*args)
+        float(np.asarray(y).ravel()[0])
+        times.append(time.perf_counter() - t0)
+    a = np.asarray(times)
+    return LatencyStats(float(a.min()), float(a.max()), float(a.mean()),
+                        float(np.median(a)), float(np.percentile(a, 90)))
+
+
+def bench_kernels(m: int = 1, k: int = 4096, n: int = 4096,
+                  bits_list=(2, 3, 4, 8), groupsize: int = 128,
+                  log=print) -> dict:
+    """The `--lut_bench` equivalent: latency of every serving kernel at the
+    given shape vs the dense bf16 matmul."""
+    key = jax.random.PRNGKey(0)
+    x = make_random_input(key, m, k)
+    results = {}
+
+    Wd = jax.random.normal(key, (k, n), jnp.bfloat16) * 0.01
+    st = time_fn(lambda a: jnp.dot(a.astype(jnp.bfloat16), Wd,
+                                   preferred_element_type=jnp.float32), x)
+    results["dense_bf16"] = st
+    log(f"dense bf16       : {st}")
+
+    for bits in bits_list:
+        pw = make_random_packed(jax.random.fold_in(key, bits), k, n, bits,
+                                groupsize)
+        st = time_fn(lambda a, pw=pw: dequant_matmul(a, pw), x)
+        results[f"uniform_{bits}bit"] = st
+        log(f"uniform {bits}-bit    : {st}")
+
+    for bits in (2, 3):
+        pw = make_random_bcq(jax.random.fold_in(key, 100 + bits), k, n, bits,
+                             groupsize)
+        st = time_fn(lambda a, pw=pw: bcq_matmul(a, pw), x)
+        results[f"bcq_{bits}bit"] = st
+        log(f"bcq {bits}-bit        : {st}")
+    return results
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=1)
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--n", type=int, default=4096)
+    ap.add_argument("--groupsize", type=int, default=128)
+    args = ap.parse_args()
+    bench_kernels(args.m, args.k, args.n, groupsize=args.groupsize)
