@@ -154,11 +154,36 @@ def main(argv=None) -> int:
 
     cfg = config_from_args(args)
 
+    if args.lut_bench:
+        from gptq_tpu.ops.kernel_bench import bench_kernels
+
+        bench_kernels(groupsize=max(args.groupsize, -1))
+        return 0
+
     if args.load:
         spec, params, _ = load_checkpoint(args.load)
         print(f"loaded packed checkpoint {args.load}")
     else:
         spec, params = params_from_dir(args.model)
+        if args.load_safetensor or args.load_weights:
+            # overlay fine-tuned fp weights (reference: opt.py:670-679,
+            # safetensors load with strict=False)
+            from gptq_tpu.models.convert import params_from_state_dict
+
+            src = args.load_safetensor or args.load_weights
+            if src.endswith(".safetensors"):
+                from safetensors import safe_open
+
+                sd = {}
+                with safe_open(src, framework="np") as fh:
+                    for k in fh.keys():
+                        sd[k] = fh.get_tensor(k)
+            else:
+                import torch
+
+                sd = torch.load(src, map_location="cpu", weights_only=True)
+            params = params_from_state_dict(sd, spec)
+            print(f"loaded fine-tuned weights from {src}")
 
     from transformers import AutoTokenizer
 

@@ -1,0 +1,61 @@
+"""CLI plumbing tests (offline: flag parsing, config mapping, result logs,
+mixed-precision file resolution)."""
+
+import json
+
+from gptq_tpu.cli import (
+    _cfg_path,
+    append_result_log,
+    build_parser,
+    config_from_args,
+    load_mixed_precision,
+)
+
+
+def test_flag_surface_matches_reference():
+    p = build_parser()
+    args = p.parse_args([
+        "facebook/opt-125m", "c4", "--wbits", "3", "--groupsize", "128",
+        "--act-order", "--static-groups", "--true-sequential", "--sym",
+        "--columnwise", "--bcq_round", "50", "--apot_nums", "3",
+        "--non_linear", "--hyperbits", "6", "--nearest", "--trits",
+        "--benchmark", "128", "--check", "--new-eval",
+    ])
+    cfg = config_from_args(args)
+    assert cfg.wbits == 3 and cfg.groupsize == 128
+    assert cfg.act_order and cfg.static_groups and cfg.true_sequential
+    assert cfg.columnwise and cfg.bcq_round == 50 and cfg.apot_nums == 3
+    assert cfg.non_linear and cfg.hyperbits == 6
+    assert cfg.nearest and cfg.trits and cfg.sym
+    assert cfg.benchmark == 128 and cfg.check and cfg.new_eval
+
+
+def test_mixed_precision_resolution():
+    p = build_parser()
+    args = p.parse_args(["facebook/opt-125m", "c4", "--wbits", "3", "--layermix"])
+    mp = load_mixed_precision(args, "facebook/opt-125m")
+    assert mp.layer_bits == [3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4, 4]
+    args = p.parse_args(["facebook/opt-125m", "c4", "--linearmix"])
+    mp = load_mixed_precision(args, "facebook/opt-125m")
+    assert mp.linear_bits["fc2"] == 3
+
+
+def test_quant_config_json(tmp_path):
+    qc = {"model.decoder.layers.0.fc1": {"bits": 2, "columnwise": True}}
+    f = tmp_path / "qc.json"
+    f.write_text(json.dumps(qc))
+    p = build_parser()
+    args = p.parse_args(["m", "c4", "--quant_config", str(f)])
+    mp = load_mixed_precision(args, "m")
+    assert mp.bits_for(0, "fc1", 4) == 2
+    assert mp.columnwise_for(0, "fc1", False) is True
+    assert mp.bits_for(1, "fc1", 4) == 4
+
+
+def test_result_log_format(tmp_path):
+    p = build_parser()
+    args = p.parse_args(["facebook/opt-125m", "c4", "--wbits", "4"])
+    log = tmp_path / "ppl.txt"
+    append_result_log(str(log), args, 31.42, "wikitext2")
+    line = log.read_text()
+    assert "model = opt-125m" in line and "wbits = 4" in line and "31.42" in line
