@@ -1,0 +1,208 @@
+"""Round-3: cheap-dequant tricks for the 4-bit matvec.
+
+V1 magic-f32 : current layout, but int->float via mantissa-OR magic
+               (bitcast(0x4B000000|n) - 2^23) instead of convert ops
+V2 nib16     : transposed (N, K/8) layout; nibble pair -> bf16x2 lanes via
+               0x43004300 | ((w >> 4j) & 0x000F000F), bitcast, 4 batched
+               dots; scale/offset in an (ng, N) epilogue.
+               (the TPU analogue of the CUDA half2 LUT kernel,
+                reference: quant_cuda_kernel.cu:167-244)
+
+Timing: scan-amortized with forced host sync. Model-level improvements
+follow if these beat ~1000us (dense bf16 ref) clearly.
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gptq_tpu.ops.pack import pack_codes
+
+K, N, g = 4096, 4096, 128
+ng = K // g
+M = 8
+ITERS = 30
+
+key = jax.random.PRNGKey(0)
+codes_np = np.asarray(jax.random.randint(key, (K, N), 0, 16, jnp.int32))
+codes = jnp.asarray(codes_np)
+(words,) = pack_codes(codes, 4)
+scale = jnp.abs(jax.random.normal(jax.random.fold_in(key, 1), (ng, N))) * 0.01 + 0.001
+zoff = scale * 8
+x = jax.random.normal(jax.random.fold_in(key, 2), (M, K), jnp.float32)
+xb = x.astype(jnp.bfloat16)
+
+# dense dequantized reference
+sf = np.repeat(np.asarray(scale), g, axis=0)
+zf = np.repeat(np.asarray(zoff), g, axis=0)
+W_ref = codes_np * sf - zf  # (K, N) f32
+y_ref = np.asarray(x) @ W_ref  # (M, N)
+
+
+def timed(fn, inp):
+    f = jax.jit(lambda c: jax.lax.scan(
+        lambda a, _: (a + 1e-12 * jnp.sum(fn(a)).astype(a.dtype), None),
+        c, None, length=ITERS)[0])
+    y = f(inp)
+    float(np.asarray(y).ravel()[0])
+    t0 = time.perf_counter()
+    y = f(inp)
+    float(np.asarray(y).ravel()[0])
+    return (time.perf_counter() - t0) / ITERS
+
+
+# ---------------- V1: magic-f32 dequant in current layout ----------------
+
+def _v1_kernel(tk, tn, n_kt, x_ref, s_ref, z_ref, w_ref, o_ref, acc_ref):
+    kt = pl.program_id(1)
+    P = 8
+    wu = w_ref[:].astype(jnp.uint32)  # (tk/8, tn)
+    shifts = 4 * jax.lax.broadcasted_iota(jnp.uint32, (1, P, 1), 1)
+    nib = (wu[:, None, :] >> shifts) & 15  # (tk/8, 8, tn) u32
+    magic = jnp.uint32(0x4B000000)
+    f = pltpu.bitcast((nib | magic).reshape(tk, tn), jnp.float32) - 8388608.0
+    ngt = s_ref.shape[0]
+    reps = tk // ngt
+    s = jnp.broadcast_to(s_ref[:], (ngt, reps, tn)).reshape(tk, tn)
+    z = jnp.broadcast_to(z_ref[:], (ngt, reps, tn)).reshape(tk, tn)
+    w = f * s - z
+    part = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+    acc_ref[:] += part
+
+    @pl.when(kt == n_kt - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def v1_call(tk=2048, tn=1024):
+    n_kt, n_nt = K // tk, N // tn
+    ngt = tk // g
+
+    def run(c):
+        return pl.pallas_call(
+            functools.partial(_v1_kernel, tk, tn, n_kt),
+            grid=(n_nt, n_kt),
+            in_specs=[
+                pl.BlockSpec((M, tk), lambda nt, kt: (0, kt), memory_space=pltpu.VMEM),
+                pl.BlockSpec((ngt, 1, tn), lambda nt, kt: (kt, 0, nt), memory_space=pltpu.VMEM),
+                pl.BlockSpec((ngt, 1, tn), lambda nt, kt: (kt, 0, nt), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tk // 8, tn), lambda nt, kt: (kt, nt), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((M, tn), lambda nt, kt: (0, nt), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((M, tn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+        )(c, scale[:, None, :], zoff[:, None, :], words)
+    return run
+
+
+# ---------------- V2: transposed nib16 bf16-pair kernel ------------------
+# layout: qw (N, K/8) int32; word (n, i) nibble at bits [4j+16h] is code for
+# k = 8i + j + 4h. Extraction j: p = 0x43004300 | ((w >> 4j) & 0x000F000F)
+# bitcast -> (N, K/4) bf16 with lanes [2i]=bf16(128+c[8i+j]),
+# [2i+1]=bf16(128+c[8i+j+4]).
+
+def make_nib16(codes_kn: np.ndarray) -> np.ndarray:
+    Kd, Nd = codes_kn.shape
+    w = np.zeros((Nd, Kd // 8), np.uint32)
+    c = codes_kn.astype(np.uint32)
+    for j in range(4):
+        for h in range(2):
+            k_idx = 8 * np.arange(Kd // 8)[None, :] + j + 4 * h
+            w |= c[k_idx, np.arange(Nd)[:, None]] << (4 * j + 16 * h)
+    return w.view(np.int32)
+
+
+def perm_x(xv):  # (M, K) -> (4, M, K/4) slices matching extraction j
+    # lane m of extraction j is k = 8*(m//2) + 4*(m%2) + j
+    i = np.arange(K // 4)
+    out = []
+    for j in range(4):
+        kk = 8 * (i // 2) + 4 * (i % 2) + j
+        out.append(kk)
+    return np.stack(out)  # (4, K/4) index arrays
+
+
+PERM = jnp.asarray(perm_x(None))  # (4, K/4)
+
+
+def _v2_kernel(tn, n_nt, xp_ref, xsum_ref, s_ref, z_ref, w_ref, o_ref):
+    # whole-K kernel; grid over N tiles only
+    wu = w_ref[:].astype(jnp.uint32)  # (tn, K/8)
+    acc = None
+    for j in range(4):
+        p = jnp.uint32(0x43004300) | ((wu >> (4 * j)) & jnp.uint32(0x000F000F))
+        pb = pltpu.bitcast(p, jnp.bfloat16)  # (tn, K/4)
+        xj = xp_ref[j]  # (M, K/4) bf16
+        # contract lanes: (tn, K/4) x (M, K/4) -> (tn, M)
+        d = jax.lax.dot_general(pb, xj, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    # acc[n, m] = sum_k (c + 128) x  -> subtract 128*sum(x)
+    xs = xsum_ref[0, :]  # (M,)
+    codes_dot = acc - 128.0 * xs[None, :]
+    # per-row grids only in this prototype (ng==1): y = s*codes - z*sum(x)
+    s = s_ref[:]  # (tn, 1)
+    z = z_ref[:]
+    y = codes_dot * s - z * xs[None, :]
+    o_ref[:] = y
+
+
+def v2_call(tn=512):
+    w_nib = jnp.asarray(make_nib16(codes_np))  # (N, K/8)
+    s_row = jnp.asarray(sf[0][:, None])  # per-row approx: only valid ng==1
+    z_row = jnp.asarray(zf[0][:, None])
+
+    def run(c):  # c: (M, K) bf16
+        xp = c[:, PERM].transpose(1, 0, 2)  # (4, M, K/4)
+        xs = jnp.sum(c.astype(jnp.float32), axis=1)[None, :]  # (1, M)
+        out = pl.pallas_call(
+            functools.partial(_v2_kernel, tn, N // tn),
+            grid=(N // tn,),
+            in_specs=[
+                pl.BlockSpec((4, M, K // 4), lambda nt: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, M), lambda nt: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tn, 1), lambda nt: (nt, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tn, 1), lambda nt: (nt, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tn, K // 8), lambda nt: (nt, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tn, M), lambda nt: (nt, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((N, M), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )(xp.astype(jnp.bfloat16), xs, s_row, z_row, w_nib)
+        return out.T  # (M, N)
+    return run
+
+
+if __name__ == "__main__":
+    run1 = v1_call()
+    y1 = np.asarray(jax.jit(run1)(x))
+    err1 = np.abs(y1 - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
+    print(f"V1 rel err {err1:.5f}", flush=True)
+    dt = timed(lambda c: run1(c), x)
+    print(f"V1 magic-f32: {dt*1e6:.1f}us", flush=True)
+
+    # V2 correctness vs per-row-grid reference
+    W2 = codes_np * sf[0] - zf[0]
+    y2_ref = np.asarray(x) @ W2
+    run2 = v2_call()
+    y2 = np.asarray(jax.jit(run2)(xb))
+    err2 = np.abs(y2 - y2_ref).max() / (np.abs(y2_ref).max() + 1e-9)
+    print(f"V2 rel err {err2:.5f}", flush=True)
+    dt = timed(lambda c: run2(c), xb)
+    print(f"V2 nib16 bf16: {dt*1e6:.1f}us", flush=True)
