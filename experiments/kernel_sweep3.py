@@ -127,17 +127,18 @@ def make_nib16(codes_kn: np.ndarray) -> np.ndarray:
     return w.view(np.int32)
 
 
-def perm_x(xv):  # (M, K) -> (4, M, K/4) slices matching extraction j
-    # lane m of extraction j is k = 8*(m//2) + 4*(m%2) + j
-    i = np.arange(K // 4)
+# bitcast i32->bf16 doubles SUBLANES: value (r, c) -> rows (2r=low16, 2r+1=high16)
+def perm_x(_):
+    # xj[j][h, c] must align with code k = 8c + 4h + j
+    c = np.arange(K // 8)
     out = []
     for j in range(4):
-        kk = 8 * (i // 2) + 4 * (i % 2) + j
+        kk = np.stack([8 * c + j, 8 * c + 4 + j])  # (2, K/8): h=0 low, h=1 high
         out.append(kk)
-    return np.stack(out)  # (4, K/4) index arrays
+    return np.stack(out)  # (4, 2, K/8)
 
 
-PERM = jnp.asarray(perm_x(None))  # (4, K/4)
+PERM = jnp.asarray(perm_x(None))  # (4, 2, K/8)
 
 
 def _v2_kernel(tn, n_nt, xp_ref, xsum_ref, s_ref, z_ref, w_ref, o_ref):
@@ -146,12 +147,14 @@ def _v2_kernel(tn, n_nt, xp_ref, xsum_ref, s_ref, z_ref, w_ref, o_ref):
     acc = None
     for j in range(4):
         p = jnp.uint32(0x43004300) | ((wu >> (4 * j)) & jnp.uint32(0x000F000F))
-        pb = pltpu.bitcast(p, jnp.bfloat16)  # (tn, K/4)
-        xj = xp_ref[j]  # (M, K/4) bf16
-        # contract lanes: (tn, K/4) x (M, K/4) -> (tn, M)
-        d = jax.lax.dot_general(pb, xj, (((1,), (1,)), ((), ())),
+        pb = pltpu.bitcast(p, jnp.bfloat16)  # (2*tn, K/8): row 2n+h
+        xj = xp_ref[j]  # (K/8, 2M) bf16: cols [h*M:(h+1)*M] for half h
+        # one dot covering both halves: (2tn, K/8) @ (K/8, 2M) -> (2tn, 2M)
+        d = jax.lax.dot_general(pb, xj, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        acc = d if acc is None else acc + d
+        d = d.reshape(tn, 2, 2 * M)
+        dj = d[:, 0, :M] + d[:, 1, M:]
+        acc = dj if acc is None else acc + dj
     # acc[n, m] = sum_k (c + 128) x  -> subtract 128*sum(x)
     xs = xsum_ref[0, :]  # (M,)
     codes_dot = acc - 128.0 * xs[None, :]
@@ -168,13 +171,14 @@ def v2_call(tn=512):
     z_row = jnp.asarray(zf[0][:, None])
 
     def run(c):  # c: (M, K) bf16
-        xp = c[:, PERM].transpose(1, 0, 2)  # (4, M, K/4)
+        # (4, 2, K/8, M) -> (4, K/8, 2, M) -> (4, K/8, 2M)
+        xp = c[:, PERM].transpose(1, 3, 2, 0).reshape(4, K // 8, 2 * M)
         xs = jnp.sum(c.astype(jnp.float32), axis=1)[None, :]  # (1, M)
         out = pl.pallas_call(
             functools.partial(_v2_kernel, tn, N // tn),
             grid=(N // tn,),
             in_specs=[
-                pl.BlockSpec((4, M, K // 4), lambda nt: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, K // 8, 2 * M), lambda nt: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, M), lambda nt: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tn, 1), lambda nt: (nt, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tn, 1), lambda nt: (nt, 0), memory_space=pltpu.VMEM),

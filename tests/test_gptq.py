@@ -127,10 +127,12 @@ def make_problem(rows=32, cols=64, nsamples=8, seed=0):
         dict(groupsize=16, static_groups=True),
         dict(actorder=True),
         dict(actorder=True, groupsize=16, static_groups=True),
+        dict(actorder=True, groupsize=16),
         dict(sym=True),
         dict(blocksize=32),
     ],
-    ids=["plain", "groups", "static", "actorder", "actorder+static", "sym", "bs32"],
+    ids=["plain", "groups", "static", "actorder", "actorder+static",
+         "actorder+dyngroups", "sym", "bs32"],
 )
 def test_solver_matches_serial_oracle(kw):
     W, H, _ = make_problem()
