@@ -111,32 +111,53 @@ def synth_dense_params(spec, dtype=None, seed=0):
             "lm_head": {"w": emb, "b": None}}
 
 
-def measure_decode(spec, params, n_tokens=48, warmup=8, max_len=256):
+def measure_decode(spec, params, n_tokens=96, max_len=256, reps=3):
+    """Median per-token decode latency with the token loop ON-DEVICE.
+
+    A host-synced per-token loop measures the relay round-trip (~30 ms
+    here), not the chip. The serving loop belongs on device (lax.scan);
+    differencing a full- and half-length chained run cancels the one
+    remaining dispatch round-trip. Protocol parity with the reference
+    (batch-1 greedy decode, KV cache, median; reference: opt.py:440-507)."""
     import jax
     import jax.numpy as jnp
 
     from gptq_tpu.models.common import KVCache, model_forward
 
-    @jax.jit
-    def step(params, cache, token):
-        logits, cache = model_forward(spec, params, token, cache)
-        return jnp.argmax(logits[:, -1], axis=-1), cache
+    def make_run(length):
+        @jax.jit
+        def run(params):
+            cache = KVCache.init(spec, 1, max_len, jnp.bfloat16)
+            tok = jnp.zeros((1, 1), jnp.int32)
 
-    cache = KVCache.init(spec, 1, max_len, jnp.bfloat16)
-    tok = jnp.zeros((1, 1), jnp.int32)
-    for _ in range(warmup):
-        nxt, cache = step(params, cache, tok)
-    int(np.asarray(nxt)[0])  # forced host sync: block_until_ready returns
-    # early on the axon relay, so every timed step must round-trip a value
+            def body(carry, _):
+                tok, cache = carry
+                logits, cache = model_forward(spec, params, tok, cache)
+                nxt = jnp.argmax(logits[:, -1], axis=-1)
+                return (nxt[:, None], cache), None
 
-    times = []
-    for _ in range(n_tokens):
-        t0 = time.perf_counter()
-        nxt, cache = step(params, cache, tok)
-        tok_host = int(np.asarray(nxt)[0])
-        times.append(time.perf_counter() - t0)
-        tok = nxt[:, None]
-    return float(np.median(times))
+            (tok, cache), _ = jax.lax.scan(
+                body, (tok, cache), None, length=length)
+            return tok[0, 0]
+
+        return run
+
+    half = n_tokens // 2
+
+    def timed(run):
+        out = run(params)
+        int(np.asarray(out))  # compile + true host sync
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = run(params)
+            int(np.asarray(out))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_half = timed(make_run(half))
+    t_full = timed(make_run(n_tokens))
+    return (t_full - t_half) / (n_tokens - half)
 
 
 def main():

@@ -39,6 +39,27 @@ class DecodeEngine:
 
         self._step = _step
 
+        @partial(jax.jit, static_argnums=(3,))
+        def _chunk(params, cache: KVCache, token, n: int):
+            """n greedy decode steps chained on-device (one dispatch).
+
+            On TPU each host->device dispatch costs a full round trip;
+            chaining via lax.scan amortizes it over n tokens (the CUDA
+            reference syncs per token, opt.py:489-501 — on TPU the idiomatic
+            serving loop lives on device)."""
+
+            def body(carry, _):
+                tok, cache = carry
+                logits, cache = model_forward(spec, params, tok, cache)
+                nxt = jnp.argmax(logits[:, -1], axis=-1)
+                return (nxt[:, None], cache), nxt
+
+            (tok, cache), toks = jax.lax.scan(
+                body, (token, cache), None, length=n)
+            return tok, cache, toks  # toks: (n, B)
+
+        self._chunk = _chunk
+
     def new_cache(self) -> KVCache:
         return KVCache.init(self.spec, self.batch, self.max_len, self.cache_dtype)
 
@@ -58,6 +79,24 @@ class DecodeEngine:
             logits, cache = self._step(self.params, cache, tok[:, None])
             tok = jnp.argmax(logits, axis=-1)
         return np.stack(out, axis=1)
+
+    def generate_chained(self, prompt_ids: np.ndarray, max_new_tokens: int,
+                         chunk: int = 32) -> np.ndarray:
+        """Greedy generation with the decode loop on-device: one dispatch per
+        `chunk` tokens instead of per token. Equivalent output to
+        `generate` (greedy)."""
+        ids = jnp.asarray(prompt_ids).reshape(self.batch, -1)
+        logits, cache = self.prefill(ids)
+        first = jnp.argmax(logits, axis=-1)
+        out = [first[:, None]]
+        tok = first[:, None]
+        remaining = max_new_tokens - 1
+        while remaining > 0:
+            n = min(chunk, remaining)
+            tok, cache, toks = self._chunk(self.params, cache, tok, n)
+            out.append(toks.T)  # (B, n)
+            remaining -= n
+        return np.asarray(jnp.concatenate(out, axis=1)[:, :max_new_tokens])
 
 
 def benchmark_decode(
@@ -115,5 +154,101 @@ def benchmark_decode(
     log(f"Median: {med:.6f}s  ({1.0/med:.1f} tok/s)")
     if check:
         result["ppl"] = float(np.exp(nll / (n - 1)))
+        log(f"PPL: {result['ppl']:.4f}")
+    return result
+
+
+def measure_dispatch_rtt(reps: int = 5) -> float:
+    """Host<->device round-trip cost of one dispatch+fetch (seconds). On
+    relayed backends this is large (tens of ms) and must be amortized or
+    subtracted to see device time."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8, 128), jnp.float32)
+    float(np.asarray(f(x)).ravel()[0])
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(np.asarray(f(x)).ravel()[0])
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def benchmark_decode_chained(
+    spec: ArchSpec,
+    params: dict,
+    input_ids: np.ndarray,
+    check: bool = False,
+    warmup: int = 2,
+    reps: int = 3,
+    log=print,
+) -> dict:
+    """Decode benchmark with the token loop on-device.
+
+    Same workload as `benchmark_decode` (feed `input_ids` one token at a
+    time through a growing KV cache) but all n steps run inside one jitted
+    lax.scan, so the per-token time reflects the chip, not the host
+    round-trip. The RTT is cancelled by differencing a full-length and a
+    half-length run; both are also reported."""
+    n = int(np.prod(input_ids.shape))
+    ids = jnp.asarray(np.asarray(input_ids).reshape(n).astype(np.int32))
+
+    def make_run(length: int):
+        @jax.jit
+        def run(params, ids_slice):
+            cache = KVCache.init(spec, 1, n + 1, jnp.bfloat16)
+            nxt = jnp.concatenate([ids_slice[1:], ids_slice[-1:]])
+            valid = jnp.arange(length) < length - 1
+
+            def body(carry, x):
+                cache, nll = carry
+                tok, tgt, v = x
+                logits, cache = model_forward(
+                    spec, params, tok[None, None], cache)
+                if check:
+                    lp = jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))
+                    nll = nll - jnp.where(v, lp[tgt], 0.0)
+                return (cache, nll), logits[0, -1, 0]
+
+            (cache, nll), last = jax.lax.scan(
+                body, (cache, jnp.zeros((), jnp.float32)),
+                (ids_slice, nxt, valid))
+            return nll + last[-1] * 0.0  # depend on every step
+
+        return run
+
+    half = n // 2
+    run_full = make_run(n)
+    run_half = make_run(half)
+
+    def timed(run, ids_slice):
+        out = run(params, ids_slice)
+        float(np.asarray(out))  # warm compile + true sync
+        ts = []
+        for _ in range(max(1, warmup - 1)):
+            out = run(params, ids_slice)
+        float(np.asarray(out))
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = run(params, ids_slice)
+            float(np.asarray(out))
+            ts.append(time.perf_counter() - t0)
+        return min(ts), out
+
+    t_half, _ = timed(run_half, ids[:half])
+    t_full, nll_full = timed(run_full, ids)
+    per_tok = (t_full - t_half) / (n - half)
+    rtt = measure_dispatch_rtt()
+    result = {
+        "per_token_s": per_tok,
+        "tokens_per_s": 1.0 / per_tok if per_tok > 0 else float("inf"),
+        "full_run_s": t_full,
+        "half_run_s": t_half,
+        "dispatch_rtt_s": rtt,
+        "n_tokens": n,
+    }
+    log(f"Per-token (device): {per_tok*1e3:.3f} ms "
+        f"({result['tokens_per_s']:.1f} tok/s); dispatch RTT {rtt*1e3:.1f} ms")
+    if check:
+        result["ppl"] = float(np.exp(float(np.asarray(nll_full)) / (n - 1)))
         log(f"PPL: {result['ppl']:.4f}")
     return result

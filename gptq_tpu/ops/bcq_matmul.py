@@ -23,22 +23,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gptq_tpu.ops.pack import PackedWeight
+from gptq_tpu.ops.pack import PackedWeight, subblock, unpack_field
 
 
-def _unpack_signs(words: jax.Array) -> jax.Array:
+def _unpack_signs(words: jax.Array, groupsize: int = -1) -> jax.Array:
     """(bits, K//32, N) int32 -> (bits, K, N) f32 in {-1,+1}."""
     bits, Kw, N = words.shape
-    wu = words.astype(jnp.uint32)
-    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32, 1), 2)
-    planes = (wu[:, :, None, :] >> shifts) & 1
-    signs = planes.reshape(bits, Kw * 32, N).astype(jnp.float32)
-    return 2.0 * signs - 1.0
+    K = Kw * 32
+    planes = jnp.stack(
+        [unpack_field(words[b], 1, K, groupsize) for b in range(bits)])
+    return 2.0 * planes.astype(jnp.float32) - 1.0
 
 
 def bcq_dequant(pw: PackedWeight) -> jax.Array:
     """Materialize (K, N) = sum_b alpha_b * B_b."""
-    signs = _unpack_signs(pw.words[0])  # (bits, K, N)
+    signs = _unpack_signs(pw.words[0], pw.groupsize)  # (bits, K, N)
     ng = pw.alpha.shape[0]
     g = pw.K // ng
     a = jnp.repeat(pw.alpha, g, axis=0).transpose(1, 0, 2)  # (bits, K, N)
@@ -50,34 +49,69 @@ def _matmul_xla(x: jax.Array, pw: PackedWeight) -> jax.Array:
     return jnp.dot(x.astype(jnp.float32), w, preferred_element_type=jnp.float32)
 
 
-def _bcq_kernel(bits, tk, tn, n_kt, x_ref, alpha_ref, words_ref, out_ref, acc_ref):
+def _unpack_plane(w_b, tk, tn, sb):
+    """One bitplane's words (tk//32, tn) -> int8 (tk, tn) bits in {0,1}.
+
+    Byteplane order (see ops/pack.py): 8 sub-byte shifts x int8 bitcast,
+    concatenated per subblock — ~0.5 VPU ops per code, no relayout."""
+    rows_sb = sb // 8  # int8 rows per (subblock, plane): 4 * (sb/32)
+    nsb = tk // sb
+    planes = []
+    for e in range(8):
+        v = w_b if e == 0 else jax.lax.shift_right_logical(w_b, e)
+        planes.append(pltpu.bitcast(v & 0x01010101, jnp.int8))
+    if nsb == 1:
+        return jnp.concatenate(planes, axis=0)
+    pieces = [planes[e][s * rows_sb:(s + 1) * rows_sb]
+              for s in range(nsb) for e in range(8)]
+    return jnp.concatenate(pieces, axis=0)
+
+
+def _bcq_kernel(bits, tk, tn, n_kt, sb, dot_dtype,
+                x_ref, alpha_ref, words_ref, out_ref, acc_ref):
+    """BCQ bitplane tile.
+
+    Signs never materialize: with B in {0,1}, x @ (2B-1) = 2(x @ B) - sum(x),
+    so the MXU consumes raw bitplanes and the per-(group,bit) alpha applies
+    on the (M, tn) partial — the TPU form of the LUT's input-reuse."""
     kt = pl.program_id(1)
-    x = x_ref[:].astype(jnp.float32)  # (M, tk)
-
-    # unpack each bitplane, scale by its per-group alpha, accumulate weight
-    wu = words_ref[:].astype(jnp.uint32)  # (bits, tk//32, tn)
     ng_tile = alpha_ref.shape[0]
-    reps = tk // ng_tile
-    w = None
-    for b in range(bits):
-        shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 32, 1), 1)
-        plane = (wu[b][:, None, :] >> shifts) & 1  # (tk//32, 32, tn)
-        sgn = 2.0 * plane.reshape(tk, tn).astype(jnp.float32) - 1.0
-        ab = alpha_ref[:, b, :]  # (ng_tile, tn)
-        if reps > 1:
-            a = jnp.broadcast_to(ab[:, None, :], (ng_tile, reps, tn)).reshape(tk, tn)
-        else:
-            a = ab
-        contrib = sgn * a
-        w = contrib if w is None else w + contrib
-
-    partial = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    cs = tk // ng_tile
 
     @pl.when(kt == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += partial
+    x = x_ref[:]
+    if cs >= 128:
+        acc = acc_ref[:]
+        xs = [jnp.sum(x[:, gi * cs:(gi + 1) * cs].astype(jnp.float32),
+                      axis=1, keepdims=True) for gi in range(ng_tile)]
+        for b in range(bits):
+            plane = _unpack_plane(words_ref[b], tk, tn, sb).astype(dot_dtype)
+            for gi in range(ng_tile):
+                part = jnp.dot(x[:, gi * cs:(gi + 1) * cs].astype(dot_dtype),
+                               plane[gi * cs:(gi + 1) * cs],
+                               preferred_element_type=jnp.float32)
+                acc = acc + alpha_ref[gi, b] * (2.0 * part - xs[gi])
+        acc_ref[:] = acc
+    else:
+        # small groups: build the dequantized tile on the VPU
+        reps = tk // ng_tile
+        w = None
+        for b in range(bits):
+            sgn = 2.0 * _unpack_plane(words_ref[b], tk, tn, sb).astype(
+                jnp.float32) - 1.0
+            ab = alpha_ref[:, b, :]  # (ng_tile, tn)
+            if reps > 1:
+                a = jnp.broadcast_to(
+                    ab[:, None, :], (ng_tile, reps, tn)).reshape(tk, tn)
+            else:
+                a = ab
+            contrib = sgn * a
+            w = contrib if w is None else w + contrib
+        acc_ref[:] += jnp.dot(x.astype(jnp.float32), w,
+                              preferred_element_type=jnp.float32)
 
     @pl.when(kt == n_kt - 1)
     def _():
@@ -91,9 +125,11 @@ def _matmul_pallas(x: jax.Array, pw: PackedWeight, tk: int = 512, tn: int = 256,
     M, K = x.shape
     N = pw.N
     bits = pw.bits
+    sb = subblock(K, pw.groupsize)
     tk = _pick_tile(K, tk) if K % tk else min(tk, K)
+    tk = max(tk, sb)
     tn = _pick_tile(N, tn) if N % tn else min(tn, N)
-    assert K % tk == 0 and N % tn == 0
+    assert K % tk == 0 and N % tn == 0 and tk % sb == 0
     n_kt, n_nt = K // tk, N // tn
     ng = pw.alpha.shape[0]
     g = K // ng
@@ -105,8 +141,9 @@ def _matmul_pallas(x: jax.Array, pw: PackedWeight, tk: int = 512, tn: int = 256,
         ng_tile = 1
         a_map = lambda nt, kt: ((kt * tk) // g, 0, nt)
 
+    dot_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
     out = pl.pallas_call(
-        functools.partial(_bcq_kernel, bits, tk, tn, n_kt),
+        functools.partial(_bcq_kernel, bits, tk, tn, n_kt, sb, dot_dtype),
         grid=(n_nt, n_kt),
         in_specs=[
             pl.BlockSpec((M, tk), lambda nt, kt: (0, kt), memory_space=pltpu.VMEM),

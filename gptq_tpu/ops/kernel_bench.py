@@ -4,8 +4,11 @@ Counterpart of the reference's lutgemm benchmark tooling: the
 makeRandom{Input,Weight,Alpha,...} device fixtures
 (reference: lut_gemm/lutgemm_cuda.cpp:52-107) and the in-kernel
 min/max/avg latency loop (reference: lutgemm_cuda_kernel.cu:14-60,150-176).
-Timing forces a host round-trip per repetition (the relayed backend's
-block_until_ready is unreliable — see DESIGN.md).
+
+Timing chains `chain` kernel invocations on-device per dispatch (lax.scan
+feeding each output back into the next input) and divides — one host
+round-trip costs ~30 ms on the relayed backend and would otherwise swamp a
+~20 us kernel. Stats are over the per-dispatch medians of the chains.
 """
 
 from __future__ import annotations
@@ -33,7 +36,7 @@ def make_random_packed(key, k: int, n: int, bits: int, groupsize: int = -1
     ng = 1 if groupsize <= 0 else k // groupsize
     keys = jax.random.split(key, 3)
     codes = jax.random.randint(keys[0], (k, n), 0, 2**bits, jnp.int32)
-    words = pack_codes(codes, bits)
+    words = pack_codes(codes, bits, groupsize)
     scale = jnp.abs(jax.random.normal(keys[1], (ng, n))) * 0.01 + 0.001
     zoff = scale * (2 ** (bits - 1))
     return PackedWeight(words=words, scale=scale, zoff=zoff, bits=bits,
@@ -66,21 +69,40 @@ class LatencyStats:
                 f"max {self.max_s*1e6:.1f}us")
 
 
-def time_fn(fn, *args, iters: int = 20, warmup: int = 3) -> LatencyStats:
-    """Latency stats with a forced host round-trip per repetition."""
-    f = jax.jit(fn)
-    for _ in range(warmup):
-        y = f(*args)
-    float(np.asarray(y).ravel()[0])
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        y = f(*args)
+def time_fn(fn, x, *args, iters: int = 5, warmup: int = 1,
+            chain: int = 64) -> LatencyStats:
+    """Per-invocation latency: chain the kernel `chain` and `4*chain` times
+    on-device (output feeds the next input, so the loop cannot collapse)
+    and difference the two — the ~30 ms dispatch round-trip cancels."""
+    k_in = x.shape[-1]
+
+    def make(length):
+        @jax.jit
+        def run(x, *args):
+            def body(c, _):
+                y = fn(c, *args)
+                return (y[..., :k_in] * 1e-6 + c).astype(c.dtype), None
+            c, _ = jax.lax.scan(body, x, None, length=length)
+            return c
+        return run
+
+    short, long = make(chain), make(4 * chain)
+    samples = []
+    for run in (short, long):
+        for _ in range(max(1, warmup)):
+            y = run(x, *args)
         float(np.asarray(y).ravel()[0])
-        times.append(time.perf_counter() - t0)
-    a = np.asarray(times)
-    return LatencyStats(float(a.min()), float(a.max()), float(a.mean()),
-                        float(np.median(a)), float(np.percentile(a, 90)))
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            y = run(x, *args)
+            float(np.asarray(y).ravel()[0])
+            ts.append(time.perf_counter() - t0)
+        samples.append(np.asarray(ts))
+    per = (samples[1][:, None] - samples[0][None, :]).ravel() / (3 * chain)
+    per = np.maximum(per, 0.0)
+    return LatencyStats(float(per.min()), float(per.max()), float(per.mean()),
+                        float(np.median(per)), float(np.percentile(per, 90)))
 
 
 def bench_kernels(m: int = 1, k: int = 4096, n: int = 4096,

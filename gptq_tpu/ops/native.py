@@ -15,6 +15,8 @@ import subprocess
 
 import numpy as np
 
+from gptq_tpu.ops.pack import subblock
+
 _LIB = None
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "native")
@@ -49,10 +51,10 @@ def get_lib():
     u32p = ctypes.POINTER(ctypes.c_uint32)
     i32p = ctypes.POINTER(ctypes.c_int32)
     f32p = ctypes.POINTER(ctypes.c_float)
-    lib.pack_field.argtypes = [i32p, u32p, i64, i64, i32, i32]
-    lib.unpack_field.argtypes = [u32p, i32p, i64, i64, i32, i32]
+    lib.pack_field.argtypes = [i32p, u32p, i64, i64, i32, i32, i64]
+    lib.unpack_field.argtypes = [u32p, i32p, i64, i64, i32, i32, i64]
     lib.quantize_codes.argtypes = [f32p, f32p, f32p, i32p, i64, i64, i64, i32]
-    lib.pack_signs.argtypes = [f32p, u32p, i64, i64, i32]
+    lib.pack_signs.argtypes = [f32p, u32p, i64, i64, i32, i64]
     lib.packlib_version.restype = ctypes.c_int
     _LIB = lib
     return lib
@@ -62,8 +64,9 @@ def _ptr(a: np.ndarray, ctype):
     return a.ctypes.data_as(ctypes.POINTER(ctype))
 
 
-def pack_field_np(codes: np.ndarray, fb: int, shift: int) -> np.ndarray | None:
-    """Native blocked field pack; returns None if the library is missing."""
+def pack_field_np(codes: np.ndarray, fb: int, shift: int,
+                  groupsize: int = -1) -> np.ndarray | None:
+    """Native byteplane field pack; returns None if the library is missing."""
     lib = get_lib()
     if lib is None:
         return None
@@ -71,11 +74,12 @@ def pack_field_np(codes: np.ndarray, fb: int, shift: int) -> np.ndarray | None:
     codes = np.ascontiguousarray(codes, dtype=np.int32)
     out = np.zeros((K // (32 // fb), N), dtype=np.uint32)
     lib.pack_field(_ptr(codes, ctypes.c_int32), _ptr(out, ctypes.c_uint32),
-                   K, N, fb, shift)
+                   K, N, fb, shift, subblock(K, groupsize))
     return out.view(np.int32)
 
 
-def unpack_field_np(words: np.ndarray, fb: int, shift: int) -> np.ndarray | None:
+def unpack_field_np(words: np.ndarray, fb: int, shift: int,
+                    groupsize: int = -1) -> np.ndarray | None:
     lib = get_lib()
     if lib is None:
         return None
@@ -84,7 +88,7 @@ def unpack_field_np(words: np.ndarray, fb: int, shift: int) -> np.ndarray | None
     words = np.ascontiguousarray(words).view(np.uint32)
     out = np.zeros((Kw * P, N), dtype=np.int32)
     lib.unpack_field(_ptr(words, ctypes.c_uint32), _ptr(out, ctypes.c_int32),
-                     Kw * P, N, fb, shift)
+                     Kw * P, N, fb, shift, subblock(Kw * P, groupsize))
     return out
 
 
@@ -106,7 +110,7 @@ def quantize_codes_np(W: np.ndarray, scale: np.ndarray, zero: np.ndarray,
     return out
 
 
-def pack_signs_np(B: np.ndarray) -> np.ndarray | None:
+def pack_signs_np(B: np.ndarray, groupsize: int = -1) -> np.ndarray | None:
     """B: (N, K, bits) in {-1,+1} -> (bits, K//32, N) int32 bitplanes."""
     lib = get_lib()
     if lib is None:
@@ -115,5 +119,5 @@ def pack_signs_np(B: np.ndarray) -> np.ndarray | None:
     Nn, K, bits = B.shape
     out = np.zeros((bits, K // 32, Nn), dtype=np.uint32)
     lib.pack_signs(_ptr(B, ctypes.c_float), _ptr(out, ctypes.c_uint32),
-                   Nn, K, bits)
+                   Nn, K, bits, subblock(K, groupsize))
     return out.view(np.int32)

@@ -6,10 +6,25 @@ TPU that layout forces cross-lane bit surgery, so we use **blocked field
 packing** instead (capability parity, not format parity — SURVEY.md §7):
 
   * a b-bit code is split into power-of-two-sized fields (3 = 2+1 bits);
-  * each field of width fb packs P = 32/fb consecutive K-positions into one
-    int32: word i holds positions [i*P, (i+1)*P), position p at bit fb*p;
-  * unpacking is then `(word[:, None, :] >> shifts) & mask` followed by a
-    leading-dims reshape — both layout-trivial on the VPU, no gathers.
+  * each field of width fb packs P = 32/fb K-positions into one int32 in a
+    **byteplane-subblock** order: within each subblock of SB = subblock(K,
+    groupsize) consecutive K rows (Wsb = SB/P words, E = 8/fb sub-byte
+    shifts), row
+
+        SB*s + e*(4*Wsb) + 4*j + b     (e < E, j < Wsb, b < 4 bytes)
+
+    is stored in word s*Wsb + j at bit 8*b + fb*e. This is exactly the
+    order the TPU kernel reads for free: `(word >> fb*e) & byte_mask`
+    isolates sub-byte plane e in all four bytes, `pltpu.bitcast(int8)`
+    expands the sublane dim x4 in little-endian byte order (measured
+    identical on hardware and interpret mode), and concatenating the E
+    planes per subblock lands every code row without any cross-sublane
+    shuffle — ~0.5 VPU ops per code where a shift/mask-per-position unpack
+    costs ~3 and an interleaved reshape forces a relayout (3x slower
+    measured end-to-end).
+  * the 8-bit field stores code-128 (byte XOR 0x80) so the int8
+    reinterpretation is value-correct; the +128 rides the zero-offset
+    epilogue in the kernels and is undone here in unpack.
 
 Codes are stored transposed as (K, N) = (in_features, out_features) so the
 serving matmul is y = x @ dequant(codes), feeding the MXU directly.
@@ -37,36 +52,75 @@ FIELD_SPLITS = {
 }
 
 
-def pack_codes(codes: jax.Array, bits: int) -> tuple[jax.Array, ...]:
-    """Pack unsigned codes (K, N) in [0, 2^bits) into blocked int32 words.
+def subblock(K: int, groupsize: int = -1) -> int:
+    """Byteplane subblock length: largest power of two <= 512 dividing K
+    (and the quantization groupsize, so group chunks cover whole subblocks).
+
+    Both the packers and the kernels derive it from (K, groupsize), so it
+    is never stored. K % 32 == 0 guarantees SB >= 32 >= 4*Wsb-alignment for
+    every field."""
+    sb = 512
+    while K % sb:
+        sb //= 2
+    if groupsize > 0:
+        while groupsize % sb:
+            sb //= 2
+    return sb
+
+
+def pack_codes(codes: jax.Array, bits: int,
+               groupsize: int = -1) -> tuple[jax.Array, ...]:
+    """Pack unsigned codes (K, N) in [0, 2^bits) into byteplane int32 words.
 
     Returns one (K//P_f, N) int32 array per field. K must be divisible by 32.
     """
     K, N = codes.shape
     if K % 32:
         raise ValueError(f"K={K} must be a multiple of 32 for packing")
+    SB = subblock(K, groupsize)
     codes = codes.astype(jnp.uint32)
     words = []
     for fb, sh in FIELD_SPLITS[bits]:
         P = 32 // fb
+        Wsb = SB // P
+        E = 8 // fb
         part = (codes >> sh) & ((1 << fb) - 1)
-        part = part.reshape(K // P, P, N)
-        shifts = (fb * jnp.arange(P, dtype=jnp.uint32))[None, :, None]
-        word = jnp.sum(part << shifts, axis=1, dtype=jnp.uint32)
-        words.append(word.astype(jnp.int32))
+        if fb == 8:
+            part = part ^ 0x80  # store code-128 for int8 reinterpretation
+        # row SB*s + e*4*Wsb + 4*j + b  ->  word (s, j), bit 8*b + fb*e
+        part = part.reshape(K // SB, E, Wsb, 4, N)
+        e_sh = (fb * jnp.arange(E, dtype=jnp.uint32)).reshape(1, E, 1, 1, 1)
+        b_sh = (8 * jnp.arange(4, dtype=jnp.uint32)).reshape(1, 1, 1, 4, 1)
+        word = jnp.sum(part << (e_sh + b_sh), axis=(1, 3), dtype=jnp.uint32)
+        words.append(word.reshape(K // P, N).astype(jnp.int32))
     return tuple(words)
 
 
-def unpack_codes(words: tuple[jax.Array, ...], bits: int) -> jax.Array:
+def unpack_field(w: jax.Array, fb: int, K: int,
+                 groupsize: int = -1) -> jax.Array:
+    """One field's words (K//P, N) -> (K, N) uint32 sub-codes."""
+    P = 32 // fb
+    SB = subblock(K, groupsize)
+    Wsb = SB // P
+    E = 8 // fb
+    N = w.shape[-1]
+    wu = w.astype(jnp.uint32).reshape(K // SB, 1, Wsb, 1, N)
+    e_sh = fb * jax.lax.broadcasted_iota(jnp.uint32, (1, E, 1, 1, 1), 1)
+    b_sh = 8 * jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 1, 4, 1), 3)
+    part = (wu >> (e_sh + b_sh)) & ((1 << fb) - 1)  # (K/SB, E, Wsb, 4, N)
+    part = part.reshape(K, N)
+    if fb == 8:
+        part = part ^ 0x80
+    return part
+
+
+def unpack_codes(words: tuple[jax.Array, ...], bits: int,
+                 groupsize: int = -1) -> jax.Array:
     """Inverse of pack_codes -> (K, N) int32 codes."""
     out = None
     for (fb, sh), w in zip(FIELD_SPLITS[bits], words):
-        P = 32 // fb
-        Kp, N = w.shape
-        wu = w.astype(jnp.uint32)
-        shifts = (fb * jnp.arange(P, dtype=jnp.uint32))[None, :, None]
-        part = (wu[:, None, :] >> shifts) & ((1 << fb) - 1)
-        part = part.reshape(Kp * P, N).astype(jnp.int32) << sh
+        K = w.shape[0] * (32 // fb)
+        part = unpack_field(w, fb, K, groupsize).astype(jnp.int32) << sh
         out = part if out is None else out + part
     return out
 
@@ -144,7 +198,7 @@ def pack_quantized(
         Qp = Q
         store_perm = None
     codes = quantize_to_codes(Qp, scale, zero, bits)
-    words = pack_codes(codes, bits)
+    words = pack_codes(codes, bits, groupsize)
     zoff = (scale * zero).astype(jnp.float32)
     return PackedWeight(
         words=words,
@@ -175,9 +229,10 @@ def pack_bcq(
     K = ng * g
     signs = (B.reshape(Nn, K, bits) > 0).astype(jnp.uint32)  # (N, K, bits)
     signs = jnp.transpose(signs, (2, 1, 0))  # (bits, K, N)
+    gsz = g if groupsize != -1 else -1
     planes = []
     for b in range(bits):
-        (w,) = pack_codes(signs[b], 1)
+        (w,) = pack_codes(signs[b], 1, gsz)
         planes.append(w)
     words = jnp.stack(planes)  # (bits, K//32, N)
     alpha_t = jnp.transpose(alpha.astype(jnp.float32), (1, 2, 0))  # (ng, bits, N)

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gptq_tpu.ops.pack import FIELD_SPLITS, PackedWeight, unpack_codes
+from gptq_tpu.ops.pack import (FIELD_SPLITS, PackedWeight, subblock,
+                               unpack_codes)
 
 
 # ---------------------------------------------------------------------------
@@ -33,7 +34,8 @@ from gptq_tpu.ops.pack import FIELD_SPLITS, PackedWeight, unpack_codes
 
 def dequant(pw: PackedWeight) -> jax.Array:
     """Materialize the dequantized (K, N) weight (for testing / fallback)."""
-    codes = unpack_codes(pw.words, pw.bits).astype(jnp.float32)  # (K, N)
+    codes = unpack_codes(pw.words, pw.bits,
+                         pw.groupsize).astype(jnp.float32)  # (K, N)
     g = pw.K // pw.scale.shape[0]
     s = jnp.repeat(pw.scale, g, axis=0)
     z = jnp.repeat(pw.zoff, g, axis=0)
@@ -49,47 +51,97 @@ def _matmul_xla(x: jax.Array, pw: PackedWeight) -> jax.Array:
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _unpack_tile(word_refs, bits: int, tk: int, tn: int) -> jax.Array:
-    """Unpack a K-tile of blocked field words into (tk, tn) int32 codes."""
-    out = None
+def _unpack_fields_i8(word_refs, bits: int, tk: int, tn: int, sb: int):
+    """Byteplane unpack: -> [(code_shift, code_offset, int8 (tk, tn))].
+
+    For each field: `(words >> fb*e) & byte_mask` isolates sub-byte plane e
+    in all 4 bytes at once, `pltpu.bitcast(int8)` expands the sublane dim x4
+    in byte order, and the planes concatenate straight into K order (the
+    pack layout was chosen to make exactly this sequence land naturally) —
+    ~0.5 VPU ops/code and no relayout. The 8-bit field is stored code-128
+    (offset returned for the caller's epilogue)."""
+    fields = []
     for (fb, sh), ref in zip(FIELD_SPLITS[bits], word_refs):
         P = 32 // fb
-        w = ref[:].astype(jnp.uint32)  # (tk // P, tn)
-        shifts = (fb * jax.lax.broadcasted_iota(jnp.uint32, (1, P, 1), 1))
-        part = (w[:, None, :] >> shifts) & ((1 << fb) - 1)
-        part = part.reshape(tk, tn).astype(jnp.int32) << sh
-        out = part if out is None else out + part
-    return out
+        E = 8 // fb
+        rows_sb = 4 * (sb // P)  # int8 rows per (subblock, plane)
+        nsb = tk // sb
+        wu = ref[:]  # int32 (tk//P, tn)
+        byte_mask = ((1 << fb) - 1) * 0x01010101
+        planes = []
+        for e in range(E):
+            v = wu if e == 0 else jax.lax.shift_right_logical(wu, fb * e)
+            if fb != 8:
+                v = v & byte_mask
+            planes.append(pltpu.bitcast(v, jnp.int8))  # (4*tk//P, tn)
+        if nsb == 1:
+            c8 = planes[0] if E == 1 else jnp.concatenate(planes, axis=0)
+        else:
+            pieces = [planes[e][s * rows_sb:(s + 1) * rows_sb]
+                      for s in range(nsb) for e in range(E)]
+            c8 = jnp.concatenate(pieces, axis=0)
+        fields.append((sh, 128 << sh if fb == 8 else 0, c8))
+    return fields
 
 
-def _qmm_kernel(bits, tk, tn, n_kt, x_ref, scale_ref, zoff_ref, *rest):
+def _qmm_kernel(bits, tk, tn, n_kt, sb, dot_dtype,
+                x_ref, scale_ref, zoff_ref, *rest):
+    """Fused dequant-matmul tile.
+
+    The dequant scaling never touches the (tk, tn) code tile: with per-group
+    grids, y = sum_g [ (x_g @ C_g) * scale_g - (sum_k x_gk) * zoff_g ], so
+    the MXU multiplies raw codes (exact in bf16: sub-8-bit codes and bf16
+    activations multiply exactly, f32 accumulation) and the grid applies on
+    the (M, tn) partial — O(M*tn) VPU work instead of O(tk*tn)."""
     word_refs = rest[:-2]
     out_ref = rest[-2]
     acc_ref = rest[-1]
     kt = pl.program_id(1)
 
-    codes = _unpack_tile(word_refs, bits, tk, tn).astype(jnp.float32)
-    # scale/zoff refs are (ng_tile, 1, tn): the group axis leads so Mosaic's
-    # sublane-divisibility rule applies to the (1, tn) tail
+    fields = _unpack_fields_i8(word_refs, bits, tk, tn, sb)
+    code_off = sum(off for _sh, off, _c in fields)
     ng_tile = scale_ref.shape[0]
-    reps = tk // ng_tile
-
-    def expand(r):  # (ng_tile, 1, tn) -> (tk, tn), elementwise group repeat
-        if reps == 1:
-            return r[:].reshape(ng_tile, tn)
-        return jnp.broadcast_to(r[:], (ng_tile, reps, tn)).reshape(tk, tn)
-
-    w = codes * expand(scale_ref) - expand(zoff_ref)  # (tk, tn) f32
-
-    partial = jnp.dot(
-        x_ref[:].astype(jnp.float32), w, preferred_element_type=jnp.float32
-    )
+    cs = tk // ng_tile  # K rows per grid group inside this tile
 
     @pl.when(kt == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += partial
+    if cs >= 128:
+        # code-dot path: one MXU dot per (field, group chunk) + (M, tn)
+        # epilogue; field shifts and the 8-bit storage offset fold into it
+        x = x_ref[:]
+        acc = acc_ref[:]
+        cf = [(sh, c8.astype(dot_dtype)) for sh, _off, c8 in fields]
+        for gi in range(ng_tile):
+            xg = x[:, gi * cs:(gi + 1) * cs]
+            part = None
+            for sh, c in cf:
+                d = jnp.dot(xg.astype(dot_dtype), c[gi * cs:(gi + 1) * cs],
+                            preferred_element_type=jnp.float32)
+                d = d * float(1 << sh) if sh else d
+                part = d if part is None else part + d
+            xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+            s = scale_ref[gi]
+            acc = acc + part * s + xs * (code_off * s - zoff_ref[gi])
+        acc_ref[:] = acc
+    else:
+        # small groups: dequantize in-tile (scale/zoff are (ng_tile, 1, tn);
+        # the group axis leads so the broadcast stays sublane-aligned)
+        codes = None
+        for sh, off, c8 in fields:
+            c = (c8.astype(jnp.int32) + (off >> sh if off else 0)) << sh
+            codes = c if codes is None else codes + c
+        reps = tk // ng_tile
+
+        def expand(r):
+            if reps == 1:
+                return r[:].reshape(ng_tile, tn)
+            return jnp.broadcast_to(r[:], (ng_tile, reps, tn)).reshape(tk, tn)
+
+        w = codes.astype(jnp.float32) * expand(scale_ref) - expand(zoff_ref)
+        acc_ref[:] += jnp.dot(x_ref[:].astype(jnp.float32), w,
+                              preferred_element_type=jnp.float32)
 
     @pl.when(kt == n_kt - 1)
     def _():
@@ -106,20 +158,26 @@ def _pick_tile(dim: int, prefer: int, minimum: int = 128) -> int:
     return dim  # fall back to the whole dimension
 
 
-def _matmul_pallas(x: jax.Array, pw: PackedWeight, tk: int = 512, tn: int = 256,
+def _matmul_pallas(x: jax.Array, pw: PackedWeight, tk: int = 0, tn: int = 0,
                    interpret: bool = False) -> jax.Array:
     M, K = x.shape
     N = pw.N
     assert K == pw.K, (K, pw.K)
+    if not tk or not tn:
+        # decode shapes amortize grid overhead with big tiles; larger M
+        # (calibration/eval) must keep the (M, tk)/(M, tn) VMEM blocks small
+        tk, tn = (1024, 512) if M <= 64 else (512, 256)
+    sb = subblock(K, pw.groupsize)
     if K % tk:
         tk = _pick_tile(K, tk)
     else:
         tk = min(tk, K)
+    tk = max(tk, sb)  # planar unpack needs whole subblocks per tile
     if N % tn:
         tn = _pick_tile(N, tn)
     else:
         tn = min(tn, N)
-    assert K % tk == 0 and N % tn == 0, (K, tk, N, tn)
+    assert K % tk == 0 and N % tn == 0 and tk % sb == 0, (K, tk, N, tn, sb)
     n_kt = K // tk
     n_nt = N // tn
     ng = pw.scale.shape[0]
@@ -147,7 +205,9 @@ def _matmul_pallas(x: jax.Array, pw: PackedWeight, tk: int = 512, tn: int = 256,
                          memory_space=pltpu.VMEM)
         )
 
-    kernel = functools.partial(_qmm_kernel, pw.bits, tk, tn, n_kt)
+    dot_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    kernel = functools.partial(_qmm_kernel, pw.bits, tk, tn, n_kt, sb,
+                               dot_dtype)
     out = pl.pallas_call(
         kernel,
         grid=grid,

@@ -4,7 +4,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from gptq_tpu.engine.decode import DecodeEngine, benchmark_decode
+from gptq_tpu.engine.decode import (DecodeEngine, benchmark_decode,
+                                    benchmark_decode_chained)
 from gptq_tpu.models.common import ArchSpec, init_params, model_forward
 
 SPEC = ArchSpec(arch="llama", n_layers=2, hidden=32, n_heads=4, n_kv_heads=2,
@@ -36,3 +37,23 @@ def test_benchmark_protocol_runs():
                            log=lambda s: None)
     assert res["median_s"] > 0
     assert np.isfinite(res["ppl"])
+
+
+def test_chained_generate_matches_per_token():
+    params = init_params(SPEC, jax.random.PRNGKey(2))
+    engine = DecodeEngine(SPEC, params, max_len=32, cache_dtype=jnp.float32)
+    prompt = np.asarray([[5, 6, 7]])
+    want = engine.generate(prompt, max_new_tokens=9)
+    got = engine.generate_chained(prompt, max_new_tokens=9, chunk=4)
+    assert got.tolist() == want.tolist()
+
+
+def test_chained_benchmark_ppl_matches_per_token():
+    params = init_params(SPEC, jax.random.PRNGKey(1))
+    ids = np.random.default_rng(0).integers(0, 61, size=(1, 8))
+    ref = benchmark_decode(SPEC, params, ids, check=True, warmup=1,
+                           log=lambda s: None)
+    res = benchmark_decode_chained(SPEC, params, ids, check=True, warmup=1,
+                                   reps=1, log=lambda s: None)
+    assert res["n_tokens"] == 8
+    assert np.isclose(res["ppl"], ref["ppl"], rtol=2e-3)

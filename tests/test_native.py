@@ -17,7 +17,7 @@ def lib():
 
 
 def test_version(lib):
-    assert lib.packlib_version() == 1
+    assert lib.packlib_version() == 2  # v2: planar-subblock word order
 
 
 @pytest.mark.parametrize("bits", [2, 3, 4, 8])

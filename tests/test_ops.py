@@ -77,7 +77,10 @@ def test_pallas_matmul_matches_xla(bits, groupsize):
     x = jnp.asarray(rng.normal(size=(8, 512)).astype(np.float32))
     y_ref = dequant_matmul(x, pw, impl="xla")
     y_pal = dequant_matmul(x, pw, impl="pallas", interpret=not ON_TPU)
-    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), rtol=2e-4, atol=2e-4)
+    # the kernel folds the grid into the (M, tn) epilogue
+    # (y = (x@C)*s - sum(x)*z), so f32 accumulation order differs slightly
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               rtol=1e-3, atol=1e-3)
 
 
 def test_pallas_matvec_single_token():
