@@ -40,22 +40,25 @@ def synth_packed_params(spec, bits=4, groupsize=-1, dtype=None, seed=0):
     import jax
     import jax.numpy as jnp
 
-    from gptq_tpu.ops.pack import FIELD_SPLITS, PackedWeight
+    from gptq_tpu.ops.pack import FIELD_SPLITS, PackedWeight, pad_dim
 
     dtype = dtype or jnp.bfloat16
     key = jax.random.PRNGKey(seed)
 
     def packed_linear(out_d, in_d, s):
-        ng = 1 if groupsize <= 0 else in_d // groupsize
+        # stored dims are padded like pack_quantized pads (11008 -> 11264
+        # buys >=512 kernel tiles); K/N stay logical
+        kp, np_ = pad_dim(in_d, groupsize), pad_dim(out_d)
+        ng = 1 if groupsize <= 0 else kp // groupsize
         words = tuple(
             jax.random.randint(jax.random.fold_in(key, s * 4 + wi),
-                               (in_d // (32 // fb), out_d),
+                               (kp // (32 // fb), np_),
                                jnp.iinfo(jnp.int32).min,
                                jnp.iinfo(jnp.int32).max, jnp.int32)
             for wi, (fb, _) in enumerate(FIELD_SPLITS[bits])
         )
         scale = jnp.abs(jax.random.normal(
-            jax.random.fold_in(key, s * 4 + 3), (ng, out_d))) * 0.002 + 0.01
+            jax.random.fold_in(key, s * 4 + 3), (ng, np_))) * 0.002 + 0.01
         zoff = scale * (2 ** (bits - 1))
         return {"w": PackedWeight(words=words, scale=scale, zoff=zoff,
                                   bits=bits, K=in_d, N=out_d,

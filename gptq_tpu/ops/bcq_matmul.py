@@ -37,11 +37,11 @@ def _unpack_signs(words: jax.Array, groupsize: int = -1) -> jax.Array:
 
 def bcq_dequant(pw: PackedWeight) -> jax.Array:
     """Materialize (K, N) = sum_b alpha_b * B_b."""
-    signs = _unpack_signs(pw.words[0], pw.groupsize)  # (bits, K, N)
+    signs = _unpack_signs(pw.words[0], pw.groupsize)  # (bits, Kp, Np)
     ng = pw.alpha.shape[0]
-    g = pw.K // ng
-    a = jnp.repeat(pw.alpha, g, axis=0).transpose(1, 0, 2)  # (bits, K, N)
-    return jnp.sum(signs * a, axis=0)
+    g = pw.Kp // ng
+    a = jnp.repeat(pw.alpha, g, axis=0).transpose(1, 0, 2)  # (bits, Kp, Np)
+    return jnp.sum(signs * a, axis=0)[:pw.K, :pw.N]
 
 
 def _matmul_xla(x: jax.Array, pw: PackedWeight) -> jax.Array:
@@ -123,7 +123,8 @@ def _matmul_pallas(x: jax.Array, pw: PackedWeight, tk: int = 512, tn: int = 256,
     from gptq_tpu.ops.qmatmul import _pick_tile
 
     M, K = x.shape
-    N = pw.N
+    N = pw.Np
+    assert K == pw.Kp, (K, pw.Kp)
     bits = pw.bits
     sb = subblock(K, pw.groupsize)
     tk = _pick_tile(K, tk) if K % tk else min(tk, K)
@@ -181,9 +182,9 @@ def bcq_matmul(x: jax.Array, pw: PackedWeight, impl: str = "auto",
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         Mp = max(8, ((M + 7) // 8) * 8)
-        if Mp != M:
-            x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
-        y = _matmul_pallas(x2, pw, interpret=interpret)[:M]
+        if Mp != M or pw.Kp != pw.K:
+            x2 = jnp.pad(x2, ((0, Mp - M), (0, pw.Kp - pw.K)))
+        y = _matmul_pallas(x2, pw, interpret=interpret)[:M, :pw.N]
     else:
         y = _matmul_xla(x2, pw)
     if pw.bias is not None:

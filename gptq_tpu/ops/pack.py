@@ -35,6 +35,7 @@ same blocked 1-bit packing per plane, stored (bits, K/32, N).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -140,6 +141,12 @@ class PackedWeight:
     Common:
       bias   — (N,) or None
       perm   — (K,) int32 activation permutation for act-order serving, or None
+
+    K/N are the LOGICAL dims; the stored arrays may be zero-padded up to a
+    512-multiple (`pad_dim`) so the kernel always gets >= 512 tiles (e.g.
+    LLaMa's ffn 11008 = 2^8 * 43 would otherwise cap tiles at 256). Padding
+    is invisible: pad scales/alphas are zero and the run-time x pad is
+    zero, so padded rows/cols contribute exactly 0.
     """
 
     words: tuple[jax.Array, ...]
@@ -153,6 +160,35 @@ class PackedWeight:
     N: int = field(default=0, metadata=dict(static=True))
     groupsize: int = field(default=-1, metadata=dict(static=True))
     fmt: str = field(default="uniform", metadata=dict(static=True))
+
+    @property
+    def Kp(self) -> int:
+        """Stored (padded) K."""
+        w = self.words[0]
+        if self.fmt == "bcq":
+            return w.shape[1] * 32
+        fb = FIELD_SPLITS[self.bits][0][0]
+        return w.shape[-2] * (32 // fb)
+
+    @property
+    def Np(self) -> int:
+        """Stored (padded) N."""
+        return self.words[0].shape[-1]
+
+
+def pad_dim(dim: int, groupsize: int = -1, unit: int = 512) -> int:
+    """Round `dim` up so kernel tiles of >= `unit` exist: next multiple of
+    lcm(unit, groupsize). No-op when dim already divides cleanly or the
+    padding would exceed 12.5%."""
+    u = unit
+    if groupsize > 0:
+        u = unit * groupsize // math.gcd(unit, groupsize)
+    if dim % u == 0:
+        return dim
+    padded = ((dim + u - 1) // u) * u
+    if (padded - dim) * 8 > dim:  # >12.5% waste: keep the natural size
+        return dim
+    return padded
 
 
 def quantize_to_codes(W: jax.Array, scale: jax.Array, zero: jax.Array, bits: int):
@@ -198,11 +234,20 @@ def pack_quantized(
         Qp = Q
         store_perm = None
     codes = quantize_to_codes(Qp, scale, zero, bits)
-    words = pack_codes(codes, bits, groupsize)
+    scale = scale.astype(jnp.float32)
     zoff = (scale * zero).astype(jnp.float32)
+    # zero-pad to 512-multiples so the kernel gets large tiles (see class
+    # docstring); pad scales are zero so padded rows/cols contribute 0
+    Kp, Np = pad_dim(K, groupsize), pad_dim(Nn)
+    if (Kp, Np) != (K, Nn):
+        codes = jnp.pad(codes, ((0, Kp - K), (0, Np - Nn)))
+        ng_p = Kp // groupsize if groupsize > 0 else 1
+        scale = jnp.pad(scale, ((0, ng_p - scale.shape[0]), (0, Np - Nn)))
+        zoff = jnp.pad(zoff, ((0, ng_p - zoff.shape[0]), (0, Np - Nn)))
+    words = pack_codes(codes, bits, groupsize)
     return PackedWeight(
         words=words,
-        scale=scale.astype(jnp.float32),
+        scale=scale,
         zoff=zoff,
         bias=None if bias is None else bias,
         perm=store_perm,
@@ -230,12 +275,18 @@ def pack_bcq(
     signs = (B.reshape(Nn, K, bits) > 0).astype(jnp.uint32)  # (N, K, bits)
     signs = jnp.transpose(signs, (2, 1, 0))  # (bits, K, N)
     gsz = g if groupsize != -1 else -1
+    alpha_t = jnp.transpose(alpha.astype(jnp.float32), (1, 2, 0))  # (ng, bits, N)
+    Kp, Np = pad_dim(K, gsz), pad_dim(Nn)
+    if (Kp, Np) != (K, Nn):
+        signs = jnp.pad(signs, ((0, 0), (0, Kp - K), (0, Np - Nn)))
+        ng_p = Kp // gsz if gsz > 0 else 1
+        alpha_t = jnp.pad(
+            alpha_t, ((0, ng_p - alpha_t.shape[0]), (0, 0), (0, Np - Nn)))
     planes = []
     for b in range(bits):
         (w,) = pack_codes(signs[b], 1, gsz)
         planes.append(w)
-    words = jnp.stack(planes)  # (bits, K//32, N)
-    alpha_t = jnp.transpose(alpha.astype(jnp.float32), (1, 2, 0))  # (ng, bits, N)
+    words = jnp.stack(planes)  # (bits, Kp//32, Np)
     return PackedWeight(
         words=(words,),
         alpha=alpha_t,

@@ -35,11 +35,11 @@ from gptq_tpu.ops.pack import (FIELD_SPLITS, PackedWeight, subblock,
 def dequant(pw: PackedWeight) -> jax.Array:
     """Materialize the dequantized (K, N) weight (for testing / fallback)."""
     codes = unpack_codes(pw.words, pw.bits,
-                         pw.groupsize).astype(jnp.float32)  # (K, N)
-    g = pw.K // pw.scale.shape[0]
+                         pw.groupsize).astype(jnp.float32)  # (Kp, Np)
+    g = pw.Kp // pw.scale.shape[0]
     s = jnp.repeat(pw.scale, g, axis=0)
     z = jnp.repeat(pw.zoff, g, axis=0)
-    return codes * s - z
+    return (codes * s - z)[:pw.K, :pw.N]
 
 
 def _matmul_xla(x: jax.Array, pw: PackedWeight) -> jax.Array:
@@ -160,9 +160,10 @@ def _pick_tile(dim: int, prefer: int, minimum: int = 128) -> int:
 
 def _matmul_pallas(x: jax.Array, pw: PackedWeight, tk: int = 0, tn: int = 0,
                    interpret: bool = False) -> jax.Array:
+    """x must already be padded to (M, pw.Kp); returns (M, pw.Np)."""
     M, K = x.shape
-    N = pw.N
-    assert K == pw.K, (K, pw.K)
+    N = pw.Np
+    assert K == pw.Kp, (K, pw.Kp)
     if not tk or not tn:
         # decode shapes amortize grid overhead with big tiles; larger M
         # (calibration/eval) must keep the (M, tk)/(M, tn) VMEM blocks small
@@ -247,11 +248,11 @@ def dequant_matmul(
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
-        # pad rows to the f32 sublane minimum
+        # pad rows to the f32 sublane minimum and K to the stored pad
         Mp = max(8, ((M + 7) // 8) * 8)
-        if Mp != M:
-            x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
-        y = _matmul_pallas(x2, pw, interpret=interpret)[:M]
+        if Mp != M or pw.Kp != pw.K:
+            x2 = jnp.pad(x2, ((0, Mp - M), (0, pw.Kp - pw.K)))
+        y = _matmul_pallas(x2, pw, interpret=interpret)[:M, :pw.N]
     else:
         y = _matmul_xla(x2, pw)
     if pw.bias is not None:

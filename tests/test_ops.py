@@ -83,6 +83,23 @@ def test_pallas_matmul_matches_xla(bits, groupsize):
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("K,N", [(1376, 256), (256, 1376)])
+def test_padded_dims_match_dense(K, N):
+    """Non-512-multiple dims get zero-padded storage (pad_dim, e.g.
+    1376 = 2^5*43 -> 1536); results must still equal the dense matmul at
+    the logical dims."""
+    pw, W_dense = make_packed(bits=4, K=K, N=N, groupsize=-1)
+    assert (pw.Kp, pw.Np) == (1536 if K == 1376 else K,
+                              1536 if N == 1376 else N)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(5, K)).astype(np.float32))
+    want = np.asarray(x) @ W_dense.T
+    for impl in ("xla", "pallas"):
+        y = dequant_matmul(x, pw, impl=impl, interpret=not ON_TPU)
+        assert y.shape == (5, N)
+        np.testing.assert_allclose(np.asarray(y), want, rtol=1e-3, atol=1e-3)
+
+
 def test_pallas_matvec_single_token():
     """Decode shape: M=1 (padded internally to sublane minimum)."""
     pw, W_dense = make_packed(bits=4, K=512, N=256)
