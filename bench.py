@@ -125,7 +125,9 @@ def measure_decode(spec, params, n_tokens=96, max_len=256, reps=3):
     import jax
     import jax.numpy as jnp
 
-    from gptq_tpu.models.common import KVCache, model_forward
+    from gptq_tpu.models.common import KVCache, fuse_serving, model_forward
+
+    params = fuse_serving(spec, params)
 
     def make_run(length):
         @jax.jit

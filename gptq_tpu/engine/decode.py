@@ -20,13 +20,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gptq_tpu.models.common import ArchSpec, KVCache, model_forward
+from gptq_tpu.models.common import (ArchSpec, KVCache, fuse_serving,
+                                    model_forward)
 
 
 class DecodeEngine:
     def __init__(self, spec: ArchSpec, params: dict, max_len: int = 2048,
-                 batch: int = 1, cache_dtype=jnp.bfloat16):
+                 batch: int = 1, cache_dtype=jnp.bfloat16, fuse: bool = True):
         self.spec = spec
+        if fuse:
+            params = fuse_serving(spec, params)
         self.params = params
         self.max_len = max_len
         self.batch = batch
@@ -115,6 +118,7 @@ def benchmark_decode(
     n = int(np.prod(input_ids.shape))
     ids = np.asarray(input_ids).reshape(1, n)
     engine = DecodeEngine(spec, params, max_len=n + 1, batch=1)
+    params = engine.params  # fused serving weights
     cache = engine.new_cache()
 
     step = engine._step
@@ -191,6 +195,7 @@ def benchmark_decode_chained(
     half-length run; both are also reported."""
     n = int(np.prod(input_ids.shape))
     ids = jnp.asarray(np.asarray(input_ids).reshape(n).astype(np.int32))
+    params = fuse_serving(spec, params)
 
     def make_run(length: int):
         @jax.jit

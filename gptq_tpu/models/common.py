@@ -213,8 +213,75 @@ def alibi_bias(spec: ArchSpec, T: int, S: int) -> jax.Array:
 # block forward (all archs)
 # ---------------------------------------------------------------------------
 
+@jax.tree_util.register_static
+@dataclass(frozen=True)
+class FusedSplits:
+    """Static (n_stored, n_logical) column extents of each part inside a
+    fused weight — kept out of the jit pytree so slicing stays static."""
+
+    parts: tuple
+
+
+def fuse_serving(spec: ArchSpec, params: dict) -> dict:
+    """Serving-time weight fusion: merge q/k/v (and llama-family gate/up)
+    PackedWeights that share one input into single wider weights — one
+    fused dequant-matmul launch instead of three (see ops/pack.fuse_packed).
+    Leaves layers untouched where the parts are not fusable (mixed
+    precision, dense weights, differing act-order perms)."""
+    from gptq_tpu.ops.pack import fuse_packed
+
+    def try_fuse(lp, names, key):
+        lins = [lp.get(n) for n in names]
+        if any(l is None or not isinstance(l.get("w"), PackedWeight)
+               for l in lins):
+            return
+        fused = fuse_packed([l["w"] for l in lins])
+        if fused is None:
+            return
+        lp[key] = {
+            "w": fused,
+            "splits": FusedSplits(
+                tuple((l["w"].Np, l["w"].N) for l in lins)),
+            "b_parts": [l.get("b") for l in lins],
+        }
+        for n in names:
+            del lp[n]
+
+    new_layers = []
+    for lp in params["layers"]:
+        lp = dict(lp)
+        if spec.arch != "bloom":
+            try_fuse(lp, ("q", "k", "v"), "qkv_fused")
+        if spec.arch in ("llama", "gemma"):
+            try_fuse(lp, ("gate", "up"), "gateup_fused")
+        new_layers.append(lp)
+    return {**params, "layers": new_layers}
+
+
+def _apply_fused(entry: dict, x: jax.Array) -> list[jax.Array]:
+    """Run a fused linear and slice the logical columns back out per part
+    (each part's stored block is its logical columns followed by exact-zero
+    pad columns)."""
+    y = linear_apply({"w": entry["w"], "b": None}, x)
+    outs = []
+    off = 0
+    for (n_stored, n_logical), bias in zip(entry["splits"].parts,
+                                           entry["b_parts"]):
+        part = y[..., off:off + n_logical]
+        if bias is not None:
+            part = part + bias
+        outs.append(part)
+        off += n_stored
+    return outs
+
+
 def _qkv(spec: ArchSpec, p: dict, x: jax.Array, captures: Optional[dict]):
     B, T, _ = x.shape
+    if "qkv_fused" in p:
+        q, k, v = _apply_fused(p["qkv_fused"], x)
+        return (q.reshape(B, T, spec.n_heads, spec.hd),
+                k.reshape(B, T, spec.kv_heads, spec.hd),
+                v.reshape(B, T, spec.kv_heads, spec.hd))
     if spec.arch == "bloom":
         fused = linear_apply(p["qkv"], x)
         if captures is not None:
@@ -302,8 +369,12 @@ def block_forward(
         if captures is not None:
             captures["mlp.gate_proj"] = m
             captures["mlp.up_proj"] = m
-        gate = activation(spec, linear_apply(p["gate"], m))
-        up = linear_apply(p["up"], m)
+        if "gateup_fused" in p:
+            g, up = _apply_fused(p["gateup_fused"], m)
+            gate = activation(spec, g)
+        else:
+            gate = activation(spec, linear_apply(p["gate"], m))
+            up = linear_apply(p["up"], m)
         inner = gate * up
         if captures is not None:
             captures["mlp.down_proj"] = inner

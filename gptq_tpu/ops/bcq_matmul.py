@@ -88,7 +88,9 @@ def _bcq_kernel(bits, tk, tn, n_kt, sb, dot_dtype,
         xs = [jnp.sum(x[:, gi * cs:(gi + 1) * cs].astype(jnp.float32),
                       axis=1, keepdims=True) for gi in range(ng_tile)]
         for b in range(bits):
-            plane = _unpack_plane(words_ref[b], tk, tn, sb).astype(dot_dtype)
+            plane = _unpack_plane(words_ref[b], tk, tn, sb)  # int8
+            if dot_dtype != jnp.bfloat16:  # bf16 x int8 is native on the MXU
+                plane = plane.astype(dot_dtype)
             for gi in range(ng_tile):
                 part = jnp.dot(x[:, gi * cs:(gi + 1) * cs].astype(dot_dtype),
                                plane[gi * cs:(gi + 1) * cs],

@@ -259,6 +259,43 @@ def pack_quantized(
     )
 
 
+def fuse_packed(pws: list) -> Optional["PackedWeight"]:
+    """Concatenate several PackedWeights sharing one input (q/k/v, gate/up)
+    along N into a single wider weight — one kernel launch instead of three,
+    and a wider grid for the same bytes.
+
+    Parts must agree on fmt/bits/groupsize/stored K and either all have no
+    act-order perm or the identical perm (q/k/v share the calibration
+    Hessian, so act-order produces the same permutation). The fused weight's
+    N is the total STORED width: each part's pad columns compute exact
+    zeros, so callers slice the logical columns back out per part.
+    Returns None when the parts are not fusable."""
+    p0 = pws[0]
+    for pw in pws:
+        if (pw.fmt != p0.fmt or pw.bits != p0.bits or pw.Kp != p0.Kp
+                or pw.K != p0.K or pw.groupsize != p0.groupsize):
+            return None
+        if (pw.perm is None) != (p0.perm is None):
+            return None
+        if pw.perm is not None and not bool(
+                jnp.all(pw.perm == p0.perm)):
+            return None
+    if p0.fmt == "bcq":
+        words = (jnp.concatenate([pw.words[0] for pw in pws], axis=-1),)
+        alpha = jnp.concatenate([pw.alpha for pw in pws], axis=-1)
+        scale = zoff = None
+    else:
+        words = tuple(jnp.concatenate(ws, axis=-1)
+                      for ws in zip(*[pw.words for pw in pws]))
+        scale = jnp.concatenate([pw.scale for pw in pws], axis=-1)
+        zoff = jnp.concatenate([pw.zoff for pw in pws], axis=-1)
+        alpha = None
+    return PackedWeight(
+        words=words, scale=scale, zoff=zoff, alpha=alpha, bias=None,
+        perm=p0.perm, bits=p0.bits, K=p0.K, N=sum(pw.Np for pw in pws),
+        groupsize=p0.groupsize, fmt=p0.fmt)
+
+
 def pack_bcq(
     B: jax.Array,
     alpha: jax.Array,

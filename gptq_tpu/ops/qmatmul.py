@@ -109,10 +109,12 @@ def _qmm_kernel(bits, tk, tn, n_kt, sb, dot_dtype,
 
     if cs >= 128:
         # code-dot path: one MXU dot per (field, group chunk) + (M, tn)
-        # epilogue; field shifts and the 8-bit storage offset fold into it
+        # epilogue; field shifts and the 8-bit storage offset fold into it.
+        # bf16 x int8 is a native MXU mode — feed raw int8 codes, no convert
         x = x_ref[:]
         acc = acc_ref[:]
-        cf = [(sh, c8.astype(dot_dtype)) for sh, _off, c8 in fields]
+        cf = [(sh, c8 if dot_dtype == jnp.bfloat16 else c8.astype(dot_dtype))
+              for sh, _off, c8 in fields]
         for gi in range(ng_tile):
             xg = x[:, gi * cs:(gi + 1) * cs]
             part = None

@@ -129,6 +129,44 @@ def test_packed_serving_matches_fake_quant():
         np.asarray(logits_packed), np.asarray(logits_fake), rtol=5e-3, atol=5e-3
     )
 
+    # serving fusion (q/k/v merged into one launch) must be a no-op on the
+    # model function
+    from gptq_tpu.models.common import fuse_serving
+
+    fused = fuse_serving(spec, params)
+    assert "qkv_fused" in fused["layers"][0]
+    assert "q" not in fused["layers"][0]
+    logits_fused, _ = model_forward(spec, fused, ids)
+    np.testing.assert_allclose(
+        np.asarray(logits_fused), np.asarray(logits_packed), rtol=2e-5,
+        atol=2e-5
+    )
+
+
+def test_fused_serving_llama_matches():
+    """llama-family fusion (qkv + gate/up merged) is a no-op on outputs."""
+    model = make_model("llama")
+    spec, params = params_from_hf_torch(model)
+    calib, test = calib_and_test()
+    cfg = QuantConfig(wbits=4, nsamples=8)
+    res = quantize_model(spec, params, calib, cfg, log=lambda s: None)
+    pack_model(spec, params, res.quantizers, cfg)
+
+    from gptq_tpu.models.common import fuse_serving
+
+    ids = jnp.asarray(test[:, :SEQLEN])
+    logits_packed, _ = model_forward(spec, params, ids)
+    fused = fuse_serving(spec, params)
+    assert "qkv_fused" in fused["layers"][0]
+    assert "gateup_fused" in fused["layers"][0]
+    # under jit too (split extents must stay static)
+    logits_fused, _ = jax.jit(
+        lambda p, i: model_forward(spec, p, i))(fused, ids)
+    np.testing.assert_allclose(
+        np.asarray(logits_fused), np.asarray(logits_packed), rtol=2e-5,
+        atol=2e-5
+    )
+
 
 def test_bcq_rtn_whole_model():
     model = make_model("opt")
