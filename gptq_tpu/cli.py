@@ -262,12 +262,23 @@ def main(argv=None) -> int:
         print(make_table(res))
 
     if args.benchmark:
-        from gptq_tpu.engine.decode import benchmark_decode
+        from gptq_tpu.engine.decode import (benchmark_decode,
+                                            benchmark_decode_chained,
+                                            measure_dispatch_rtt)
 
         ids = np.random.default_rng(args.seed).integers(
             0, spec.vocab, size=(1, args.benchmark))
-        benchmark_decode(spec, params, ids, check=args.check,
-                         trace_dir="results/profile" if args.check else None)
+        # per-token host-synced timing is the reference protocol
+        # (opt.py:440-507), but when a dispatch round-trip costs more than
+        # ~1 ms (relayed/remote backends) it measures the link, not the
+        # chip — use the on-device chained protocol there
+        if measure_dispatch_rtt(reps=3) > 1e-3:
+            print("dispatch RTT > 1ms: using on-device chained protocol")
+            benchmark_decode_chained(spec, params, ids, check=args.check)
+        else:
+            benchmark_decode(spec, params, ids, check=args.check,
+                             trace_dir="results/profile" if args.check
+                             else None)
     return 0
 
 

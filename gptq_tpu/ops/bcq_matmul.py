@@ -120,11 +120,16 @@ def _bcq_kernel(bits, tk, tn, n_kt, sb, dot_dtype,
         out_ref[:] = acc_ref[:]
 
 
-def _matmul_pallas(x: jax.Array, pw: PackedWeight, tk: int = 512, tn: int = 256,
+def _matmul_pallas(x: jax.Array, pw: PackedWeight, tk: int = 0, tn: int = 0,
                    interpret: bool = False) -> jax.Array:
     from gptq_tpu.ops.qmatmul import _pick_tile
 
     M, K = x.shape
+    if not tk or not tn:
+        # like qmatmul: big tiles for decode shapes, smaller for large M.
+        # bits x (tk, tn) bitplanes expand in VMEM, so stay below qmatmul's
+        # defaults by ~bits/2
+        tk, tn = (1024, 1024) if M <= 64 else (512, 256)
     N = pw.Np
     assert K == pw.Kp, (K, pw.Kp)
     bits = pw.bits
