@@ -231,7 +231,7 @@ def main(argv=None) -> int:
         if args.eval_pack or args.save:
             from gptq_tpu.pipeline import pack_model
 
-            pack_model(spec, params, quantizers, cfg)
+            pack_model(spec, params, quantizers, cfg, tp=max(1, args.tp))
         if args.save:
             save_checkpoint(args.save, spec, params, cfg)
             print(f"saved {args.save}")

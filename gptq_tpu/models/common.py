@@ -198,10 +198,24 @@ def causal_mask(T: int, S: int, dtype=jnp.float32) -> jax.Array:
     return m[None, None]
 
 
-def alibi_bias(spec: ArchSpec, T: int, S: int) -> jax.Array:
+def _local_slopes(spec: ArchSpec, tp_axis: Optional[str],
+                  tp_size: int = 1) -> jax.Array:
+    """Alibi slopes for this shard's heads (the full set without tp). The
+    slope formula needs the GLOBAL head count; this shard's contiguous
+    block of n_heads/tp slopes is sliced out by axis index."""
+    slopes = jnp.asarray(alibi_slopes(spec.n_heads))  # (H_global,)
+    if tp_axis is None or tp_size == 1:
+        return slopes
+    lh = spec.n_heads // tp_size
+    return jax.lax.dynamic_slice_in_dim(
+        slopes, jax.lax.axis_index(tp_axis) * lh, lh)
+
+
+def alibi_bias(spec: ArchSpec, T: int, S: int,
+               tp_axis: Optional[str] = None, tp_size: int = 1) -> jax.Array:
     """(1, H, T, S) BLOOM alibi additive bias (HF convention: slope * key_pos
-    relative offsets)."""
-    slopes = jnp.asarray(alibi_slopes(spec.n_heads))  # (H,)
+    relative offsets). Under tensor parallelism H is this shard's heads."""
+    slopes = _local_slopes(spec, tp_axis, tp_size)
     k_pos = jnp.arange(S, dtype=jnp.float32)[None, :]
     q_pos = jnp.arange(T, dtype=jnp.float32)[:, None] + (S - T)
     rel = k_pos - q_pos  # <= 0 on/below diagonal
@@ -276,17 +290,20 @@ def _apply_fused(entry: dict, x: jax.Array) -> list[jax.Array]:
 
 
 def _qkv(spec: ArchSpec, p: dict, x: jax.Array, captures: Optional[dict]):
+    """Head counts derive from the projection widths, not the spec, so the
+    same code runs on tensor-parallel local shards (H_local = H / tp)."""
     B, T, _ = x.shape
+    hd = spec.hd
     if "qkv_fused" in p:
         q, k, v = _apply_fused(p["qkv_fused"], x)
-        return (q.reshape(B, T, spec.n_heads, spec.hd),
-                k.reshape(B, T, spec.kv_heads, spec.hd),
-                v.reshape(B, T, spec.kv_heads, spec.hd))
+        return (q.reshape(B, T, q.shape[-1] // hd, hd),
+                k.reshape(B, T, k.shape[-1] // hd, hd),
+                v.reshape(B, T, v.shape[-1] // hd, hd))
     if spec.arch == "bloom":
         fused = linear_apply(p["qkv"], x)
         if captures is not None:
             captures["self_attention.query_key_value"] = x
-        fused = fused.reshape(B, T, spec.n_heads, 3 * spec.hd)
+        fused = fused.reshape(B, T, fused.shape[-1] // (3 * hd), 3 * hd)
         q, k, v = jnp.split(fused, 3, axis=-1)
     else:
         if captures is not None:
@@ -296,10 +313,25 @@ def _qkv(spec: ArchSpec, p: dict, x: jax.Array, captures: Optional[dict]):
             captures["self_attn.q_proj"] = x
             captures["self_attn.k_proj"] = x
             captures["self_attn.v_proj"] = x
-        q = linear_apply(p["q"], x).reshape(B, T, spec.n_heads, spec.hd)
-        k = linear_apply(p["k"], x).reshape(B, T, spec.kv_heads, spec.hd)
-        v = linear_apply(p["v"], x).reshape(B, T, spec.kv_heads, spec.hd)
+        q = linear_apply(p["q"], x)
+        k = linear_apply(p["k"], x)
+        v = linear_apply(p["v"], x)
+        q = q.reshape(B, T, q.shape[-1] // hd, hd)
+        k = k.reshape(B, T, k.shape[-1] // hd, hd)
+        v = v.reshape(B, T, v.shape[-1] // hd, hd)
     return q, k, v
+
+
+def _row_linear(lin: dict, x: jax.Array, tp_axis: Optional[str]) -> jax.Array:
+    """Row-parallel (input-sharded) linear: local partial matmul, psum over
+    the tp axis, bias added once after the reduction."""
+    if tp_axis is None:
+        return linear_apply(lin, x)
+    y = linear_apply({**lin, "b": None}, x)
+    y = jax.lax.psum(y, tp_axis)
+    if lin.get("b") is not None:
+        y = y + lin["b"]
+    return y
 
 
 def block_forward(
@@ -312,12 +344,18 @@ def block_forward(
     cache: tuple[jax.Array, jax.Array] | None = None,  # (k,v): (B, max, kvh, hd)
     cache_len: jax.Array | None = None,
     capture: bool = False,
+    tp_axis: str | None = None,
 ):
     """One decoder block. Returns (out, new_kv, captures).
 
     With `cache`, keys/values are written at [cache_len, cache_len+T) and
     attention runs against the full cache prefix (decode path); otherwise
     S = T (calibration/eval path).
+
+    With `tp_axis` (inside shard_map), q/k/v/gate/up/fc1 weights are local
+    column shards (local heads / local ffn), o/down/fc2 are local row
+    shards, and the two residual projections psum over the axis — the
+    Megatron pattern with activations replicated (SURVEY.md §2.3 plan).
     """
     captures: Optional[dict] = {} if capture else None
     B, T, _ = x.shape
@@ -358,7 +396,7 @@ def block_forward(
     )
     if captures is not None:
         captures[o_name] = attn
-    attn_out = linear_apply(p["o"], attn)
+    attn_out = _row_linear(p["o"], attn, tp_axis)
     h = residual + attn_out
     if not spec.do_layer_norm_before:  # OPT 350m-style post-norm
         h = norm_apply(spec, p["ln1"], h)
@@ -378,7 +416,7 @@ def block_forward(
         inner = gate * up
         if captures is not None:
             captures["mlp.down_proj"] = inner
-        mlp_out = linear_apply(p["down"], inner)
+        mlp_out = _row_linear(p["down"], inner, tp_axis)
     else:
         fc1_name = "mlp.dense_h_to_4h" if spec.arch == "bloom" else "fc1"
         fc2_name = "mlp.dense_4h_to_h" if spec.arch == "bloom" else "fc2"
@@ -387,7 +425,7 @@ def block_forward(
         inner = activation(spec, linear_apply(p["fc1"], m))
         if captures is not None:
             captures[fc2_name] = inner
-        mlp_out = linear_apply(p["fc2"], inner)
+        mlp_out = _row_linear(p["fc2"], inner, tp_axis)
     out = residual + mlp_out
     if not spec.do_layer_norm_before:
         out = norm_apply(spec, p["ln2"], out)
@@ -425,10 +463,11 @@ def head_forward(spec: ArchSpec, params: dict, h: jax.Array) -> jax.Array:
     return linear_apply(lm, h)
 
 
-def build_mask(spec: ArchSpec, T: int, S: int) -> jax.Array:
+def build_mask(spec: ArchSpec, T: int, S: int,
+               tp_axis: str | None = None, tp_size: int = 1) -> jax.Array:
     mask = causal_mask(T, S)
     if spec.pos == "alibi":
-        mask = mask + alibi_bias(spec, T, S)
+        mask = mask + alibi_bias(spec, T, S, tp_axis, tp_size)
     return mask
 
 
@@ -437,13 +476,17 @@ def model_forward(
     params: dict,
     input_ids: jax.Array,  # (B, T)
     cache: KVCache | None = None,
+    tp_axis: str | None = None,
+    tp_size: int = 1,
 ) -> tuple[jax.Array, KVCache | None]:
     """Full forward -> logits (B, T, vocab). With a cache, runs the decode
-    path appending T tokens at cache.length."""
+    path appending T tokens at cache.length. With `tp_axis` (inside
+    shard_map) the layer weights are tensor-parallel local shards (see
+    block_forward) and the cache holds this shard's kv heads."""
     B, T = input_ids.shape
     if cache is None:
         positions = jnp.broadcast_to(jnp.arange(T), (B, T))
-        mask = build_mask(spec, T, T)
+        mask = build_mask(spec, T, T, tp_axis, tp_size)
     else:
         positions = cache.length + jnp.broadcast_to(jnp.arange(T), (B, T))
         S = cache.k.shape[2]
@@ -453,7 +496,7 @@ def model_forward(
         m = jnp.where(k_pos <= q_pos, 0.0, NEG_INF).astype(jnp.float32)
         mask = m[None, None]
         if spec.pos == "alibi":
-            slopes = jnp.asarray(alibi_slopes(spec.n_heads))
+            slopes = _local_slopes(spec, tp_axis, tp_size)
             rel = k_pos.astype(jnp.float32) - q_pos.astype(jnp.float32)  # (T, S)
             bias = slopes[None, :, None, None] * rel[None, None]
             mask = mask + jnp.where((k_pos <= q_pos)[None, None], bias, 0.0)
@@ -468,7 +511,7 @@ def model_forward(
             clen = cache.length
         h, new_kv, _ = block_forward(
             spec, bp, h, positions=positions, mask=mask,
-            cache=layer_cache, cache_len=clen,
+            cache=layer_cache, cache_len=clen, tp_axis=tp_axis,
         )
         if new_kv is not None:
             new_k.append(new_kv[0])

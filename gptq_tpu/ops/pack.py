@@ -216,6 +216,7 @@ def pack_quantized(
     bias: jax.Array | None = None,
     perm: jax.Array | None = None,
     actorder: bool = False,
+    tp: int = 1,
 ) -> PackedWeight:
     """Pack a GPTQ-quantized weight for serving.
 
@@ -225,6 +226,8 @@ def pack_quantized(
     actorder=True and groupsize>0, K is stored in permuted order and the
     layer applies x -> x[perm] at run time (grids are per permuted-position
     group only in the static_groups case; see gptq.py group_of()).
+    tp: target tensor-parallel degree — pads stored dims so 1/tp shards
+    slice on subblock boundaries (parallel/tp.py shard_map serving).
     """
     Nn, K = Q.shape
     if actorder and perm is not None and groupsize > 0:
@@ -238,7 +241,8 @@ def pack_quantized(
     zoff = (scale * zero).astype(jnp.float32)
     # zero-pad to 512-multiples so the kernel gets large tiles (see class
     # docstring); pad scales are zero so padded rows/cols contribute 0
-    Kp, Np = pad_dim(K, groupsize), pad_dim(Nn)
+    unit = 512 * max(1, tp)
+    Kp, Np = pad_dim(K, groupsize, unit), pad_dim(Nn, -1, unit)
     if (Kp, Np) != (K, Nn):
         codes = jnp.pad(codes, ((0, Kp - K), (0, Np - Nn)))
         ng_p = Kp // groupsize if groupsize > 0 else 1
@@ -301,6 +305,7 @@ def pack_bcq(
     alpha: jax.Array,
     bias: jax.Array | None = None,
     groupsize: int = -1,
+    tp: int = 1,
 ) -> PackedWeight:
     """Pack BCQ sign tensors for serving (reference: lut_gemm/quant.py:8-46).
 
@@ -313,7 +318,8 @@ def pack_bcq(
     signs = jnp.transpose(signs, (2, 1, 0))  # (bits, K, N)
     gsz = g if groupsize != -1 else -1
     alpha_t = jnp.transpose(alpha.astype(jnp.float32), (1, 2, 0))  # (ng, bits, N)
-    Kp, Np = pad_dim(K, gsz), pad_dim(Nn)
+    unit = 512 * max(1, tp)
+    Kp, Np = pad_dim(K, gsz, unit), pad_dim(Nn, -1, unit)
     if (Kp, Np) != (K, Nn):
         signs = jnp.pad(signs, ((0, 0), (0, Kp - K), (0, Np - Nn)))
         ng_p = Kp // gsz if gsz > 0 else 1

@@ -303,12 +303,13 @@ def add_actquant(
 
 
 def pack_model(spec: ArchSpec, params: dict, quantizers: dict,
-               cfg: QuantConfig) -> dict:
+               cfg: QuantConfig, tp: int = 1) -> dict:
     """Swap quantized dense linears for PackedWeight serving formats —
     the make_quant3/pack counterpart (reference: opt.py:362-373).
 
     Uniform grids pack to blocked bit-fields; lut/BCQ packs bitplanes.
-    Layers without an entry stay dense."""
+    Layers without an entry stay dense. `tp` pads stored dims so the
+    shard_map tensor-parallel path can slice them (parallel/tp.py)."""
     arch = get_arch(spec.arch)
     for i, bp in enumerate(params["layers"]):
         for name, key in arch.linears.items():
@@ -323,6 +324,7 @@ def pack_model(spec: ArchSpec, params: dict, quantizers: dict,
                     groupsize=q.get("groupsize", -1),
                     perm=q.get("perm"),
                     actorder=q.get("perm") is not None,
+                    tp=tp,
                 )
                 bp[key]["w"] = pw
             elif q["mode"] == "lut":
@@ -330,5 +332,5 @@ def pack_model(spec: ArchSpec, params: dict, quantizers: dict,
 
                 gs = q.get("groupsize", -1)
                 _, B = bcq_quantize(W.astype(jnp.float32), q["alpha"], groupsize=gs)
-                bp[key]["w"] = pack_bcq(B, q["alpha"], groupsize=gs)
+                bp[key]["w"] = pack_bcq(B, q["alpha"], groupsize=gs, tp=tp)
     return params
