@@ -169,6 +169,11 @@ def main():
     spec = llama7b_spec()
     try:
         params_q = synth_packed_params(spec, bits=4)
+        from gptq_tpu.models.common import fuse_serving
+        from gptq_tpu.ops.autotune import tune_model
+
+        # tune the FUSED serving shapes (what measure_decode runs)
+        tune_model(fuse_serving(spec, params_q), M=8, log=lambda s: None)
         t_q = measure_decode(spec, params_q)
         del params_q
     except Exception as e:  # noqa: BLE001

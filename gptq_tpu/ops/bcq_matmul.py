@@ -126,10 +126,16 @@ def _matmul_pallas(x: jax.Array, pw: PackedWeight, tk: int = 0, tn: int = 0,
 
     M, K = x.shape
     if not tk or not tn:
-        # like qmatmul: big tiles for decode shapes, smaller for large M.
-        # bits x (tk, tn) bitplanes expand in VMEM, so stay below qmatmul's
-        # defaults by ~bits/2
-        tk, tn = (1024, 1024) if M <= 64 else (512, 256)
+        from gptq_tpu.ops.autotune import best_tiles
+
+        tuned = best_tiles(pw.K, pw.N, pw.bits, pw.groupsize, pw.fmt, M)
+        if tuned:
+            tk, tn = tuned
+        else:
+            # like qmatmul: big tiles for decode shapes, smaller for large
+            # M. bits x (tk, tn) bitplanes expand in VMEM, so stay below
+            # qmatmul's defaults by ~bits/2
+            tk, tn = (1024, 1024) if M <= 64 else (512, 256)
     N = pw.Np
     assert K == pw.Kp, (K, pw.Kp)
     bits = pw.bits

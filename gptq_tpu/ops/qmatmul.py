@@ -167,11 +167,17 @@ def _matmul_pallas(x: jax.Array, pw: PackedWeight, tk: int = 0, tn: int = 0,
     N = pw.Np
     assert K == pw.Kp, (K, pw.Kp)
     if not tk or not tn:
-        # decode shapes amortize grid overhead with big tiles (tile sweep on
-        # the fused llama-7B shapes: 2048x1024 streams ~530-800 GB/s vs
-        # ~400 at 1024x512); larger M (calibration/eval) must keep the
-        # (M, tk)/(M, tn) VMEM blocks small
-        tk, tn = (2048, 1024) if M <= 64 else (512, 256)
+        from gptq_tpu.ops.autotune import best_tiles
+
+        tuned = best_tiles(pw.K, pw.N, pw.bits, pw.groupsize, pw.fmt, M)
+        if tuned:
+            tk, tn = tuned
+        else:
+            # decode shapes amortize grid overhead with big tiles (tile
+            # sweep on the fused llama-7B shapes: 2048x1024 streams
+            # ~530-800 GB/s vs ~400 at 1024x512); larger M (calibration/
+            # eval) must keep the (M, tk)/(M, tn) VMEM blocks small
+            tk, tn = (2048, 1024) if M <= 64 else (512, 256)
     sb = subblock(K, pw.groupsize)
     if K % tk:
         tk = _pick_tile(K, tk)

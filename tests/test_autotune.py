@@ -1,0 +1,44 @@
+"""Autotune table plumbing (measurement itself is chip-only)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gptq_tpu.ops import autotune
+from gptq_tpu.ops.pack import PackedWeight, pack_codes
+from gptq_tpu.ops.qmatmul import dequant_matmul
+
+
+def _pw(K=512, N=512, bits=4):
+    codes = jnp.zeros((K, N), jnp.int32)
+    words = pack_codes(codes, bits)
+    scale = jnp.ones((1, N), jnp.float32)
+    return PackedWeight(words=words, scale=scale, zoff=scale * 0, bits=bits,
+                        K=K, N=N, groupsize=-1, fmt="uniform")
+
+
+def test_best_tiles_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setattr(autotune, "_PATH", str(tmp_path / "at.json"))
+    monkeypatch.setattr(autotune, "_TABLE", {})
+    monkeypatch.setattr(autotune, "_LOADED", False)
+    key = autotune._key(512, 512, 4, -1, "uniform", 8)
+    autotune._TABLE[key] = (1024, 512)
+    autotune._save()
+
+    monkeypatch.setattr(autotune, "_TABLE", {})
+    monkeypatch.setattr(autotune, "_LOADED", False)
+    assert autotune.best_tiles(512, 512, 4, -1, "uniform", 8) == (1024, 512)
+    assert autotune.best_tiles(999, 999, 4, -1, "uniform", 8) is None
+
+
+def test_tuned_tiles_still_correct(monkeypatch):
+    """A (possibly stale) tuned tile must never change results — the
+    matmul path clamps it to valid divisors."""
+    pw = _pw()
+    key = autotune._key(512, 512, 4, -1, "uniform", 8)
+    monkeypatch.setattr(autotune, "_LOADED", True)
+    monkeypatch.setattr(autotune, "_TABLE", {key: (4096, 4096)})
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 512)),
+                    jnp.float32)
+    y = dequant_matmul(x, pw, impl="pallas", interpret=True)
+    assert y.shape == (2, 512)
+    np.testing.assert_allclose(np.asarray(y), 0.0, atol=1e-6)
