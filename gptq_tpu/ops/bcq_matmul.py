@@ -85,17 +85,23 @@ def _bcq_kernel(bits, tk, tn, n_kt, sb, dot_dtype,
     x = x_ref[:]
     if cs >= 128:
         acc = acc_ref[:]
-        xs = [jnp.sum(x[:, gi * cs:(gi + 1) * cs].astype(jnp.float32),
-                      axis=1, keepdims=True) for gi in range(ng_tile)]
-        for b in range(bits):
-            plane = _unpack_plane(words_ref[b], tk, tn, sb)  # int8
-            if dot_dtype != jnp.bfloat16:  # bf16 x int8 is native on the MXU
-                plane = plane.astype(dot_dtype)
-            for gi in range(ng_tile):
-                part = jnp.dot(x[:, gi * cs:(gi + 1) * cs].astype(dot_dtype),
-                               plane[gi * cs:(gi + 1) * cs],
-                               preferred_element_type=jnp.float32)
-                acc = acc + alpha_ref[gi, b] * (2.0 * part - xs[gi])
+        # stack all bitplanes along lanes -> ONE dot per group chunk
+        # instead of bits x ng_tile small dots (each MXU call has fixed
+        # pipeline overhead at tiny M)
+        planes = [_unpack_plane(words_ref[b], tk, tn, sb)
+                  for b in range(bits)]
+        stack = planes[0] if bits == 1 else jnp.concatenate(planes, axis=1)
+        if dot_dtype != jnp.bfloat16:  # bf16 x int8 is native on the MXU
+            stack = stack.astype(dot_dtype)
+        for gi in range(ng_tile):
+            xg = x[:, gi * cs:(gi + 1) * cs]
+            part = jnp.dot(xg.astype(dot_dtype),
+                           stack[gi * cs:(gi + 1) * cs],
+                           preferred_element_type=jnp.float32)  # (M, bits*tn)
+            xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+            for b in range(bits):
+                pb = part[:, b * tn:(b + 1) * tn]
+                acc = acc + alpha_ref[gi, b] * (2.0 * pb - xs)
         acc_ref[:] = acc
     else:
         # small groups: build the dequantized tile on the VPU
