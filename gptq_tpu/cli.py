@@ -272,6 +272,11 @@ def main(argv=None) -> int:
         # (opt.py:440-507), but when a dispatch round-trip costs more than
         # ~1 ms (relayed/remote backends) it measures the link, not the
         # chip — use the on-device chained protocol there
+        if args.faster_kernel:
+            from gptq_tpu.models.common import fuse_serving
+
+            params = fuse_serving(spec, params, a8=True)
+            print("--faster-kernel: serving with dynamic int8 activations")
         if measure_dispatch_rtt(reps=3) > 1e-3:
             print("dispatch RTT > 1ms: using on-device chained protocol")
             benchmark_decode_chained(spec, params, ids, check=args.check)

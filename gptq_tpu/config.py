@@ -61,7 +61,9 @@ class QuantConfig:
     load: str | None = None
     benchmark: int = 0
     check: bool = False
-    faster_kernel: bool = False      # kept for recipe compat (TPU kernel is single)
+    faster_kernel: bool = False      # serve with dynamic int8 activations
+    # (w4a8): the int8 MXU mode runs 2x — the reference flag selects its
+    # half2 LUT kernel (quant.py:195-200), this selects our fast path
     new_eval: bool = False
 
     def __post_init__(self) -> None:

@@ -26,10 +26,11 @@ from gptq_tpu.models.common import (ArchSpec, KVCache, fuse_serving,
 
 class DecodeEngine:
     def __init__(self, spec: ArchSpec, params: dict, max_len: int = 2048,
-                 batch: int = 1, cache_dtype=jnp.bfloat16, fuse: bool = True):
+                 batch: int = 1, cache_dtype=jnp.bfloat16, fuse: bool = True,
+                 a8: bool = False):
         self.spec = spec
-        if fuse:
-            params = fuse_serving(spec, params)
+        if fuse or a8:
+            params = fuse_serving(spec, params, a8=a8)
         self.params = params
         self.max_len = max_len
         self.batch = batch

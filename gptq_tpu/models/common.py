@@ -83,7 +83,8 @@ def linear_apply(lin: dict, x: jax.Array) -> jax.Array:
         if w.fmt == "bcq":
             y = bcq_matmul(x, w)
         else:
-            y = dequant_matmul(x, w)
+            flags = lin.get("serve")
+            y = dequant_matmul(x, w, a8=bool(flags and flags.a8))
         # PackedWeight carries its own bias when packed with one; a separate
         # "b" entry (from the original linear) still applies.
     else:
@@ -229,6 +230,16 @@ def alibi_bias(spec: ArchSpec, T: int, S: int,
 
 @jax.tree_util.register_static
 @dataclass(frozen=True)
+class ServeFlags:
+    """Static serving-mode flags on a linear (kept out of the jit pytree).
+
+    a8: dynamic int8 activation quantization (--faster-kernel path)."""
+
+    a8: bool = False
+
+
+@jax.tree_util.register_static
+@dataclass(frozen=True)
 class FusedSplits:
     """Static (n_stored, n_logical) column extents of each part inside a
     fused weight — kept out of the jit pytree so slicing stays static."""
@@ -236,12 +247,16 @@ class FusedSplits:
     parts: tuple
 
 
-def fuse_serving(spec: ArchSpec, params: dict) -> dict:
+def fuse_serving(spec: ArchSpec, params: dict, a8: bool = False) -> dict:
     """Serving-time weight fusion: merge q/k/v (and llama-family gate/up)
     PackedWeights that share one input into single wider weights — one
     fused dequant-matmul launch instead of three (see ops/pack.fuse_packed).
     Leaves layers untouched where the parts are not fusable (mixed
-    precision, dense weights, differing act-order perms)."""
+    precision, dense weights, differing act-order perms).
+
+    a8=True additionally marks every packed uniform linear for dynamic
+    int8 activation quantization — the fast serving path (reference
+    --faster-kernel counterpart)."""
     from gptq_tpu.ops.pack import fuse_packed
 
     def try_fuse(lp, names, key):
@@ -268,6 +283,11 @@ def fuse_serving(spec: ArchSpec, params: dict) -> dict:
             try_fuse(lp, ("q", "k", "v"), "qkv_fused")
         if spec.arch in ("llama", "gemma"):
             try_fuse(lp, ("gate", "up"), "gateup_fused")
+        if a8:
+            for key, val in lp.items():
+                w = val.get("w") if isinstance(val, dict) else None
+                if isinstance(w, PackedWeight) and w.fmt == "uniform":
+                    lp[key] = {**val, "serve": ServeFlags(a8=True)}
         new_layers.append(lp)
     return {**params, "layers": new_layers}
 
@@ -276,7 +296,8 @@ def _apply_fused(entry: dict, x: jax.Array) -> list[jax.Array]:
     """Run a fused linear and slice the logical columns back out per part
     (each part's stored block is its logical columns followed by exact-zero
     pad columns)."""
-    y = linear_apply({"w": entry["w"], "b": None}, x)
+    y = linear_apply({"w": entry["w"], "b": None,
+                      "serve": entry.get("serve")}, x)
     outs = []
     off = 0
     for (n_stored, n_logical), bias in zip(entry["splits"].parts,
@@ -345,6 +366,7 @@ def block_forward(
     cache_len: jax.Array | None = None,
     capture: bool = False,
     tp_axis: str | None = None,
+    rope: tuple[jax.Array, jax.Array] | None = None,  # hoisted (cos, sin)
 ):
     """One decoder block. Returns (out, new_kv, captures).
 
@@ -365,7 +387,8 @@ def block_forward(
     q, k, v = _qkv(spec, p, h, captures)
 
     if spec.pos == "rope":
-        cos, sin = rope_tables(spec, positions)
+        # tables are position-only: callers looping over layers hoist them
+        cos, sin = rope if rope is not None else rope_tables(spec, positions)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -502,26 +525,31 @@ def model_forward(
             mask = mask + jnp.where((k_pos <= q_pos)[None, None], bias, 0.0)
 
     h = embed_forward(spec, params, input_ids, positions)
-    new_k, new_v = [], []
+    rope = rope_tables(spec, positions) if spec.pos == "rope" else None
+    ck = cache.k if cache is not None else None
+    cv = cache.v if cache is not None else None
     for i, bp in enumerate(params["layers"]):
         layer_cache = None
         clen = None
         if cache is not None:
-            layer_cache = (cache.k[i], cache.v[i])
+            layer_cache = (ck[i], cv[i])
             clen = cache.length
         h, new_kv, _ = block_forward(
             spec, bp, h, positions=positions, mask=mask,
-            cache=layer_cache, cache_len=clen, tp_axis=tp_axis,
+            cache=layer_cache, cache_len=clen, tp_axis=tp_axis, rope=rope,
         )
         if new_kv is not None:
-            new_k.append(new_kv[0])
-            new_v.append(new_kv[1])
+            # write the updated layer slice back in place (a donated cache
+            # buffer aliases; jnp.stack of all layers copied the full cache
+            # every step)
+            ck = jax.lax.dynamic_update_index_in_dim(
+                ck, new_kv[0].astype(ck.dtype), i, 0)
+            cv = jax.lax.dynamic_update_index_in_dim(
+                cv, new_kv[1].astype(cv.dtype), i, 0)
     logits = head_forward(spec, params, h)
     new_cache = None
     if cache is not None:
-        new_cache = KVCache(
-            k=jnp.stack(new_k), v=jnp.stack(new_v), length=cache.length + T
-        )
+        new_cache = KVCache(k=ck, v=cv, length=cache.length + T)
     return logits, new_cache
 
 

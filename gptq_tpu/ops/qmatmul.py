@@ -92,7 +92,13 @@ def _qmm_kernel(bits, tk, tn, n_kt, sb, dot_dtype,
     grids, y = sum_g [ (x_g @ C_g) * scale_g - (sum_k x_gk) * zoff_g ], so
     the MXU multiplies raw codes (exact in bf16: sub-8-bit codes and bf16
     activations multiply exactly, f32 accumulation) and the grid applies on
-    the (M, tn) partial — O(M*tn) VPU work instead of O(tk*tn)."""
+    the (M, tn) partial — O(M*tn) VPU work instead of O(tk*tn).
+
+    With int8 activations (dot_dtype int8, the --faster-kernel path) the
+    dot runs in the MXU's 2x-rate int8 mode with int32 accumulation; the
+    caller folds the per-row activation scale in afterwards. At matvec M
+    the kernel is MXU-pass-bound, not HBM-bound, so this nearly halves the
+    kernel time."""
     word_refs = rest[:-2]
     out_ref = rest[-2]
     acc_ref = rest[-1]
@@ -102,6 +108,7 @@ def _qmm_kernel(bits, tk, tn, n_kt, sb, dot_dtype,
     code_off = sum(off for _sh, off, _c in fields)
     ng_tile = scale_ref.shape[0]
     cs = tk // ng_tile  # K rows per grid group inside this tile
+    int8_acts = dot_dtype == jnp.int8
 
     @pl.when(kt == 0)
     def _():
@@ -110,22 +117,25 @@ def _qmm_kernel(bits, tk, tn, n_kt, sb, dot_dtype,
     if cs >= 128:
         # code-dot path: one MXU dot per (field, group chunk) + (M, tn)
         # epilogue; field shifts and the 8-bit storage offset fold into it.
-        # bf16 x int8 is a native MXU mode — feed raw int8 codes, no convert
+        # bf16 x int8 / int8 x int8 are native MXU modes — raw int8 codes
         x = x_ref[:]
         acc = acc_ref[:]
-        cf = [(sh, c8 if dot_dtype == jnp.bfloat16 else c8.astype(dot_dtype))
-              for sh, _off, c8 in fields]
+        cf = [(sh, c8 if dot_dtype in (jnp.bfloat16, jnp.int8)
+               else c8.astype(dot_dtype)) for sh, _off, c8 in fields]
+        acc_t = jnp.int32 if int8_acts else jnp.float32
         for gi in range(ng_tile):
             xg = x[:, gi * cs:(gi + 1) * cs]
             part = None
             for sh, c in cf:
-                d = jnp.dot(xg.astype(dot_dtype), c[gi * cs:(gi + 1) * cs],
-                            preferred_element_type=jnp.float32)
-                d = d * float(1 << sh) if sh else d
+                d = jnp.dot(xg, c[gi * cs:(gi + 1) * cs],
+                            preferred_element_type=acc_t)
+                d = d * (1 << sh) if sh else d
                 part = d if part is None else part + d
-            xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+            xs = jnp.sum(xg.astype(jnp.int32) if int8_acts else
+                         xg.astype(jnp.float32), axis=1, keepdims=True)
             s = scale_ref[gi]
-            acc = acc + part * s + xs * (code_off * s - zoff_ref[gi])
+            acc = (acc + part.astype(jnp.float32) * s +
+                   xs.astype(jnp.float32) * (code_off * s - zoff_ref[gi]))
         acc_ref[:] = acc
     else:
         # small groups: dequantize in-tile (scale/zoff are (ng_tile, 1, tn);
@@ -216,7 +226,12 @@ def _matmul_pallas(x: jax.Array, pw: PackedWeight, tk: int = 0, tn: int = 0,
                          memory_space=pltpu.VMEM)
         )
 
-    dot_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    if x.dtype == jnp.int8:
+        dot_dtype = jnp.int8
+    elif x.dtype == jnp.bfloat16:
+        dot_dtype = jnp.bfloat16
+    else:
+        dot_dtype = jnp.float32
     kernel = functools.partial(_qmm_kernel, pw.bits, tk, tn, n_kt, sb,
                                dot_dtype)
     out = pl.pallas_call(
@@ -240,15 +255,29 @@ def _matmul_pallas(x: jax.Array, pw: PackedWeight, tk: int = 0, tn: int = 0,
     return out
 
 
+def quantize_acts_int8(x2: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row dynamic int8 activation quantization: (xq int8, scale f32).
+
+    The serving fast path (reference --faster-kernel counterpart,
+    quant.py:195-200): at matvec M the fused kernel is MXU-pass-bound and
+    the int8 MXU mode runs 2x the bf16 rate."""
+    xf = x2.astype(jnp.float32)
+    sx = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0 + 1e-12
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
 def dequant_matmul(
     x: jax.Array,
     pw: PackedWeight,
     impl: str = "auto",
     interpret: bool = False,
+    a8: bool = False,
 ) -> jax.Array:
     """y = x @ dequant(pw) (+ bias), with act-order permutation applied.
 
-    x: (..., K). Returns (..., N) in x's dtype."""
+    x: (..., K). Returns (..., N) in x's dtype. With a8=True activations
+    quantize to int8 per row first (fast serving path)."""
     orig_dtype = x.dtype
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
@@ -257,6 +286,9 @@ def dequant_matmul(
     M = x2.shape[0]
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    sx = None
+    if a8:
+        x2, sx = quantize_acts_int8(x2)
     if impl == "pallas":
         # pad rows to the f32 sublane minimum and K to the stored pad
         Mp = max(8, ((M + 7) // 8) * 8)
@@ -264,7 +296,13 @@ def dequant_matmul(
             x2 = jnp.pad(x2, ((0, Mp - M), (0, pw.Kp - pw.K)))
         y = _matmul_pallas(x2, pw, interpret=interpret)[:M, :pw.N]
     else:
-        y = _matmul_xla(x2, pw)
+        if a8:  # oracle: the kernel epilogue is linear in x, so the
+            # quantized activations feed the dense path unchanged
+            y = _matmul_xla(x2.astype(jnp.float32), pw)
+        else:
+            y = _matmul_xla(x2, pw)
+    if sx is not None:
+        y = y * sx  # (M, 1) per-row activation scale
     if pw.bias is not None:
         y = y + pw.bias
     return y.reshape(*lead, pw.N).astype(orig_dtype)

@@ -100,6 +100,24 @@ def test_padded_dims_match_dense(K, N):
         np.testing.assert_allclose(np.asarray(y), want, rtol=1e-3, atol=1e-3)
 
 
+def test_a8_fast_path_matches_oracle():
+    """w4a8 serving (--faster-kernel counterpart): int8-activation kernel
+    must equal the dense matmul of the quantized activations, and stay
+    within activation-quantization error of the bf16-activation result."""
+    from gptq_tpu.ops.qmatmul import quantize_acts_int8
+
+    pw, W_dense = make_packed(bits=4, K=512, N=256)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(3, 512)).astype(np.float32))
+    y8 = dequant_matmul(x, pw, impl="pallas", interpret=not ON_TPU, a8=True)
+    xq, sx = quantize_acts_int8(x)
+    want = (np.asarray(xq, np.float32) @ W_dense.T) * np.asarray(sx)
+    np.testing.assert_allclose(np.asarray(y8), want, rtol=2e-3, atol=2e-3)
+    y0 = np.asarray(x) @ W_dense.T
+    rel = np.abs(np.asarray(y8) - y0).max() / np.abs(y0).max()
+    assert rel < 0.02, rel
+
+
 def test_pallas_matvec_single_token():
     """Decode shape: M=1 (padded internally to sublane minimum)."""
     pw, W_dense = make_packed(bits=4, K=512, N=256)

@@ -168,6 +168,28 @@ def test_fused_serving_llama_matches():
     )
 
 
+def test_a8_serving_close_to_a16():
+    """--faster-kernel (dynamic int8 activations) must jit and stay close
+    to the full-precision-activation packed model."""
+    model = make_model("llama")
+    spec, params = params_from_hf_torch(model)
+    calib, test = calib_and_test()
+    cfg = QuantConfig(wbits=4, nsamples=8)
+    res = quantize_model(spec, params, calib, cfg, log=lambda s: None)
+    pack_model(spec, params, res.quantizers, cfg)
+
+    from gptq_tpu.models.common import fuse_serving
+
+    ids = jnp.asarray(test[:, :SEQLEN])
+    logits_a16, _ = model_forward(spec, params, ids)
+    fast = fuse_serving(spec, params, a8=True)
+    logits_a8, _ = jax.jit(lambda p, i: model_forward(spec, p, i))(fast, ids)
+    # activation quantization error is small relative to logit scale
+    denom = float(jnp.abs(logits_a16).max())
+    rel = float(jnp.abs(logits_a8 - logits_a16).max()) / denom
+    assert rel < 0.05, rel
+
+
 def test_bcq_rtn_whole_model():
     model = make_model("opt")
     spec, params = params_from_hf_torch(model)
