@@ -174,7 +174,10 @@ def main():
         from gptq_tpu.ops.autotune import tune_model
 
         # tune the FUSED serving shapes (what measure_decode runs)
-        tune_model(fuse_serving(spec, params_q), M=8, log=lambda s: None)
+        fused = fuse_serving(spec, params_q)
+        tune_model(fused, M=8, log=lambda s: None)
+        tune_model(fused, M=8, log=lambda s: None, act="int8")
+        del fused
         t_q = measure_decode(spec, params_q)
         # fast path: dynamic int8 activations (the reference's headline
         # 3.25x is its --faster-kernel number; this is ours)

@@ -27,16 +27,19 @@ _LOADED = False
 _PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "results", "autotune.json")
 
-# candidate (tk, tn) tiles for decode-shape (small M) matmuls
-CANDIDATES = [(1024, 512), (2048, 512), (1024, 1024), (2048, 1024),
-              (1024, 2048), (4096, 512), (512, 1024)]
+# candidate (tk, tn) tiles for decode-shape (small M) matmuls. Each
+# candidate costs two kernel compiles (~1 min on a relayed chip), so the
+# list is small; results persist, so the cost is once per shape.
+CANDIDATES = [(2048, 512), (1024, 1024), (4096, 512), (1024, 2048)]
 
 
-def _key(K: int, N: int, bits: int, groupsize: int, fmt: str, M: int) -> str:
+def _key(K: int, N: int, bits: int, groupsize: int, fmt: str, M: int,
+         act: str = "bf16") -> str:
     import jax
 
     mb = "s" if M <= 64 else "l"
-    return f"{jax.default_backend()}:{fmt}{bits}g{groupsize}:{K}x{N}:{mb}"
+    return (f"{jax.default_backend()}:{fmt}{bits}g{groupsize}"
+            f":{K}x{N}:{mb}:{act}")
 
 
 def _load() -> None:
@@ -61,10 +64,10 @@ def _save() -> None:
 
 
 def best_tiles(K: int, N: int, bits: int, groupsize: int, fmt: str,
-               M: int) -> tuple[int, int] | None:
+               M: int, act: str = "bf16") -> tuple[int, int] | None:
     """Tuned (tk, tn) for this shape, or None for the built-in default."""
     _load()
-    return _TABLE.get(_key(K, N, bits, groupsize, fmt, M))
+    return _TABLE.get(_key(K, N, bits, groupsize, fmt, M, act))
 
 
 def _time_eager(fn, x, iters: int = 64, reps: int = 3) -> float:
@@ -97,7 +100,8 @@ def _time_eager(fn, x, iters: int = 64, reps: int = 3) -> float:
     return max((ts[1] - ts[0]) / (2 * iters), 1e-9)
 
 
-def tune_packed(pw, M: int = 8, log=lambda s: None) -> tuple[int, int]:
+def tune_packed(pw, M: int = 8, log=lambda s: None,
+                act: str = "bf16") -> tuple[int, int]:
     """Measure CANDIDATES for one PackedWeight shape; persist and return
     the winner."""
     import jax
@@ -107,12 +111,16 @@ def tune_packed(pw, M: int = 8, log=lambda s: None) -> tuple[int, int]:
     from gptq_tpu.ops.qmatmul import _matmul_pallas as uni_mm
 
     _load()
-    key = _key(pw.K, pw.N, pw.bits, pw.groupsize, pw.fmt, M)
+    key = _key(pw.K, pw.N, pw.bits, pw.groupsize, pw.fmt, M, act)
     if key in _TABLE:
         return _TABLE[key]
     mm = bcq_mm if pw.fmt == "bcq" else uni_mm
-    x = jax.random.normal(jax.random.PRNGKey(0), (max(8, M), pw.Kp),
-                          jnp.bfloat16)
+    if act == "int8":
+        x = jax.random.randint(jax.random.PRNGKey(0), (max(8, M), pw.Kp),
+                               -127, 128, jnp.int8)
+    else:
+        x = jax.random.normal(jax.random.PRNGKey(0), (max(8, M), pw.Kp),
+                              jnp.bfloat16)
     default = (2048, 1024) if M <= 64 else (512, 256)
     results: dict[tuple[int, int], float] = {}
     for tk, tn in dict.fromkeys([default] + CANDIDATES):
@@ -139,12 +147,17 @@ def tune_packed(pw, M: int = 8, log=lambda s: None) -> tuple[int, int]:
     return best
 
 
-def tune_model(params: dict, M: int = 8, log=print) -> None:
-    """Pre-tune every unique PackedWeight shape in a params pytree."""
+def tune_model(params: dict, M: int = 8, log=print, act: str = "bf16",
+               budget_s: float = 600.0) -> None:
+    """Pre-tune every unique PackedWeight shape in a params pytree.
+
+    budget_s caps total tuning wall time (compile-dominated on relayed
+    chips); shapes past the budget keep the static default."""
     import jax
 
     from gptq_tpu.ops.pack import PackedWeight
 
+    t0 = time.perf_counter()
     seen = set()
     for leaf in jax.tree.leaves(
             params, is_leaf=lambda x: isinstance(x, PackedWeight)):
@@ -154,4 +167,7 @@ def tune_model(params: dict, M: int = 8, log=print) -> None:
         if sig in seen:
             continue
         seen.add(sig)
-        tune_packed(leaf, M=M, log=log)
+        if time.perf_counter() - t0 > budget_s:
+            log(f"autotune budget exhausted; {sig} keeps defaults")
+            continue
+        tune_packed(leaf, M=M, log=log, act=act)

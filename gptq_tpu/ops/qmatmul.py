@@ -179,7 +179,8 @@ def _matmul_pallas(x: jax.Array, pw: PackedWeight, tk: int = 0, tn: int = 0,
     if not tk or not tn:
         from gptq_tpu.ops.autotune import best_tiles
 
-        tuned = best_tiles(pw.K, pw.N, pw.bits, pw.groupsize, pw.fmt, M)
+        act = "int8" if x.dtype == jnp.int8 else "bf16"
+        tuned = best_tiles(pw.K, pw.N, pw.bits, pw.groupsize, pw.fmt, M, act)
         if tuned:
             tk, tn = tuned
         else:
