@@ -160,6 +160,138 @@ def _qmm_kernel(bits, tk, tn, n_kt, sb, dot_dtype,
         out_ref[:] = acc_ref[:]
 
 
+def _stream_kernel(fb, sh8_off, tk, tn, n_ck, sb, dot_dtype, ng, g,
+                   x_ref, scale_ref, zoff_ref, w_hbm, out_ref):
+    """EXPERIMENTAL streamed matvec tile (GPTQ_TPU_MATMUL_IMPL=streamed):
+    grid over N tiles only; the kernel loops K chunks itself with
+    double-buffered DMA from HBM, removing per-(nt, kt) grid-invocation
+    overhead. Measured: no better than the auto-pipelined kernel in the
+    full model (7.24 vs 7.0 ms/token llama-7B) — Pallas's automatic
+    pipeline already overlaps well; microbench "wins" on small weights
+    came from XLA keeping ANY-space arrays VMEM-resident across timing
+    iterations, which a real model cannot do. Kept as a tuning surface
+    for future shapes."""
+    nt = pl.program_id(0)
+    P = 32 // fb
+    rows_ck = tk // P  # word rows per K chunk
+    M = x_ref.shape[0]
+    int8_acts = dot_dtype == jnp.int8
+    acc_t = jnp.int32 if int8_acts else jnp.float32
+
+    def body(wbuf, acc_ref, sem):
+        def get_dma(slot, c):
+            return pltpu.make_async_copy(
+                w_hbm.at[pl.ds(c * rows_ck, rows_ck),
+                         pl.ds(nt * tn, tn)],
+                wbuf.at[slot],
+                sem.at[slot],
+            )
+
+        get_dma(0, 0).start()
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        def loop(c, _):
+            slot = c % 2
+
+            @pl.when(c + 1 < n_ck)
+            def _():
+                get_dma((c + 1) % 2, c + 1).start()
+
+            get_dma(slot, c).wait()
+            fields = _unpack_fields_i8([wbuf.at[slot]], {1: 1, 2: 2, 4: 4,
+                                                         8: 8}[fb], tk, tn,
+                                       sb)
+            _sh, _off, c8 = fields[0]
+            if dot_dtype not in (jnp.bfloat16, jnp.int8):
+                c8 = c8.astype(dot_dtype)
+            # group chunks inside this K chunk
+            ng_ck = max(1, tk // g) if g < tk else 1
+            cs = tk // ng_ck
+            acc = acc_ref[:]
+            for gi in range(ng_ck):
+                xg = x_ref[:, pl.ds(c * tk + gi * cs, cs)]
+                part = jnp.dot(xg, c8[gi * cs:(gi + 1) * cs],
+                               preferred_element_type=acc_t)
+                xs = jnp.sum(xg.astype(jnp.int32) if int8_acts else
+                             xg.astype(jnp.float32), axis=1, keepdims=True)
+                # group index within the full K
+                if ng == 1:
+                    s = scale_ref[0]
+                    z = zoff_ref[0]
+                    acc = (acc + part.astype(jnp.float32) * s +
+                           xs.astype(jnp.float32) * (sh8_off * s - z))
+                else:
+                    gidx = (c * tk) // g + gi
+                    s = scale_ref[gidx]
+                    z = zoff_ref[gidx]
+                    acc = (acc + part.astype(jnp.float32) * s +
+                           xs.astype(jnp.float32) * (sh8_off * s - z))
+            acc_ref[:] = acc
+            return 0
+
+        jax.lax.fori_loop(0, n_ck, loop, 0, unroll=False)
+        out_ref[:] = acc_ref[:]
+
+    pl.run_scoped(
+        body,
+        wbuf=pltpu.VMEM((2, rows_ck, tn), jnp.int32),
+        acc_ref=pltpu.VMEM((M, tn), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def _matmul_streamed(x: jax.Array, pw: PackedWeight, tk: int = 0,
+                     tn: int = 0, interpret: bool = False) -> jax.Array:
+    """Streamed variant: only for single-field formats (2/4/8-bit).
+
+    x padded (M, Kp); returns (M, Np)."""
+    M, K = x.shape
+    N = pw.Np
+    assert K == pw.Kp and len(pw.words) == 1
+    fb, _sh = FIELD_SPLITS[pw.bits][0]
+    sb = subblock(K, pw.groupsize)
+    tk = tk or min(2048, K)
+    tk = _pick_tile(K, tk) if K % tk else tk
+    tk = max(tk, sb)
+    tn = tn or min(1024, N)
+    tn = _pick_tile(N, tn) if N % tn else tn
+    assert K % tk == 0 and N % tn == 0 and tk % sb == 0
+    ng = pw.scale.shape[0]
+    g = K // ng
+    if not (tk % g == 0 or g % tk == 0) or (g < tk and g < 128):
+        raise ValueError("streamed kernel needs group-aligned chunks")
+    if x.dtype == jnp.int8:
+        dot_dtype = jnp.int8
+    elif x.dtype == jnp.bfloat16:
+        dot_dtype = jnp.bfloat16
+    else:
+        dot_dtype = jnp.float32
+    sh8_off = 128 if pw.bits == 8 else 0
+
+    kernel = functools.partial(_stream_kernel, fb, sh8_off, tk, tn,
+                               K // tk, sb, dot_dtype, ng, g)
+    out = pl.pallas_call(
+        kernel,
+        grid=(N // tn,),
+        in_specs=[
+            pl.BlockSpec((M, K), lambda nt: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, 1, tn), lambda nt: (0, 0, nt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, 1, tn), lambda nt: (0, 0, nt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # words stay in HBM
+        ],
+        out_specs=pl.BlockSpec((M, tn), lambda nt: (0, nt),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(x, pw.scale[:, None, :], pw.zoff[:, None, :], pw.words[0])
+    return out
+
+
 def _pick_tile(dim: int, prefer: int, minimum: int = 128) -> int:
     """Largest power-of-two-ish tile <= prefer that divides dim."""
     t = min(prefer, dim)
@@ -286,16 +418,23 @@ def dequant_matmul(
         x2 = x2[:, pw.perm]
     M = x2.shape[0]
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        import os
+
+        impl = os.environ.get(
+            "GPTQ_TPU_MATMUL_IMPL",
+            "pallas" if jax.default_backend() == "tpu" else "xla")
     sx = None
     if a8:
         x2, sx = quantize_acts_int8(x2)
-    if impl == "pallas":
+    if impl in ("pallas", "streamed"):
         # pad rows to the f32 sublane minimum and K to the stored pad
         Mp = max(8, ((M + 7) // 8) * 8)
         if Mp != M or pw.Kp != pw.K:
             x2 = jnp.pad(x2, ((0, Mp - M), (0, pw.Kp - pw.K)))
-        y = _matmul_pallas(x2, pw, interpret=interpret)[:M, :pw.N]
+        if impl == "streamed" and len(pw.words) == 1:
+            y = _matmul_streamed(x2, pw, interpret=interpret)[:M, :pw.N]
+        else:
+            y = _matmul_pallas(x2, pw, interpret=interpret)[:M, :pw.N]
     else:
         if a8:  # oracle: the kernel epilogue is linear in x, so the
             # quantized activations feed the dense path unchanged
