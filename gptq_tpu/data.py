@@ -12,8 +12,6 @@ dataset copies, or use `synthetic_stream` for plumbing tests.
 from __future__ import annotations
 
 import random
-from typing import Any
-
 import numpy as np
 
 

@@ -12,8 +12,6 @@ adamw), dp-sharded batch, tp-sharded weights — the `_mp_fn` xla_spawn hook
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -23,7 +23,6 @@ a global gather on x and are not supported here — use the GSPMD path.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any
 
 import jax
