@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
     # BCQ / LUT
     p.add_argument("--bcq", action="store_true")
     p.add_argument("--lut_bench", action="store_true")
+    p.add_argument("--quant_lm_head", type=int, default=0, metavar="BITS",
+                   help="also quantize the output projection (RTN, e.g. 8); "
+                        "beyond-reference serving option")
     p.add_argument("--lut_eval", action="store_true")
     p.add_argument("--bcq_round", type=int, default=5)
     p.add_argument("--columnwise", action="store_true")
@@ -232,6 +235,12 @@ def main(argv=None) -> int:
             from gptq_tpu.pipeline import pack_model
 
             pack_model(spec, params, quantizers, cfg, tp=max(1, args.tp))
+            if args.quant_lm_head:
+                from gptq_tpu.pipeline import quantize_lm_head
+
+                if quantize_lm_head(spec, params, bits=args.quant_lm_head,
+                                    tp=max(1, args.tp)):
+                    print(f"lm_head quantized to {args.quant_lm_head} bits")
         if args.save:
             save_checkpoint(args.save, spec, params, cfg)
             print(f"saved {args.save}")

@@ -28,7 +28,7 @@ import numpy as np
 from gptq_tpu.config import MixedPrecision, QuantConfig
 from gptq_tpu.models.common import ArchSpec, block_forward, build_mask, embed_forward
 from gptq_tpu.models.registry import get_arch
-from gptq_tpu.ops.pack import pack_bcq, pack_quantized
+from gptq_tpu.ops.pack import PackedWeight, pack_bcq, pack_quantized
 from gptq_tpu.quant.bcq import quantize_shift
 from gptq_tpu.quant.gptq import SolverConfig, gptq_quantize, hessian_init, hessian_update
 from gptq_tpu.quant.rtn import bcq_rtn_weight, rtn_quantize_weight
@@ -334,3 +334,25 @@ def pack_model(spec: ArchSpec, params: dict, quantizers: dict,
                 _, B = bcq_quantize(W.astype(jnp.float32), q["alpha"], groupsize=gs)
                 bp[key]["w"] = pack_bcq(B, q["alpha"], groupsize=gs, tp=tp)
     return params
+
+
+def quantize_lm_head(spec: ArchSpec, params: dict, bits: int = 8,
+                     tp: int = 1) -> bool:
+    """Opt-in lm_head quantization (beyond reference: the reference always
+    serves the output projection dense). Per-channel RTN — the head has no
+    calibration Hessian in the sequential pipeline — then packed for the
+    fused kernels. 8-bit is ~lossless; at decode the head matvec is the
+    single largest non-layer cost (~0.35 ms/token at llama-7B scale in
+    bf16). No-op (returns False) for tied embeddings."""
+    from gptq_tpu.quant.uniform import find_params, quantize_uniform
+
+    lm = params.get("lm_head")
+    if lm is None or lm.get("w") is None or isinstance(lm["w"], PackedWeight):
+        return False
+    W = lm["w"].astype(jnp.float32)  # (vocab, hidden)
+    p = find_params(W, bits=bits, perchannel=True, weight=True)
+    Q = quantize_uniform(W, p.scale, p.zero, (1 << bits) - 1)
+    scale = p.scale.reshape(1, -1)  # (1, vocab)
+    zero = p.zero.reshape(1, -1)
+    lm["w"] = pack_quantized(Q, scale, zero, bits, groupsize=-1, tp=tp)
+    return True

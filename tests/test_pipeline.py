@@ -168,6 +168,26 @@ def test_fused_serving_llama_matches():
     )
 
 
+def test_quant_lm_head_8bit_near_lossless():
+    from gptq_tpu.ops.pack import PackedWeight
+    from gptq_tpu.pipeline import quantize_lm_head
+
+    model = make_model("llama")
+    spec, params = params_from_hf_torch(model)
+    calib, test = calib_and_test()
+    ids = jnp.asarray(test[:, :SEQLEN])
+    logits_dense, _ = model_forward(spec, params, ids)
+
+    assert quantize_lm_head(spec, params, bits=8)
+    assert isinstance(params["lm_head"]["w"], PackedWeight)
+    logits_q, _ = model_forward(spec, params, ids)
+    denom = float(jnp.abs(logits_dense).max())
+    rel = float(jnp.abs(logits_q - logits_dense).max()) / denom
+    assert rel < 0.01, rel
+    # idempotent / tied-embedding no-op
+    assert not quantize_lm_head(spec, params, bits=8)
+
+
 def test_a8_serving_close_to_a16():
     """--faster-kernel (dynamic int8 activations) must jit and stay close
     to the full-precision-activation packed model."""
