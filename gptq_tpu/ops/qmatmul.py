@@ -68,11 +68,14 @@ def _unpack_fields_i8(word_refs, bits: int, tk: int, tn: int, sb: int):
         nsb = tk // sb
         wu = ref[:]  # int32 (tk//P, tn)
         byte_mask = ((1 << fb) - 1) * 0x01010101
+        # the field's code shift applies at the WORD level (Mosaic has no
+        # int8 vector shifts); fb + sh <= 8 for every split so bytes
+        # cannot overflow into neighbours
         planes = []
         for e in range(E):
             v = wu if e == 0 else jax.lax.shift_right_logical(wu, fb * e)
             if fb != 8:
-                v = v & byte_mask
+                v = (v & byte_mask) << sh if sh else v & byte_mask
             planes.append(pltpu.bitcast(v, jnp.int8))  # (4*tk//P, tn)
         if nsb == 1:
             c8 = planes[0] if E == 1 else jnp.concatenate(planes, axis=0)
@@ -116,20 +119,21 @@ def _qmm_kernel(bits, tk, tn, n_kt, sb, dot_dtype,
 
     if cs >= 128:
         # code-dot path: one MXU dot per (field, group chunk) + (M, tn)
-        # epilogue; field shifts and the 8-bit storage offset fold into it.
-        # bf16 x int8 / int8 x int8 are native MXU modes — raw int8 codes
+        # epilogue; bf16 x int8 / int8 x int8 are native MXU modes — raw
+        # int8 codes, field shifts pre-applied at the word level. (A single
+        # combined int8 code tile for 3-bit is not expressible: Mosaic has
+        # no int8 vector add/shift; partials add in the accumulator type.)
         x = x_ref[:]
         acc = acc_ref[:]
-        cf = [(sh, c8 if dot_dtype in (jnp.bfloat16, jnp.int8)
-               else c8.astype(dot_dtype)) for sh, _off, c8 in fields]
+        cf = [c8 if dot_dtype in (jnp.bfloat16, jnp.int8)
+              else c8.astype(dot_dtype) for _sh, _off, c8 in fields]
         acc_t = jnp.int32 if int8_acts else jnp.float32
         for gi in range(ng_tile):
             xg = x[:, gi * cs:(gi + 1) * cs]
             part = None
-            for sh, c in cf:
+            for c in cf:
                 d = jnp.dot(xg, c[gi * cs:(gi + 1) * cs],
                             preferred_element_type=acc_t)
-                d = d * (1 << sh) if sh else d
                 part = d if part is None else part + d
             xs = jnp.sum(xg.astype(jnp.int32) if int8_acts else
                          xg.astype(jnp.float32), axis=1, keepdims=True)
@@ -139,10 +143,11 @@ def _qmm_kernel(bits, tk, tn, n_kt, sb, dot_dtype,
         acc_ref[:] = acc
     else:
         # small groups: dequantize in-tile (scale/zoff are (ng_tile, 1, tn);
-        # the group axis leads so the broadcast stays sublane-aligned)
+        # the group axis leads so the broadcast stays sublane-aligned).
+        # field shifts are pre-applied; the 8-bit storage offset is not
         codes = None
-        for sh, off, c8 in fields:
-            c = (c8.astype(jnp.int32) + (off >> sh if off else 0)) << sh
+        for _sh, off, c8 in fields:
+            c = c8.astype(jnp.int32) + off
             codes = c if codes is None else codes + c
         reps = tk // ng_tile
 
