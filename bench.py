@@ -166,6 +166,18 @@ def measure_decode(spec, params, n_tokens=96, max_len=256, reps=5,
     return (t_full - t_half) / (n_tokens - half)
 
 
+def _retry(fn, attempts: int = 2):
+    """The relayed backend's compile service occasionally drops a request
+    (HTTP 500 / closed body); one retry rides it out."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception:  # noqa: BLE001
+            if i == attempts - 1:
+                raise
+            time.sleep(5)
+
+
 def main():
     spec = llama7b_spec()
     try:
@@ -177,13 +189,16 @@ def main():
         # int8 activations keep the static default tiles: per-kernel
         # microbench winners for int8 measured worse in the full model
         # (noise-prone), while the static default reproduces reliably.
-        fused = fuse_serving(spec, params_q)
-        tune_model(fused, M=8, log=lambda s: None)
-        del fused
-        t_q = measure_decode(spec, params_q)
+        try:
+            fused = fuse_serving(spec, params_q)
+            tune_model(fused, M=8, log=lambda s: None, budget_s=420.0)
+            del fused
+        except Exception:  # noqa: BLE001 — tuning is best-effort
+            pass
+        t_q = _retry(lambda: measure_decode(spec, params_q))
         # fast path: dynamic int8 activations (the reference's headline
         # 3.25x is its --faster-kernel number; this is ours)
-        t_q8 = measure_decode(spec, params_q, a8=True)
+        t_q8 = _retry(lambda: measure_decode(spec, params_q, a8=True))
         del params_q
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"metric": "llama7b-4bit decode", "value": 0,
