@@ -48,6 +48,27 @@ def test_chained_generate_matches_per_token():
     assert got.tolist() == want.tolist()
 
 
+def test_a8_engine_generates():
+    """--faster-kernel engine path: packed weights + int8 activations must
+    jit and decode (tokens may legitimately differ from the a16 path)."""
+    from gptq_tpu.config import QuantConfig
+    from gptq_tpu.models.common import init_params as _ip
+    from gptq_tpu.pipeline import pack_model, quantize_model
+
+    params = init_params(SPEC, jax.random.PRNGKey(7))
+    calib = jnp.asarray(
+        np.random.default_rng(7).integers(0, 61, size=(2, 8)))
+    cfg = QuantConfig(wbits=4, nsamples=2)
+    res = quantize_model(SPEC, params, calib, cfg, log=lambda s: None)
+    pack_model(SPEC, params, res.quantizers, cfg)
+
+    engine = DecodeEngine(SPEC, params, max_len=32, a8=True)
+    out = engine.generate_chained(np.asarray([[1, 2, 3]]), max_new_tokens=5,
+                                  chunk=2)
+    assert out.shape == (1, 5)
+    assert (out >= 0).all() and (out < 61).all()
+
+
 def test_chained_benchmark_ppl_matches_per_token():
     params = init_params(SPEC, jax.random.PRNGKey(1))
     ids = np.random.default_rng(0).integers(0, 61, size=(1, 8))
