@@ -110,7 +110,15 @@ def _prefill_fn(spec: ArchSpec):
 class ContinuousBatcher:
     def __init__(self, spec: ArchSpec, params: dict, batch_slots: int = 8,
                  max_len: int = 2048, cache_dtype=jnp.bfloat16,
-                 prefill_buckets=(32, 64, 128, 256, 512, 1024)):
+                 prefill_buckets=(32, 64, 128, 256, 512, 1024),
+                 mesh=None):
+        """mesh: optional jax Mesh with a "dp" axis — the slot (request)
+        dimension of the KV cache and token state shards across it, so one
+        lock-step decode serves batch_slots requests data-parallel across
+        chips/hosts (weights replicate over dp; combine with the "tp" axis
+        via parallel.mesh.shard_params for tensor parallelism). GSPMD
+        partitions the jitted step; the batch-level DCN communication
+        pattern of SURVEY.md §2.3."""
         self.spec = spec
         self.params = params
         self.B = batch_slots
@@ -120,6 +128,19 @@ class ContinuousBatcher:
         self.vc = jnp.zeros(shape, cache_dtype)
         self.lengths = jnp.zeros((batch_slots,), jnp.int32)
         self.tokens = jnp.zeros((batch_slots,), jnp.int32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = mesh.shape.get("dp", 1)
+            if batch_slots % max(1, dp):
+                raise ValueError(
+                    f"batch_slots {batch_slots} must divide dp={dp}")
+            slot_sh = NamedSharding(mesh, P(None, "dp"))
+            vec_sh = NamedSharding(mesh, P("dp"))
+            self.kc = jax.device_put(self.kc, slot_sh)
+            self.vc = jax.device_put(self.vc, slot_sh)
+            self.lengths = jax.device_put(self.lengths, vec_sh)
+            self.tokens = jax.device_put(self.tokens, vec_sh)
         self.slot_req: list[Request | None] = [None] * batch_slots
         self.queue: list[Request] = []
         self.finished: list[Request] = []

@@ -32,6 +32,31 @@ def test_continuous_batching_matches_sequential():
     assert got == want
 
 
+def test_dp_sharded_batcher_matches_unsharded():
+    """Slot dim sharded over a dp mesh must produce identical tokens."""
+    from gptq_tpu.parallel.mesh import make_mesh
+
+    params = init_params(SPEC, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(1, 61, size=(n,)) for n in (5, 6, 4, 8)]
+
+    cb0 = ContinuousBatcher(SPEC, params, batch_slots=4, max_len=64,
+                            cache_dtype=jnp.float32,
+                            prefill_buckets=(8, 16))
+    for p in prompts:
+        cb0.submit(p, max_new_tokens=5)
+    want = [r.output for r in cb0.run()]
+
+    mesh = make_mesh(tp=1, dp=4)
+    cb = ContinuousBatcher(SPEC, params, batch_slots=4, max_len=64,
+                           cache_dtype=jnp.float32, prefill_buckets=(8, 16),
+                           mesh=mesh)
+    for p in prompts:
+        cb.submit(p, max_new_tokens=5)
+    got = [r.output for r in cb.run()]
+    assert got == want
+
+
 def test_more_requests_than_slots_all_complete():
     params = init_params(SPEC, jax.random.PRNGKey(1))
     rng = np.random.default_rng(1)
