@@ -151,19 +151,38 @@ def alibi_slopes(n_heads: int) -> np.ndarray:
 
 
 class KVCache(NamedTuple):
-    """Per-layer preallocated cache; `length` is the filled prefix."""
+    """Per-layer preallocated cache; `length` is the filled prefix.
+
+    With dtype=int8 the cache stores dynamically quantized keys/values
+    (per-token, per-head absmax scales in k_scale/v_scale) — half the
+    HBM footprint and stream bandwidth of bf16, a serving capability the
+    reference has no counterpart for (its cache is torch fp16)."""
 
     k: jax.Array  # (L, B, max_len, kv_heads, hd)
     v: jax.Array
     length: jax.Array  # scalar int32
+    k_scale: Optional[jax.Array] = None  # (L, B, max_len, kv_heads) f32
+    v_scale: Optional[jax.Array] = None
 
     @staticmethod
     def init(spec: ArchSpec, batch: int, max_len: int, dtype=jnp.bfloat16) -> "KVCache":
         shape = (spec.n_layers, batch, max_len, spec.kv_heads, spec.hd)
+        scales = None
+        if dtype == jnp.int8:
+            scales = jnp.zeros(shape[:-1], jnp.float32)
         return KVCache(
             k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
             length=jnp.zeros((), jnp.int32),
+            k_scale=scales, v_scale=scales,
         )
+
+
+def _quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(B, T, H, hd) -> int8 values + (B, T, H) per-token-head scales."""
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1) / 127.0 + 1e-12
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
 
 
 # ---------------------------------------------------------------------------
@@ -393,7 +412,10 @@ def block_forward(
         k = apply_rope(k, cos, sin)
 
     if cache is not None:
-        ck, cv = cache
+        ck, cv = cache[0], cache[1]
+        ks = vs = None
+        if len(cache) == 4 and cache[2] is not None:
+            ks, vs = cache[2], cache[3]  # int8 cache: (B, S, kvh) scales
         if getattr(cache_len, "ndim", 0) == 1:
             # per-slot offsets (continuous batching): vmap the update over B
             upd = jax.vmap(
@@ -402,13 +424,25 @@ def block_forward(
             )
             ck = upd(ck, k, cache_len)
             cv = upd(cv, v, cache_len)
+        elif ks is not None:
+            kq, ksn = _quantize_kv(k)
+            vq, vsn = _quantize_kv(v)
+            ck = jax.lax.dynamic_update_slice(ck, kq, (0, cache_len, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, vq, (0, cache_len, 0, 0))
+            ks = jax.lax.dynamic_update_slice(ks, ksn, (0, cache_len, 0))
+            vs = jax.lax.dynamic_update_slice(vs, vsn, (0, cache_len, 0))
         else:
             ck = jax.lax.dynamic_update_slice(
                 ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
             cv = jax.lax.dynamic_update_slice(
                 cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
-        k_all, v_all = ck, cv
-        new_kv = (ck, cv)
+        if ks is not None:
+            k_all = ck.astype(jnp.float32) * ks[..., None]
+            v_all = cv.astype(jnp.float32) * vs[..., None]
+            new_kv = (ck, cv, ks, vs)
+        else:
+            k_all, v_all = ck, cv
+            new_kv = (ck, cv)
     else:
         k_all, v_all = k, v
         new_kv = None
@@ -528,11 +562,15 @@ def model_forward(
     rope = rope_tables(spec, positions) if spec.pos == "rope" else None
     ck = cache.k if cache is not None else None
     cv = cache.v if cache is not None else None
+    ks = cache.k_scale if cache is not None else None
+    vs = cache.v_scale if cache is not None else None
     for i, bp in enumerate(params["layers"]):
         layer_cache = None
         clen = None
         if cache is not None:
-            layer_cache = (ck[i], cv[i])
+            layer_cache = (ck[i], cv[i],
+                           None if ks is None else ks[i],
+                           None if vs is None else vs[i])
             clen = cache.length
         h, new_kv, _ = block_forward(
             spec, bp, h, positions=positions, mask=mask,
@@ -546,10 +584,14 @@ def model_forward(
                 ck, new_kv[0].astype(ck.dtype), i, 0)
             cv = jax.lax.dynamic_update_index_in_dim(
                 cv, new_kv[1].astype(cv.dtype), i, 0)
+            if len(new_kv) == 4:
+                ks = jax.lax.dynamic_update_index_in_dim(ks, new_kv[2], i, 0)
+                vs = jax.lax.dynamic_update_index_in_dim(vs, new_kv[3], i, 0)
     logits = head_forward(spec, params, h)
     new_cache = None
     if cache is not None:
-        new_cache = KVCache(k=ck, v=cv, length=cache.length + T)
+        new_cache = KVCache(k=ck, v=cv, length=cache.length + T,
+                            k_scale=ks, v_scale=vs)
     return logits, new_cache
 
 

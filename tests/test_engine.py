@@ -48,6 +48,35 @@ def test_chained_generate_matches_per_token():
     assert got.tolist() == want.tolist()
 
 
+def test_int8_kv_cache_decode_close():
+    """int8 KV cache (dynamic per-token-head scales) must stay close to
+    the full-precision cache on multi-step decode."""
+    params = init_params(SPEC, jax.random.PRNGKey(9))
+    prompt = np.asarray([[4, 9, 2, 7]])
+
+    ref_engine = DecodeEngine(SPEC, params, max_len=32,
+                              cache_dtype=jnp.float32)
+    logits_ref, cache_ref = ref_engine.prefill(jnp.asarray(prompt))
+    q_engine = DecodeEngine(SPEC, params, max_len=32, cache_dtype=jnp.int8)
+    logits_q, cache_q = q_engine.prefill(jnp.asarray(prompt))
+    assert cache_q.k.dtype == jnp.int8 and cache_q.k_scale is not None
+    np.testing.assert_allclose(np.asarray(logits_q), np.asarray(logits_ref),
+                               rtol=0.05, atol=0.05)
+
+    # several decode steps through the quantized cache
+    tok = jnp.argmax(logits_q, axis=-1)[:, None]
+    tok_ref = jnp.argmax(logits_ref, axis=-1)[:, None]
+    for _ in range(4):
+        logits_q, cache_q = q_engine._step(q_engine.params, cache_q, tok)
+        logits_ref, cache_ref = ref_engine._step(ref_engine.params,
+                                                 cache_ref, tok_ref)
+        tok = jnp.argmax(logits_q, axis=-1)[:, None]
+        tok_ref = jnp.argmax(logits_ref, axis=-1)[:, None]
+    denom = float(jnp.abs(logits_ref).max())
+    rel = float(jnp.abs(logits_q - logits_ref).max()) / denom
+    assert rel < 0.1, rel
+
+
 def test_a8_engine_generates():
     """--faster-kernel engine path: packed weights + int8 activations must
     jit and decode (tokens may legitimately differ from the a16 path)."""
