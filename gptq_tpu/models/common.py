@@ -195,6 +195,7 @@ def attention(
     k: jax.Array,  # (B, S, kv_heads, hd)
     v: jax.Array,
     mask: jax.Array,  # (B, 1, T, S) additive bias (0 / -inf, + alibi)
+    plain_causal: bool = False,  # mask is exactly causal (no cache/alibi)
 ) -> jax.Array:
     B, T, H, hd = q.shape
     kvh = k.shape[2]
@@ -202,6 +203,21 @@ def attention(
         rep = H // kvh
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
+    if (plain_causal and T == k.shape[1] and T >= 512 and T % 128 == 0
+            and hd % 128 == 0 and jax.default_backend() == "tpu"):
+        # prefill at scale: the einsum path materializes (H, T, S) f32
+        # scores (537 MB/layer at T=2048, llama-7B); blocked online-softmax
+        # flash attention keeps them in VMEM tiles
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention)
+
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            causal=True, sm_scale=float(spec.scale),
+        )
+        return out.transpose(0, 2, 1, 3).reshape(B, T, H * hd).astype(q.dtype)
     qf = q.astype(jnp.float32) * spec.scale
     scores = jnp.einsum("bthd,bshd->bhts", qf, k.astype(jnp.float32))
     scores = scores + mask
@@ -447,7 +463,8 @@ def block_forward(
         k_all, v_all = k, v
         new_kv = None
 
-    attn = attention(spec, q, k_all, v_all, mask)
+    attn = attention(spec, q, k_all, v_all, mask,
+                     plain_causal=cache is None and spec.pos != "alibi")
     o_name = {"bloom": "self_attention.dense", "opt": "self_attn.out_proj"}.get(
         spec.arch, "self_attn.o_proj"
     )
