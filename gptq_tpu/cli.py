@@ -166,6 +166,12 @@ def main(argv=None) -> int:
     if args.load:
         spec, params, _ = load_checkpoint(args.load)
         print(f"loaded packed checkpoint {args.load}")
+        if args.quant_lm_head:
+            from gptq_tpu.pipeline import quantize_lm_head
+
+            if quantize_lm_head(spec, params, bits=args.quant_lm_head,
+                                tp=max(1, args.tp)):
+                print(f"lm_head quantized to {args.quant_lm_head} bits")
     else:
         spec, params = params_from_dir(args.model)
         if args.load_safetensor or args.load_weights:

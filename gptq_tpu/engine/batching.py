@@ -123,6 +123,11 @@ class ContinuousBatcher:
         self.params = params
         self.B = batch_slots
         self.S = max_len
+        if cache_dtype == jnp.int8:
+            raise NotImplementedError(
+                "ContinuousBatcher does not thread the int8 KV cache's "
+                "scale planes yet; use bf16/f32 (DecodeEngine supports "
+                "cache_dtype=int8)")
         shape = (spec.n_layers, batch_slots, max_len, spec.kv_heads, spec.hd)
         self.kc = jnp.zeros(shape, cache_dtype)
         self.vc = jnp.zeros(shape, cache_dtype)
@@ -134,7 +139,7 @@ class ContinuousBatcher:
             dp = mesh.shape.get("dp", 1)
             if batch_slots % max(1, dp):
                 raise ValueError(
-                    f"batch_slots {batch_slots} must divide dp={dp}")
+                    f"dp={dp} must divide batch_slots={batch_slots}")
             slot_sh = NamedSharding(mesh, P(None, "dp"))
             vec_sh = NamedSharding(mesh, P("dp"))
             self.kc = jax.device_put(self.kc, slot_sh)

@@ -59,6 +59,10 @@ def save_checkpoint(path: str, spec: ArchSpec, params: dict,
                     cfg: QuantConfig | None = None) -> None:
     flat, meta = _flatten(params)
     header = {
+        # packed-word layout generation: 2 = byteplane-subblock order
+        # (ops/pack.py). Bump on any incompatible layout change so stale
+        # checkpoints fail loudly instead of decoding scrambled weights.
+        "pack_format": 2,
         "spec": dataclasses.asdict(spec),
         "config": dataclasses.asdict(cfg) if cfg else None,
         "packed": meta,
@@ -86,6 +90,12 @@ def load_checkpoint(path: str):
         path = path + ".npz"
     z = np.load(path, allow_pickle=False)
     header = json.loads(bytes(z["__header__"]).decode())
+    fmt = header.get("pack_format", 1)
+    if fmt != 2 and header["packed"]:
+        raise ValueError(
+            f"checkpoint {path} uses packed-word layout v{fmt}; this build "
+            f"reads v2 (byteplane order). Re-quantize and --save with this "
+            f"build, or load the original fp weights instead.")
     spec = ArchSpec(**header["spec"])
     cfg = QuantConfig(**header["config"]) if header["config"] else None
 

@@ -432,14 +432,34 @@ def block_forward(
         ks = vs = None
         if len(cache) == 4 and cache[2] is not None:
             ks, vs = cache[2], cache[3]  # int8 cache: (B, S, kvh) scales
+        elif ck.dtype == jnp.int8:
+            raise ValueError(
+                "int8 KV cache requires its scale planes: pass "
+                "(k, v, k_scale, v_scale) (KVCache.init(dtype=int8) "
+                "provides them); casting values to int8 without scales "
+                "silently truncates")
         if getattr(cache_len, "ndim", 0) == 1:
             # per-slot offsets (continuous batching): vmap the update over B
-            upd = jax.vmap(
-                lambda c, val, off: jax.lax.dynamic_update_slice(
-                    c, val.astype(c.dtype), (off, 0, 0))
-            )
-            ck = upd(ck, k, cache_len)
-            cv = upd(cv, v, cache_len)
+            if ks is not None:
+                kq, ksn = _quantize_kv(k)
+                vq, vsn = _quantize_kv(v)
+                upd = jax.vmap(
+                    lambda c, val, off: jax.lax.dynamic_update_slice(
+                        c, val, (off, 0, 0)))
+                upd_s = jax.vmap(
+                    lambda c, val, off: jax.lax.dynamic_update_slice(
+                        c, val, (off, 0)))
+                ck = upd(ck, kq, cache_len)
+                cv = upd(cv, vq, cache_len)
+                ks = upd_s(ks, ksn, cache_len)
+                vs = upd_s(vs, vsn, cache_len)
+            else:
+                upd = jax.vmap(
+                    lambda c, val, off: jax.lax.dynamic_update_slice(
+                        c, val.astype(c.dtype), (off, 0, 0))
+                )
+                ck = upd(ck, k, cache_len)
+                cv = upd(cv, v, cache_len)
         elif ks is not None:
             kq, ksn = _quantize_kv(k)
             vq, vsn = _quantize_kv(v)

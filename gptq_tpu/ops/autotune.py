@@ -121,7 +121,12 @@ def tune_packed(pw, M: int = 8, log=lambda s: None,
     else:
         x = jax.random.normal(jax.random.PRNGKey(0), (max(8, M), pw.Kp),
                               jnp.bfloat16)
-    default = (2048, 1024) if M <= 64 else (512, 256)
+    # the kernels' actual static defaults (qmatmul/_matmul_pallas and
+    # bcq_matmul/_matmul_pallas differ: bitplanes expand bits-x in VMEM)
+    if pw.fmt == "bcq":
+        default = (1024, 1024) if M <= 64 else (512, 256)
+    else:
+        default = (2048, 1024) if M <= 64 else (512, 256)
     results: dict[tuple[int, int], float] = {}
     for tk, tn in dict.fromkeys([default] + CANDIDATES):
         if pw.Kp % tk or pw.Np % tn:

@@ -74,14 +74,14 @@ def time_fn(fn, x, *args, iters: int = 5, warmup: int = 1,
     """Per-invocation latency: chain the kernel `chain` and `4*chain` times
     on-device (output feeds the next input, so the loop cannot collapse)
     and difference the two — the ~30 ms dispatch round-trip cancels."""
-    k_in = x.shape[-1]
 
     def make(length):
         @jax.jit
         def run(x, *args):
             def body(c, _):
                 y = fn(c, *args)
-                return (y[..., :k_in] * 1e-6 + c).astype(c.dtype), None
+                # scalar feedback: output-shape independent (n may be < k)
+                return (c + (jnp.sum(y) * 1e-9).astype(c.dtype)), None
             c, _ = jax.lax.scan(body, x, None, length=length)
             return c
         return run

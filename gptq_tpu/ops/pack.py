@@ -55,16 +55,19 @@ FIELD_SPLITS = {
 
 def subblock(K: int, groupsize: int = -1) -> int:
     """Byteplane subblock length: largest power of two <= 512 dividing K
-    (and the quantization groupsize, so group chunks cover whole subblocks).
+    (and the quantization groupsize, so group chunks cover whole subblocks
+    — needed by the code-dot group slicing and TP sharding).
 
     Both the packers and the kernels derive it from (K, groupsize), so it
-    is never stored. K % 32 == 0 guarantees SB >= 32 >= 4*Wsb-alignment for
-    every field."""
+    is never stored. Never below 32: a 1-bit field packs 32 rows per word,
+    so SB < 32 is unrepresentable. Groups smaller than 32 columns then
+    don't align to subblocks — harmless, because such groups always take
+    the in-tile dequant path (cs < 128), which has no alignment need."""
     sb = 512
     while K % sb:
         sb //= 2
     if groupsize > 0:
-        while groupsize % sb:
+        while groupsize % sb and sb > 32:
             sb //= 2
     return sb
 
@@ -278,6 +281,11 @@ def fuse_packed(pws: list) -> Optional["PackedWeight"]:
     for pw in pws:
         if (pw.fmt != p0.fmt or pw.bits != p0.bits or pw.Kp != p0.Kp
                 or pw.K != p0.K or pw.groupsize != p0.groupsize):
+            return None
+        if pw.bias is not None:
+            # the fused weight is built bias-less; only the layer dict's
+            # separate "b" entries are re-applied per part, so a bias baked
+            # into the PackedWeight itself would silently vanish
             return None
         if (pw.perm is None) != (p0.perm is None):
             return None
