@@ -34,6 +34,32 @@ def test_packed_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+def test_stale_pack_format_rejected(tmp_path):
+    """A packed checkpoint from the pre-byteplane layout must fail loudly,
+    not decode scrambled weights."""
+    import json
+
+    import pytest
+
+    params = init_params(SPEC, jax.random.PRNGKey(2))
+    calib = jnp.asarray(np.random.default_rng(2).integers(0, 61, size=(2, 8)))
+    cfg = QuantConfig(wbits=4, nsamples=2)
+    res = quantize_model(SPEC, params, calib, cfg, log=lambda s: None)
+    pack_model(SPEC, params, res.quantizers, cfg)
+    path = str(tmp_path / "old.npz")
+    save_checkpoint(path, SPEC, params, cfg)
+
+    # rewrite the header as a v1 checkpoint
+    z = dict(np.load(path, allow_pickle=False))
+    header = json.loads(bytes(z["__header__"]).decode())
+    header.pop("pack_format")
+    z["__header__"] = np.frombuffer(json.dumps(header).encode(),
+                                    dtype=np.uint8)
+    np.savez(path[:-4], **z)
+    with pytest.raises(ValueError, match="layout v1"):
+        load_checkpoint(path)
+
+
 def test_dense_checkpoint_roundtrip(tmp_path):
     params = init_params(SPEC, jax.random.PRNGKey(1))
     ids = jnp.asarray(np.random.default_rng(2).integers(0, 61, size=(1, 12)))

@@ -34,6 +34,18 @@ def test_pack_unpack_roundtrip(bits):
     assert total_words * 32 == K * N * bits
 
 
+@pytest.mark.parametrize("bits", [3, 2])
+def test_pack_roundtrip_tiny_groupsize(bits):
+    """groupsize < 32 must not break packing (subblock floors at 32; the
+    1-bit field packs 32 rows per word)."""
+    rng = np.random.default_rng(1)
+    K, N = 512, 32
+    codes = rng.integers(0, 2**bits, size=(K, N)).astype(np.int32)
+    words = pack_codes(jnp.asarray(codes), bits, groupsize=16)
+    got = np.asarray(unpack_codes(words, bits, groupsize=16))
+    np.testing.assert_array_equal(got, codes)
+
+
 def make_packed(bits=4, K=256, N=128, groupsize=-1, seed=0):
     rng = np.random.default_rng(seed)
     ng = 1 if groupsize <= 0 else K // groupsize
