@@ -194,9 +194,20 @@ def main(argv=None) -> int:
             params = params_from_state_dict(sd, spec)
             print(f"loaded fine-tuned weights from {src}")
 
-    from transformers import AutoTokenizer
+    # tokenizer only matters for calibration/eval; a --load --benchmark run
+    # (packed decode on random ids, reference: opt.py:661-702) must work
+    # offline without tokenizer files
+    try:
+        from transformers import AutoTokenizer
 
-    tokenizer = AutoTokenizer.from_pretrained(args.model, use_fast=False)
+        tokenizer = AutoTokenizer.from_pretrained(args.model, use_fast=False)
+    except Exception as e:  # noqa: BLE001
+        if args.benchmark and args.load:
+            tokenizer = None
+            print(f"tokenizer unavailable ({type(e).__name__}); "
+                  f"benchmark-only run continues")
+        else:
+            raise
     seqlen = spec.max_pos
 
     if args.tp > 1:
@@ -255,6 +266,8 @@ def main(argv=None) -> int:
     datasets = ["wikitext2", "ptb", "c4"]
     if args.new_eval:
         datasets = ["wikitext2", "ptb-new", "c4-new"]
+    if tokenizer is None:
+        datasets = []
     for ds in datasets:
         try:
             _, testenc = get_loaders(ds, seed=args.seed, seqlen=seqlen,
