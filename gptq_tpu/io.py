@@ -18,6 +18,7 @@ import json
 import os
 
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 
 from gptq_tpu.config import QuantConfig
@@ -58,6 +59,14 @@ def _flatten(tree, prefix="", out=None, meta=None):
 def save_checkpoint(path: str, spec: ArchSpec, params: dict,
                     cfg: QuantConfig | None = None) -> None:
     flat, meta = _flatten(params)
+    # numpy's npz format cannot represent bfloat16 (round-trips as a void
+    # dtype that jax rejects); store the raw bits as uint16 and record the
+    # keys so load restores the dtype
+    bf16_keys = []
+    for k, a in flat.items():
+        if a.dtype == ml_dtypes.bfloat16:
+            flat[k] = a.view(np.uint16)
+            bf16_keys.append(k)
     header = {
         # packed-word layout generation: 2 = byteplane-subblock order
         # (ops/pack.py). Bump on any incompatible layout change so stale
@@ -67,6 +76,7 @@ def save_checkpoint(path: str, spec: ArchSpec, params: dict,
         "config": dataclasses.asdict(cfg) if cfg else None,
         "packed": meta,
         "keys": sorted(flat.keys()),
+        "bf16_keys": sorted(bf16_keys),
     }
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(path if path.endswith(".npz") else path + ".npz",
@@ -104,6 +114,12 @@ def load_checkpoint(path: str):
     packed_meta = header["packed"]
 
     # collect plain arrays, grouping packed prefixes
+    bf16_keys = set(header.get("bf16_keys", []))
+
+    def arr(k):
+        a = z[k]
+        return a.view(ml_dtypes.bfloat16) if k in bf16_keys else a
+
     packed_fields: dict[str, dict] = {p: {} for p in packed_meta}
     plain: dict[str, np.ndarray] = {}
     for k in header["keys"]:
@@ -113,9 +129,9 @@ def load_checkpoint(path: str):
                 owner = p
                 break
         if owner is not None:
-            packed_fields[owner][k[len(owner) + 1:]] = z[k]
+            packed_fields[owner][k[len(owner) + 1:]] = arr(k)
         else:
-            plain[k] = z[k]
+            plain[k] = arr(k)
 
     def build_packed(prefix):
         m = packed_meta[prefix]

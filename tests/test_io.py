@@ -34,6 +34,24 @@ def test_packed_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+def test_bf16_params_roundtrip(tmp_path):
+    """npz cannot hold bfloat16 natively; the header's bf16_keys view must
+    restore it (serving checkpoints are bf16)."""
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        init_params(SPEC, jax.random.PRNGKey(5)))
+    ids = jnp.asarray(np.random.default_rng(5).integers(0, 61, size=(1, 8)))
+    want, _ = model_forward(SPEC, params, ids)
+    path = str(tmp_path / "bf16")
+    save_checkpoint(path, SPEC, params, None)
+    spec2, params2, _ = load_checkpoint(path)
+    assert params2["layers"][0]["q"]["w"].dtype == jnp.bfloat16
+    got, _ = model_forward(spec2, params2, ids)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_stale_pack_format_rejected(tmp_path):
     """A packed checkpoint from the pre-byteplane layout must fail loudly,
     not decode scrambled weights."""
