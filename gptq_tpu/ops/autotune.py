@@ -71,33 +71,10 @@ def best_tiles(K: int, N: int, bits: int, groupsize: int, fmt: str,
 
 
 def _time_eager(fn, x, iters: int = 64, reps: int = 3) -> float:
-    """Chained on-device timing of one matmul (dispatch RTT cancelled by
-    differencing two chain lengths; min over reps rejects chip noise)."""
-    import jax
-    import jax.numpy as jnp
+    """Chained on-device timing (see kernel_bench.chained_seconds)."""
+    from gptq_tpu.ops.kernel_bench import chained_seconds
 
-    def make(length):
-        @jax.jit
-        def run(x):
-            def body(c, _):
-                return c + (jnp.sum(fn(c)) * 1e-9).astype(c.dtype), None
-            c, _ = jax.lax.scan(body, x, None, length=length)
-            return c
-        return run
-
-    short, long = make(iters), make(3 * iters)
-    ts = []
-    for run in (short, long):
-        out = run(x)
-        float(np.asarray(out).ravel()[0])
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = run(x)
-            float(np.asarray(out).ravel()[0])
-            best = min(best, time.perf_counter() - t0)
-        ts.append(best)
-    return max((ts[1] - ts[0]) / (2 * iters), 1e-9)
+    return chained_seconds(fn, x, iters=iters, reps=reps)
 
 
 def tune_packed(pw, M: int = 8, log=lambda s: None,

@@ -69,6 +69,37 @@ class LatencyStats:
                 f"max {self.max_s*1e6:.1f}us")
 
 
+def chained_seconds(fn, x, *args, iters: int = 64, reps: int = 3) -> float:
+    """Canonical per-op device time: chain `iters` and `3*iters` calls
+    on-device (scalar feedback keeps the loop serial and output-shape
+    independent), difference the two so the ~30 ms dispatch round-trip
+    cancels, min over reps to reject chip noise. Shared by the autotuner;
+    time_fn below layers distribution stats on the same protocol."""
+
+    def make(length):
+        @jax.jit
+        def run(x, *args):
+            def body(c, _):
+                return c + (jnp.sum(fn(c, *args)) * 1e-9).astype(c.dtype), None
+            c, _ = jax.lax.scan(body, x, None, length=length)
+            return c
+        return run
+
+    short, long = make(iters), make(3 * iters)
+    ts = []
+    for run in (short, long):
+        out = run(x, *args)
+        float(np.asarray(out).ravel()[0])
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = run(x, *args)
+            float(np.asarray(out).ravel()[0])
+            best = min(best, time.perf_counter() - t0)
+        ts.append(best)
+    return max((ts[1] - ts[0]) / (2 * iters), 1e-9)
+
+
 def time_fn(fn, x, *args, iters: int = 5, warmup: int = 1,
             chain: int = 64) -> LatencyStats:
     """Per-invocation latency: chain the kernel `chain` and `4*chain` times
