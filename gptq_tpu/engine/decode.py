@@ -43,23 +43,35 @@ class DecodeEngine:
 
         self._step = _step
 
-        @partial(jax.jit, static_argnums=(3,))
-        def _chunk(params, cache: KVCache, token, n: int):
-            """n greedy decode steps chained on-device (one dispatch).
+        @partial(jax.jit, static_argnums=(3, 5, 6))
+        def _chunk(params, cache: KVCache, token, n: int, key=None,
+                   temperature: float = 0.0, top_k: int = 0):
+            """n decode steps chained on-device (one dispatch).
 
             On TPU each host->device dispatch costs a full round trip;
             chaining via lax.scan amortizes it over n tokens (the CUDA
             reference syncs per token, opt.py:489-501 — on TPU the idiomatic
-            serving loop lives on device)."""
+            serving loop lives on device). temperature 0 = greedy; top_k > 0
+            restricts sampling to the k most likely tokens."""
 
-            def body(carry, _):
+            def pick(logits, k):
+                if temperature <= 0.0:
+                    return jnp.argmax(logits, axis=-1)
+                lg = logits.astype(jnp.float32) / temperature
+                if top_k > 0:
+                    thresh = jax.lax.top_k(lg, top_k)[0][..., -1:]
+                    lg = jnp.where(lg < thresh, -jnp.inf, lg)
+                return jax.random.categorical(k, lg, axis=-1)
+
+            def body(carry, k):
                 tok, cache = carry
                 logits, cache = model_forward(spec, params, tok, cache)
-                nxt = jnp.argmax(logits[:, -1], axis=-1)
+                nxt = pick(logits[:, -1], k)
                 return (nxt[:, None], cache), nxt
 
-            (tok, cache), toks = jax.lax.scan(
-                body, (token, cache), None, length=n)
+            keys = (jax.random.split(key, n) if temperature > 0.0
+                    else jnp.zeros((n, 2), jnp.uint32))
+            (tok, cache), toks = jax.lax.scan(body, (token, cache), keys)
             return tok, cache, toks  # toks: (n, B)
 
         self._chunk = _chunk
@@ -85,11 +97,15 @@ class DecodeEngine:
         return np.stack(out, axis=1)
 
     def generate_chained(self, prompt_ids: np.ndarray, max_new_tokens: int,
-                         chunk: int = 32) -> np.ndarray:
-        """Greedy generation with the decode loop on-device: one dispatch per
-        `chunk` tokens instead of per token. Equivalent output to
-        `generate` (greedy)."""
+                         chunk: int = 32, temperature: float = 0.0,
+                         top_k: int = 0, key=None) -> np.ndarray:
+        """Generation with the decode loop on-device: one dispatch per
+        `chunk` tokens instead of per token. temperature 0 reproduces
+        `generate` (greedy); temperature > 0 samples (optionally top-k
+        truncated) with the given PRNG key."""
         ids = jnp.asarray(prompt_ids).reshape(self.batch, -1)
+        if temperature > 0.0 and key is None:
+            key = jax.random.PRNGKey(0)
         logits, cache = self.prefill(ids)
         first = jnp.argmax(logits, axis=-1)
         out = [first[:, None]]
@@ -97,7 +113,12 @@ class DecodeEngine:
         remaining = max_new_tokens - 1
         while remaining > 0:
             n = min(chunk, remaining)
-            tok, cache, toks = self._chunk(self.params, cache, tok, n)
+            if temperature > 0.0:
+                key, sub = jax.random.split(key)
+            else:
+                sub = None
+            tok, cache, toks = self._chunk(self.params, cache, tok, n, sub,
+                                           temperature, top_k)
             out.append(toks.T)  # (B, n)
             remaining -= n
         return np.asarray(jnp.concatenate(out, axis=1)[:, :max_new_tokens])

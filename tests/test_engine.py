@@ -48,6 +48,26 @@ def test_chained_generate_matches_per_token():
     assert got.tolist() == want.tolist()
 
 
+def test_sampled_generation():
+    """temperature>0 sampling: deterministic per key, valid token range,
+    top-k truncation only emits high-probability tokens."""
+    params = init_params(SPEC, jax.random.PRNGKey(3))
+    engine = DecodeEngine(SPEC, params, max_len=32, cache_dtype=jnp.float32)
+    prompt = np.asarray([[2, 4, 6]])
+    a = engine.generate_chained(prompt, max_new_tokens=8, chunk=3,
+                                temperature=0.8, top_k=5,
+                                key=jax.random.PRNGKey(42))
+    b = engine.generate_chained(prompt, max_new_tokens=8, chunk=3,
+                                temperature=0.8, top_k=5,
+                                key=jax.random.PRNGKey(42))
+    assert a.tolist() == b.tolist()
+    assert (a >= 0).all() and (a < 61).all()
+    # greedy unchanged
+    g = engine.generate_chained(prompt, max_new_tokens=8, chunk=3)
+    want = engine.generate(prompt, max_new_tokens=8)
+    assert g.tolist() == want.tolist()
+
+
 def test_int8_kv_cache_decode_close():
     """int8 KV cache (dynamic per-token-head scales) must stay close to
     the full-precision cache on multi-step decode."""
