@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save", type=str, default="")
     p.add_argument("--load", type=str, default="")
     p.add_argument("--benchmark", type=int, default=0)
+    p.add_argument("--benchmark_batch", type=int, default=1,
+                   help="decode batch for --benchmark (reference kernels "
+                        "are batch-1 only; ours scale)")
     p.add_argument("--check", action="store_true")
     p.add_argument("--new-eval", action="store_true")
     p.add_argument("--faster-kernel", action="store_true")
@@ -305,7 +308,24 @@ def main(argv=None) -> int:
 
             params = fuse_serving(spec, params, a8=True)
             print("--faster-kernel: serving with dynamic int8 activations")
-        if measure_dispatch_rtt(reps=3) > 1e-3:
+        if args.benchmark_batch > 1:
+            # batched lock-step decode (beyond reference); tokens/s scales
+            # with batch because weight streaming amortizes
+            from gptq_tpu.engine.decode import DecodeEngine
+            import time as _t
+
+            eng = DecodeEngine(spec, params, max_len=args.benchmark + 8,
+                               batch=args.benchmark_batch)
+            prompt = np.tile(ids[:1, :1], (args.benchmark_batch, 1))
+            # warm with the SAME token count (chunk lengths are compiled in)
+            eng.generate_chained(prompt, max_new_tokens=args.benchmark)
+            t0 = _t.perf_counter()
+            eng.generate_chained(prompt, max_new_tokens=args.benchmark)
+            dt = _t.perf_counter() - t0
+            rate = args.benchmark * args.benchmark_batch / dt
+            print(f"batch {args.benchmark_batch}: {rate:.1f} tok/s "
+                  f"({dt/args.benchmark*1e3:.2f} ms/step incl dispatch)")
+        elif measure_dispatch_rtt(reps=3) > 1e-3:
             print("dispatch RTT > 1ms: using on-device chained protocol")
             benchmark_decode_chained(spec, params, ids, check=args.check)
         else:
