@@ -80,11 +80,12 @@ def linear_apply(lin: dict, x: jax.Array) -> jax.Array:
         x = (aq["scale"] * (q - aq["zero"])).astype(x.dtype)
     w = lin["w"]
     if isinstance(w, PackedWeight):
+        flags = lin.get("serve")
+        a8 = bool(flags and flags.a8)
         if w.fmt == "bcq":
-            y = bcq_matmul(x, w)
+            y = bcq_matmul(x, w, a8=a8)
         else:
-            flags = lin.get("serve")
-            y = dequant_matmul(x, w, a8=bool(flags and flags.a8))
+            y = dequant_matmul(x, w, a8=a8)
         # PackedWeight carries its own bias when packed with one; a separate
         # "b" entry (from the original linear) still applies.
     else:
@@ -321,7 +322,7 @@ def fuse_serving(spec: ArchSpec, params: dict, a8: bool = False) -> dict:
         if a8:
             for key, val in lp.items():
                 w = val.get("w") if isinstance(val, dict) else None
-                if isinstance(w, PackedWeight) and w.fmt == "uniform":
+                if isinstance(w, PackedWeight):
                     lp[key] = {**val, "serve": ServeFlags(a8=True)}
         new_layers.append(lp)
     return {**params, "layers": new_layers}

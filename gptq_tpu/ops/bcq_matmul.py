@@ -91,16 +91,19 @@ def _bcq_kernel(bits, tk, tn, n_kt, sb, dot_dtype,
         planes = [_unpack_plane(words_ref[b], tk, tn, sb)
                   for b in range(bits)]
         stack = planes[0] if bits == 1 else jnp.concatenate(planes, axis=1)
-        if dot_dtype != jnp.bfloat16:  # bf16 x int8 is native on the MXU
+        int8_acts = dot_dtype == jnp.int8
+        if dot_dtype not in (jnp.bfloat16, jnp.int8):
             stack = stack.astype(dot_dtype)
+        acc_t = jnp.int32 if int8_acts else jnp.float32
         for gi in range(ng_tile):
             xg = x[:, gi * cs:(gi + 1) * cs]
-            part = jnp.dot(xg.astype(dot_dtype),
-                           stack[gi * cs:(gi + 1) * cs],
-                           preferred_element_type=jnp.float32)  # (M, bits*tn)
-            xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+            part = jnp.dot(xg, stack[gi * cs:(gi + 1) * cs],
+                           preferred_element_type=acc_t)  # (M, bits*tn)
+            xs = jnp.sum(xg.astype(jnp.int32) if int8_acts else
+                         xg.astype(jnp.float32), axis=1, keepdims=True
+                         ).astype(jnp.float32)
             for b in range(bits):
-                pb = part[:, b * tn:(b + 1) * tn]
+                pb = part[:, b * tn:(b + 1) * tn].astype(jnp.float32)
                 acc = acc + alpha_ref[gi, b] * (2.0 * pb - xs)
         acc_ref[:] = acc
     else:
@@ -161,7 +164,12 @@ def _matmul_pallas(x: jax.Array, pw: PackedWeight, tk: int = 0, tn: int = 0,
         ng_tile = 1
         a_map = lambda nt, kt: ((kt * tk) // g, 0, nt)
 
-    dot_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    if x.dtype == jnp.int8:
+        dot_dtype = jnp.int8
+    elif x.dtype == jnp.bfloat16:
+        dot_dtype = jnp.bfloat16
+    else:
+        dot_dtype = jnp.float32
     out = pl.pallas_call(
         functools.partial(_bcq_kernel, bits, tk, tn, n_kt, sb, dot_dtype),
         grid=(n_nt, n_kt),
@@ -189,8 +197,10 @@ def _matmul_pallas(x: jax.Array, pw: PackedWeight, tk: int = 0, tn: int = 0,
 
 
 def bcq_matmul(x: jax.Array, pw: PackedWeight, impl: str = "auto",
-               interpret: bool = False) -> jax.Array:
-    """y = x @ bcq_dequant(pw) (+ bias). x: (..., K) -> (..., N)."""
+               interpret: bool = False, a8: bool = False) -> jax.Array:
+    """y = x @ bcq_dequant(pw) (+ bias). x: (..., K) -> (..., N). a8=True
+    quantizes activations to int8 per row first (the kernel is linear in
+    x, so the row scale folds in afterwards — same fast path as qmatmul)."""
     orig_dtype = x.dtype
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
@@ -199,13 +209,20 @@ def bcq_matmul(x: jax.Array, pw: PackedWeight, impl: str = "auto",
     M = x2.shape[0]
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    sx = None
+    if a8:
+        from gptq_tpu.ops.qmatmul import quantize_acts_int8
+
+        x2, sx = quantize_acts_int8(x2)
     if impl == "pallas":
         Mp = max(8, ((M + 7) // 8) * 8)
         if Mp != M or pw.Kp != pw.K:
             x2 = jnp.pad(x2, ((0, Mp - M), (0, pw.Kp - pw.K)))
         y = _matmul_pallas(x2, pw, interpret=interpret)[:M, :pw.N]
     else:
-        y = _matmul_xla(x2, pw)
+        y = _matmul_xla(x2.astype(jnp.float32) if a8 else x2, pw)
+    if sx is not None:
+        y = y * sx
     if pw.bias is not None:
         y = y + pw.bias
     return y.reshape(*lead, pw.N).astype(orig_dtype)

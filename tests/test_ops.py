@@ -130,6 +130,21 @@ def test_a8_fast_path_matches_oracle():
     assert rel < 0.02, rel
 
 
+def test_bcq_a8_matches_quantized_oracle():
+    from gptq_tpu.ops.qmatmul import quantize_acts_int8
+
+    rng = np.random.default_rng(13)
+    N, K, bits, g = 128, 512, 2, 128
+    B = jnp.asarray(rng.choice([-1.0, 1.0], (N, K // g, g, bits)).astype(np.float32))
+    alpha = jnp.asarray(rng.uniform(0.005, 0.02, (N, K // g, bits)).astype(np.float32))
+    pw = pack_bcq(B, alpha, groupsize=g)
+    x = jnp.asarray(rng.normal(size=(3, K)).astype(np.float32))
+    y8 = bcq_matmul(x, pw, impl="pallas", interpret=not ON_TPU, a8=True)
+    xq, sx = quantize_acts_int8(x)
+    want = (np.asarray(xq, np.float32) @ np.asarray(bcq_dequant(pw))) * np.asarray(sx)
+    np.testing.assert_allclose(np.asarray(y8), want, rtol=2e-3, atol=2e-3)
+
+
 def test_pallas_matvec_single_token():
     """Decode shape: M=1 (padded internally to sublane minimum)."""
     pw, W_dense = make_packed(bits=4, K=512, N=256)
