@@ -1,0 +1,87 @@
+"""End-to-end CLI main(): quantize -> eval -> save -> load -> re-eval with
+mocked tokenizer/datasets and a real tiny HF model on disk (offline)."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+from gptq_tpu.cli import main
+from gptq_tpu.data import synthetic_stream
+
+VOCAB = 99
+
+
+class FakeTokenizer:
+    """Text -> deterministic synthetic ids (offline stand-in)."""
+
+    def __call__(self, text, **kw):
+        n = max(64, min(len(text) // 3, 6000))
+        return types.SimpleNamespace(
+            input_ids=synthetic_stream(VOCAB, n, seed=len(text) % 97).tolist())
+
+
+class FakeSplit:
+    def __init__(self, rows, key):
+        self.rows, self.key = rows, key
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __getitem__(self, i):
+        if isinstance(i, str):
+            return self.rows
+        return {self.key: self.rows[i]}
+
+
+@pytest.fixture()
+def tiny_model_dir(tmp_path):
+    from transformers import OPTConfig, OPTForCausalLM
+
+    torch.manual_seed(0)
+    cfg = OPTConfig(vocab_size=VOCAB, hidden_size=32, num_hidden_layers=2,
+                    ffn_dim=64, num_attention_heads=4,
+                    max_position_embeddings=64)
+    model = OPTForCausalLM(cfg)
+    d = tmp_path / "tiny-opt"
+    model.save_pretrained(d)
+    return str(d)
+
+
+def test_cli_quantize_save_load_cycle(tiny_model_dir, tmp_path, monkeypatch,
+                                      capsys):
+    rows = [" ".join(f"w{i}_{j}" for j in range(30)) for i in range(50)]
+    fake_ds = types.SimpleNamespace(
+        load_dataset=lambda *a, **k: FakeSplit(rows, "text"))
+    monkeypatch.setitem(sys.modules, "datasets", fake_ds)
+
+    import transformers
+
+    monkeypatch.setattr(
+        transformers.AutoTokenizer, "from_pretrained",
+        classmethod(lambda cls, *a, **k: FakeTokenizer()))
+
+    ckpt = str(tmp_path / "q.npz")
+    log = str(tmp_path / "ppl.txt")
+    rc = main([tiny_model_dir, "wikitext2", "--wbits", "4", "--nsamples", "2",
+               "--save", ckpt, "--results_log", log])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "quantization done" in out
+    assert "saved" in out
+    with open(log) as f:
+        lines = f.read().strip().splitlines()
+    assert lines and "wbits = 4" in lines[0]
+    ppl0 = float(lines[0].split(":")[-1])
+
+    # reload the packed checkpoint and re-evaluate: identical model
+    rc = main([tiny_model_dir, "wikitext2", "--load", ckpt,
+               "--results_log", log])
+    assert rc == 0
+    with open(log) as f:
+        lines = f.read().strip().splitlines()
+    ppl1 = float(lines[-1].split(":")[-1])
+    # packed serving vs fake-quant eval: same weights within pack rounding
+    assert abs(ppl1 - ppl0) / ppl0 < 0.05
