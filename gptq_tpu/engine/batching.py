@@ -41,8 +41,9 @@ def _decode_step_fn(spec: ArchSpec):
     """Batched single-token decode with per-slot positions and lengths."""
 
     @jax.jit
-    def step(params, kc, vc, tokens, lengths, active):
+    def step(params, kc, vc, ks, vs, tokens, lengths, active):
         # tokens: (B,) ; lengths: (B,) filled prefix per slot ; active: (B,)
+        # ks/vs: int8-cache scale planes (L, B, S, kvh) or None
         B = tokens.shape[0]
         S = kc.shape[2]
         positions = lengths[:, None]  # (B, 1)
@@ -57,25 +58,33 @@ def _decode_step_fn(spec: ArchSpec):
             rel = (k_pos - q_pos).astype(jnp.float32)
             bias = slopes[None, :, None, None] * rel
             mask = mask + jnp.where(k_pos <= q_pos, bias, 0.0)
-        new_k, new_v = [], []
+        new_k, new_v, new_ks, new_vs = [], [], [], []
         for i, bp in enumerate(params["layers"]):
+            layer_cache = ((kc[i], vc[i]) if ks is None else
+                           (kc[i], vc[i], ks[i], vs[i]))
             h, kv, _ = block_forward(
                 spec, bp, h, positions=positions, mask=mask,
-                cache=(kc[i], vc[i]), cache_len=lengths,
+                cache=layer_cache, cache_len=lengths,
             )
             new_k.append(kv[0])
             new_v.append(kv[1])
+            if len(kv) == 4:
+                new_ks.append(kv[2])
+                new_vs.append(kv[3])
         logits = head_forward(spec, params, h)[:, 0]
         next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         lengths = lengths + active.astype(jnp.int32)
-        return jnp.stack(new_k), jnp.stack(new_v), next_tok, lengths, logits
+        return (jnp.stack(new_k), jnp.stack(new_v),
+                jnp.stack(new_ks) if new_ks else None,
+                jnp.stack(new_vs) if new_vs else None,
+                next_tok, lengths, logits)
 
     return step
 
 
 def _prefill_fn(spec: ArchSpec):
     @partial(jax.jit, static_argnames=())
-    def prefill(params, kc_slot, vc_slot, ids):
+    def prefill(params, kc_slot, vc_slot, ks_slot, vs_slot, ids):
         # kc_slot: (L, 1, S, H, hd); ids: (1, T)
         T = ids.shape[1]
         S = kc_slot.shape[2]
@@ -92,17 +101,25 @@ def _prefill_fn(spec: ArchSpec):
             bias = slopes[None, :, None, None] * rel[None, None]
             mask = mask + jnp.where((k_pos <= q_pos)[None, None], bias, 0.0)
         h = embed_forward(spec, params, ids, positions)
-        new_k, new_v = [], []
+        new_k, new_v, new_ks, new_vs = [], [], [], []
         zero = jnp.zeros((), jnp.int32)
         for i, bp in enumerate(params["layers"]):
+            layer_cache = ((kc_slot[i], vc_slot[i]) if ks_slot is None else
+                           (kc_slot[i], vc_slot[i], ks_slot[i], vs_slot[i]))
             h, kv, _ = block_forward(
                 spec, bp, h, positions=positions, mask=mask,
-                cache=(kc_slot[i], vc_slot[i]), cache_len=zero,
+                cache=layer_cache, cache_len=zero,
             )
             new_k.append(kv[0])
             new_v.append(kv[1])
+            if len(kv) == 4:
+                new_ks.append(kv[2])
+                new_vs.append(kv[3])
         logits = head_forward(spec, params, h)[:, -1]
-        return jnp.stack(new_k), jnp.stack(new_v), jnp.argmax(logits, -1).astype(jnp.int32)
+        return (jnp.stack(new_k), jnp.stack(new_v),
+                jnp.stack(new_ks) if new_ks else None,
+                jnp.stack(new_vs) if new_vs else None,
+                jnp.argmax(logits, -1).astype(jnp.int32))
 
     return prefill
 
@@ -123,14 +140,14 @@ class ContinuousBatcher:
         self.params = params
         self.B = batch_slots
         self.S = max_len
-        if cache_dtype == jnp.int8:
-            raise NotImplementedError(
-                "ContinuousBatcher does not thread the int8 KV cache's "
-                "scale planes yet; use bf16/f32 (DecodeEngine supports "
-                "cache_dtype=int8)")
         shape = (spec.n_layers, batch_slots, max_len, spec.kv_heads, spec.hd)
         self.kc = jnp.zeros(shape, cache_dtype)
         self.vc = jnp.zeros(shape, cache_dtype)
+        # int8 cache: dynamic per-token-head scale planes ride alongside
+        self.ks = self.vs = None
+        if cache_dtype == jnp.int8:
+            self.ks = jnp.zeros(shape[:-1], jnp.float32)
+            self.vs = jnp.zeros(shape[:-1], jnp.float32)
         self.lengths = jnp.zeros((batch_slots,), jnp.int32)
         self.tokens = jnp.zeros((batch_slots,), jnp.int32)
         if mesh is not None:
@@ -144,6 +161,9 @@ class ContinuousBatcher:
             vec_sh = NamedSharding(mesh, P("dp"))
             self.kc = jax.device_put(self.kc, slot_sh)
             self.vc = jax.device_put(self.vc, slot_sh)
+            if self.ks is not None:
+                self.ks = jax.device_put(self.ks, slot_sh)
+                self.vs = jax.device_put(self.vs, slot_sh)
             self.lengths = jax.device_put(self.lengths, vec_sh)
             self.tokens = jax.device_put(self.tokens, vec_sh)
         self.slot_req: list[Request | None] = [None] * batch_slots
@@ -178,10 +198,16 @@ class ContinuousBatcher:
             ids[0, :T] = req.prompt
             kc_slot = self.kc[:, slot : slot + 1]
             vc_slot = self.vc[:, slot : slot + 1]
-            nk, nv, _ = self._prefill(self.params, kc_slot, vc_slot,
-                                      jnp.asarray(ids))
+            ks_slot = None if self.ks is None else self.ks[:, slot:slot + 1]
+            vs_slot = None if self.vs is None else self.vs[:, slot:slot + 1]
+            nk, nv, nks, nvs, _ = self._prefill(
+                self.params, kc_slot, vc_slot, ks_slot, vs_slot,
+                jnp.asarray(ids))
             self.kc = self.kc.at[:, slot : slot + 1].set(nk)
             self.vc = self.vc.at[:, slot : slot + 1].set(nv)
+            if nks is not None:
+                self.ks = self.ks.at[:, slot:slot + 1].set(nks)
+                self.vs = self.vs.at[:, slot:slot + 1].set(nvs)
             # re-decode from the true prompt end (padding wrote junk beyond T,
             # but lengths masks it out)
             self.lengths = self.lengths.at[slot].set(T - 1)
@@ -193,8 +219,9 @@ class ContinuousBatcher:
             [1 if r is not None and not r.done else 0 for r in self.slot_req],
             jnp.int32,
         )
-        self.kc, self.vc, next_tok, self.lengths, _ = self._step(
-            self.params, self.kc, self.vc, self.tokens, self.lengths, active)
+        (self.kc, self.vc, self.ks, self.vs, next_tok, self.lengths,
+         _) = self._step(self.params, self.kc, self.vc, self.ks, self.vs,
+                         self.tokens, self.lengths, active)
         toks = np.asarray(next_tok)
         self.tokens = next_tok
         for slot, req in enumerate(self.slot_req):

@@ -57,6 +57,25 @@ def test_dp_sharded_batcher_matches_unsharded():
     assert got == want
 
 
+def test_int8_cache_batcher_close_to_f32():
+    """Continuous batching with the int8 KV cache: same argmax tokens on
+    the test model (per-token-head scales keep quantization error small)."""
+    params = init_params(SPEC, jax.random.PRNGKey(2))
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(1, 61, size=(n,)) for n in (5, 7)]
+
+    def run(dtype):
+        cb = ContinuousBatcher(SPEC, params, batch_slots=2, max_len=64,
+                               cache_dtype=dtype, prefill_buckets=(8, 16))
+        for p in prompts:
+            cb.submit(p, max_new_tokens=5)
+        return [r.output for r in cb.run()]
+
+    ref = run(jnp.float32)
+    got = run(jnp.int8)
+    assert got == ref
+
+
 def test_more_requests_than_slots_all_complete():
     params = init_params(SPEC, jax.random.PRNGKey(1))
     rng = np.random.default_rng(1)
