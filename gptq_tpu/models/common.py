@@ -269,9 +269,12 @@ def alibi_bias(spec: ArchSpec, T: int, S: int,
 class ServeFlags:
     """Static serving-mode flags on a linear (kept out of the jit pytree).
 
-    a8: dynamic int8 activation quantization (--faster-kernel path)."""
+    a8: dynamic int8 activation quantization (--faster-kernel path).
+    vocab_tp: the lm_head is vocab-sharded over the tp axis inside
+    shard_map; logits all-gather after the local matmul."""
 
     a8: bool = False
+    vocab_tp: bool = False
 
 
 @jax.tree_util.register_static
@@ -546,7 +549,8 @@ def embed_forward(spec: ArchSpec, params: dict, input_ids: jax.Array,
     return emb
 
 
-def head_forward(spec: ArchSpec, params: dict, h: jax.Array) -> jax.Array:
+def head_forward(spec: ArchSpec, params: dict, h: jax.Array,
+                 tp_axis: str | None = None) -> jax.Array:
     if params.get("final_ln") is not None:
         h = norm_apply(spec, params["final_ln"], h)
     if spec.arch == "opt" and params["embed"].get("project_out") is not None:
@@ -555,7 +559,13 @@ def head_forward(spec: ArchSpec, params: dict, h: jax.Array) -> jax.Array:
     if lm is None:  # tied embeddings
         w = params["embed"]["tokens"]
         return jnp.einsum("...h,vh->...v", h, w)
-    return linear_apply(lm, h)
+    logits = linear_apply(lm, h)
+    flags = lm.get("serve")
+    if tp_axis is not None and flags is not None and flags.vocab_tp:
+        # vocab-sharded head: each shard computed its V/tp logit slice
+        logits = jax.lax.all_gather(logits, tp_axis, axis=logits.ndim - 1,
+                                    tiled=True)
+    return logits
 
 
 def build_mask(spec: ArchSpec, T: int, S: int,
@@ -625,7 +635,7 @@ def model_forward(
             if len(new_kv) == 4:
                 ks = jax.lax.dynamic_update_index_in_dim(ks, new_kv[2], i, 0)
                 vs = jax.lax.dynamic_update_index_in_dim(vs, new_kv[3], i, 0)
-    logits = head_forward(spec, params, h)
+    logits = head_forward(spec, params, h, tp_axis=tp_axis)
     new_cache = None
     if cache is not None:
         new_cache = KVCache(k=ck, v=cv, length=cache.length + T,

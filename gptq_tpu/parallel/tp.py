@@ -155,7 +155,20 @@ def tp_local_view(spec: ArchSpec, params: dict, tp: int, axis: str = "tp"
 
     le, se = rep_tree(params["embed"])
     lf, sf = rep_tree(params.get("final_ln"))
-    lh, sh = rep_tree(params.get("lm_head"))
+    lm = params.get("lm_head")
+    if (lm is not None and not isinstance(lm.get("w"), PackedWeight)
+            and lm["w"].shape[0] % tp == 0):
+        # dense lm_head: shard the vocab dim; head_forward all-gathers the
+        # logits (ServeFlags.vocab_tp)
+        from gptq_tpu.models.common import ServeFlags
+
+        lh = {**lm, "serve": ServeFlags(vocab_tp=True)}
+        sh = {"w": P(axis, None),
+              "b": None if lm.get("b") is None else P(axis)}
+        sh = {**{k: _REP for k in lm if k not in ("w", "b")}, **sh}
+        sh["serve"] = ServeFlags(vocab_tp=True)  # static: mirrors params
+    else:
+        lh, sh = rep_tree(lm)
     local = {"embed": le, "layers": lp_layers, "final_ln": lf, "lm_head": lh}
     specs = {"embed": se, "layers": sp_layers, "final_ln": sf, "lm_head": sh}
     return local, specs

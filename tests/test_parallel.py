@@ -64,20 +64,22 @@ def test_shardmap_tp_forward_matches_single():
     from gptq_tpu.pipeline import pack_model, quantize_model
 
     # row-sharded packed weights need K/tp to cover whole subblocks
-    # (512-aligned), so this test uses serving-scale dims: 1024 / tp=2
+    # (512-aligned), so this test uses serving-scale dims: 1024 / tp=2.
+    # vocab 96 % tp == 0 also engages the vocab-sharded lm_head +
+    # all-gather path.
     spec = ArchSpec(arch="llama", n_layers=1, hidden=1024, n_heads=4,
-                    n_kv_heads=4, ffn=1024, vocab=97, max_pos=64,
+                    n_kv_heads=4, ffn=1024, vocab=96, max_pos=64,
                     norm_eps=1e-5, act="silu", pos="rope",
                     norm_type="rmsnorm", linear_bias=False,
                     tie_embeddings=False)
     params = init_params(spec, jax.random.PRNGKey(3))
     calib = jnp.asarray(
-        np.random.default_rng(3).integers(0, 97, size=(2, 16)))
+        np.random.default_rng(3).integers(0, 96, size=(2, 16)))
     cfg = QuantConfig(wbits=4, nsamples=2)
     res = quantize_model(spec, params, calib, cfg, log=lambda s: None)
     pack_model(spec, params, res.quantizers, cfg, tp=2)
 
-    ids = jnp.asarray(np.random.default_rng(4).integers(0, 97, size=(2, 16)))
+    ids = jnp.asarray(np.random.default_rng(4).integers(0, 96, size=(2, 16)))
     want, _ = model_forward(spec, params, ids)
 
     mesh = make_mesh(tp=2, dp=1)
