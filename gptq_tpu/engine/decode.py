@@ -96,13 +96,28 @@ class DecodeEngine:
             tok = jnp.argmax(logits, axis=-1)
         return np.stack(out, axis=1)
 
+    @staticmethod
+    def _bucket(needed: int, max_len: int, floor: int = 128) -> int:
+        b = floor
+        while b < needed:
+            b *= 2
+        return min(b, max_len)
+
     def generate_chained(self, prompt_ids: np.ndarray, max_new_tokens: int,
                          chunk: int = 32, temperature: float = 0.0,
-                         top_k: int = 0, key=None) -> np.ndarray:
+                         top_k: int = 0, key=None,
+                         bucketed: bool = True) -> np.ndarray:
         """Generation with the decode loop on-device: one dispatch per
         `chunk` tokens instead of per token. temperature 0 reproduces
         `generate` (greedy); temperature > 0 samples (optionally top-k
-        truncated) with the given PRNG key."""
+        truncated) with the given PRNG key.
+
+        bucketed=True runs each chunk against the smallest power-of-two
+        cache prefix that covers it (the filled length is known on the
+        host between chunks), so early tokens of a long-context session
+        don't pay full-max_len attention reads; the slice writes back into
+        the full cache after the chunk. A few bucket sizes each compile
+        once."""
         ids = jnp.asarray(prompt_ids).reshape(self.batch, -1)
         if temperature > 0.0 and key is None:
             key = jax.random.PRNGKey(0)
@@ -111,16 +126,41 @@ class DecodeEngine:
         out = [first[:, None]]
         tok = first[:, None]
         remaining = max_new_tokens - 1
+        cur = ids.shape[1] + 1  # filled prefix after the next token write
         while remaining > 0:
             n = min(chunk, remaining)
             if temperature > 0.0:
                 key, sub = jax.random.split(key)
             else:
                 sub = None
-            tok, cache, toks = self._chunk(self.params, cache, tok, n, sub,
-                                           temperature, top_k)
+            b = (self._bucket(cur + n, self.max_len)
+                 if bucketed else self.max_len)
+            if b < self.max_len:
+                small = KVCache(
+                    k=cache.k[:, :, :b], v=cache.v[:, :, :b],
+                    length=cache.length,
+                    k_scale=None if cache.k_scale is None
+                    else cache.k_scale[:, :, :b],
+                    v_scale=None if cache.v_scale is None
+                    else cache.v_scale[:, :, :b],
+                )
+                tok, small, toks = self._chunk(self.params, small, tok, n,
+                                               sub, temperature, top_k)
+                cache = KVCache(
+                    k=cache.k.at[:, :, :b].set(small.k),
+                    v=cache.v.at[:, :, :b].set(small.v),
+                    length=small.length,
+                    k_scale=None if cache.k_scale is None
+                    else cache.k_scale.at[:, :, :b].set(small.k_scale),
+                    v_scale=None if cache.v_scale is None
+                    else cache.v_scale.at[:, :, :b].set(small.v_scale),
+                )
+            else:
+                tok, cache, toks = self._chunk(self.params, cache, tok, n,
+                                               sub, temperature, top_k)
             out.append(toks.T)  # (B, n)
             remaining -= n
+            cur += n
         return np.asarray(jnp.concatenate(out, axis=1)[:, :max_new_tokens])
 
 

@@ -48,6 +48,24 @@ def test_chained_generate_matches_per_token():
     assert got.tolist() == want.tolist()
 
 
+def test_bucketed_generation_matches_full():
+    """Length-bucketed chained decode (smaller cache views early) must
+    produce identical tokens to the full-cache loop."""
+    params = init_params(SPEC, jax.random.PRNGKey(4))
+    engine = DecodeEngine(SPEC, params, max_len=512,
+                          cache_dtype=jnp.float32)
+    prompt = np.asarray([[1, 5, 9]])
+    full = engine.generate_chained(prompt, max_new_tokens=12, chunk=5,
+                                   bucketed=False)
+    bucketed = engine.generate_chained(prompt, max_new_tokens=12, chunk=5,
+                                       bucketed=True)
+    assert bucketed.tolist() == full.tolist()
+    # int8 cache variant also runs bucketed
+    e8 = DecodeEngine(SPEC, params, max_len=512, cache_dtype=jnp.int8)
+    out = e8.generate_chained(prompt, max_new_tokens=6, chunk=4)
+    assert out.shape == (1, 6)
+
+
 def test_sampled_generation():
     """temperature>0 sampling: deterministic per key, valid token range,
     top-k truncation only emits high-probability tokens."""
