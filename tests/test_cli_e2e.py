@@ -66,7 +66,7 @@ def test_cli_quantize_save_load_cycle(tiny_model_dir, tmp_path, monkeypatch,
     ckpt = str(tmp_path / "q.npz")
     log = str(tmp_path / "ppl.txt")
     rc = main([tiny_model_dir, "wikitext2", "--wbits", "4", "--nsamples", "2",
-               "--save", ckpt, "--results_log", log])
+               "--save", ckpt, "--results_log", log, "--quant_lm_head", "8"])
     assert rc == 0
     out = capsys.readouterr().out
     assert "quantization done" in out
