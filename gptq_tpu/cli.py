@@ -131,13 +131,18 @@ def load_mixed_precision(args, model_name: str):
     return None
 
 
-def append_result_log(path: str, args, ppl: float, dataset: str) -> None:
-    """Structured result line (reference: opt.py:335-357)."""
+def append_result_log(path: str, args, ppl: float, dataset: str,
+                      protocol: str = "eval") -> None:
+    """Structured result line (reference: opt.py:335-357). `protocol` tags
+    which measurement produced the number (eval | chained | per-token |
+    batchN) so a chained-decode PPL and a full eval are distinguishable in
+    the log."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     line = (f"model = {args.model.split('/')[-1]}, dataset = {dataset}, "
             f"wbits = {args.wbits}, groupsize = {args.groupsize}, "
             f"lut = {args.lut_eval}, nonLinear = {args.non_linear}, "
-            f"columnwise = {args.columnwise}   :   {ppl}")
+            f"columnwise = {args.columnwise}, protocol = {protocol}"
+            f"   :   {ppl}")
     if args.non_linear:
         line += (f"  ||  hyperbits = {args.hyperbits}, exploreBits = "
                  f"{args.exploreBits}, exploreSplit = {args.exploreSplit}")
@@ -325,13 +330,24 @@ def main(argv=None) -> int:
             rate = args.benchmark * args.benchmark_batch / dt
             print(f"batch {args.benchmark_batch}: {rate:.1f} tok/s "
                   f"({dt/args.benchmark*1e3:.2f} ms/step incl dispatch)")
+            append_result_log(args.results_log, args, round(rate, 2),
+                              "decode-tok/s",
+                              protocol=f"batch{args.benchmark_batch}")
         elif measure_dispatch_rtt(reps=3) > 1e-3:
             print("dispatch RTT > 1ms: using on-device chained protocol")
-            benchmark_decode_chained(spec, params, ids, check=args.check)
+            r = benchmark_decode_chained(spec, params, ids, check=args.check)
+            append_result_log(args.results_log, args,
+                              r.get("ppl", round(r["tokens_per_s"], 2)),
+                              "decode-ppl" if args.check else "decode-tok/s",
+                              protocol="chained")
         else:
-            benchmark_decode(spec, params, ids, check=args.check,
-                             trace_dir="results/profile" if args.check
-                             else None)
+            r = benchmark_decode(spec, params, ids, check=args.check,
+                                 trace_dir="results/profile" if args.check
+                                 else None)
+            append_result_log(args.results_log, args,
+                              r.get("ppl", round(r["tokens_per_s"], 2)),
+                              "decode-ppl" if args.check else "decode-tok/s",
+                              protocol="per-token")
     return 0
 
 

@@ -122,7 +122,17 @@ class DecodeEngine:
         if temperature > 0.0 and key is None:
             key = jax.random.PRNGKey(0)
         logits, cache = self.prefill(ids)
-        first = jnp.argmax(logits, axis=-1)
+        if temperature > 0.0:
+            # sample the first token with the same pick() logic the chunk
+            # uses for every subsequent token (greedy-first was a bias)
+            key, sub = jax.random.split(key)
+            lg = logits.astype(jnp.float32) / temperature
+            if top_k > 0:
+                thresh = jax.lax.top_k(lg, top_k)[0][..., -1:]
+                lg = jnp.where(lg < thresh, -jnp.inf, lg)
+            first = jax.random.categorical(sub, lg, axis=-1)
+        else:
+            first = jnp.argmax(logits, axis=-1)
         out = [first[:, None]]
         tok = first[:, None]
         remaining = max_new_tokens - 1

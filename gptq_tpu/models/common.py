@@ -196,8 +196,13 @@ def attention(
     k: jax.Array,  # (B, S, kv_heads, hd)
     v: jax.Array,
     mask: jax.Array,  # (B, 1, T, S) additive bias (0 / -inf, + alibi)
-    plain_causal: bool = False,  # mask is exactly causal (no cache/alibi)
+    plain_causal: bool = False,
 ) -> jax.Array:
+    """Contract: `plain_causal=True` asserts that `mask` is EXACTLY the
+    causal mask for T==S (no cache offset, no padding, no alibi) — the
+    flash-attention fast path then ignores `mask` and applies causality
+    internally. Callers passing any other mask must pass
+    plain_causal=False or attention is silently wrong."""
     B, T, H, hd = q.shape
     kvh = k.shape[2]
     if kvh != H:
@@ -298,16 +303,31 @@ def fuse_serving(spec: ArchSpec, params: dict, a8: bool = False) -> dict:
     --faster-kernel counterpart)."""
     from gptq_tpu.ops.pack import fuse_packed
 
+    def _same_actq(a, b):
+        if a is None or b is None:
+            return a is None and b is None
+        return (a["maxq"] == b["maxq"]
+                and bool(jnp.all(a["scale"] == b["scale"]))
+                and bool(jnp.all(a["zero"] == b["zero"])))
+
     def try_fuse(lp, names, key):
         lins = [lp.get(n) for n in names]
         if any(l is None or not isinstance(l.get("w"), PackedWeight)
                for l in lins):
+            return
+        # activation quantizers (pipeline.add_actquant) must survive fusion:
+        # the parts share one input, so their act_q params coincide — carry
+        # the shared params onto the fused entry; if they ever differ
+        # (shouldn't happen), skip fusion rather than silently dropping them
+        act_qs = [l.get("act_q") for l in lins]
+        if not all(_same_actq(act_qs[0], aq) for aq in act_qs[1:]):
             return
         fused = fuse_packed([l["w"] for l in lins])
         if fused is None:
             return
         lp[key] = {
             "w": fused,
+            "act_q": act_qs[0],
             "splits": FusedSplits(
                 tuple((l["w"].Np, l["w"].N) for l in lins)),
             "b_parts": [l.get("b") for l in lins],
@@ -335,7 +355,7 @@ def _apply_fused(entry: dict, x: jax.Array) -> list[jax.Array]:
     """Run a fused linear and slice the logical columns back out per part
     (each part's stored block is its logical columns followed by exact-zero
     pad columns)."""
-    y = linear_apply({"w": entry["w"], "b": None,
+    y = linear_apply({"w": entry["w"], "b": None, "act_q": entry.get("act_q"),
                       "serve": entry.get("serve")}, x)
     outs = []
     off = 0

@@ -45,6 +45,14 @@ def _check_packed(pw: PackedWeight, kind: str, tp: int, name: str) -> None:
         raise ValueError(
             f"{name}: act-order perm is a global x gather; use the GSPMD "
             f"path or repack without act-order for shard_map TP")
+    if kind == "row" and pw.bias is not None:
+        # a bias baked into a row-sharded PackedWeight would be added on
+        # every shard and multiplied by tp after the psum; pack_model never
+        # bakes biases, so fail loudly if one ever appears
+        raise ValueError(
+            f"{name}: row-sharded PackedWeight must not carry a baked-in "
+            f"bias (it would be added tp times after the psum); keep the "
+            f"bias in the layer dict's 'b' entry instead")
     if kind == "col":
         if pw.Np % tp:
             raise ValueError(f"{name}: stored N {pw.Np} % tp {tp} != 0")
@@ -174,10 +182,13 @@ def tp_local_view(spec: ArchSpec, params: dict, tp: int, axis: str = "tp"
     return local, specs
 
 
-def cache_pspec(axis: str = "tp") -> KVCache:
-    """KV cache PartitionSpecs: kv heads sharded over the tp axis."""
+def cache_pspec(axis: str = "tp", int8: bool = False) -> KVCache:
+    """KV cache PartitionSpecs: kv heads sharded over the tp axis. With
+    int8=True the per-token-head scale planes (L, B, S, kvh) shard on the
+    same head axis so an int8 cache composes with shard_map TP."""
     kv = P(None, None, None, axis, None)
-    return KVCache(k=kv, v=kv, length=_REP)
+    sc = P(None, None, None, axis) if int8 else None
+    return KVCache(k=kv, v=kv, length=_REP, k_scale=sc, v_scale=sc)
 
 
 def local_cache(spec: ArchSpec, tp: int, batch: int, max_len: int,
@@ -187,13 +198,14 @@ def local_cache(spec: ArchSpec, tp: int, batch: int, max_len: int,
 
 
 def make_tp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
-                        axis: str = "tp"):
+                        axis: str = "tp", int8_cache: bool = False):
     """(local_params, step): step(params, cache, token) -> (logits, cache)
     with every packed matmul running per-shard inside shard_map and one
-    psum per residual projection."""
+    psum per residual projection. int8_cache=True expects a
+    KVCache.init(dtype=int8) cache (scale planes head-sharded)."""
     tp = mesh.shape[axis]
     local, pspecs = tp_local_view(spec, params, tp, axis)
-    cspec = cache_pspec(axis)
+    cspec = cache_pspec(axis, int8=int8_cache)
     other = tuple(a for a in mesh.axis_names if a != axis)
     if any(mesh.shape[a] != 1 for a in other):
         raise ValueError("make_tp_decode_step expects a tp-only mesh; "

@@ -340,9 +340,12 @@ def gptq_quantize(W, H, cfg: SolverConfig, mean_input=None):
                 gi = jnp.minimum(idx // g, num_groups - 1)
             else:
                 gi = group_of(idx) if cfg.groupsize > 0 else 0
+            # w is one column: (rows,) values, one per row grid — quantize
+            # as a (rows, 1) matrix so each row meets ITS scale/zero
+            # (reference: gptq.py:227 quantizes w.unsqueeze(1))
             q = nl_mod.nonlinear_quantize(
-                w[None], scales[gi], zeros[gi], books[gi], cfg.hyperbits
-            )[0]
+                w[:, None], scales[gi], zeros[gi], books[gi], cfg.hyperbits
+            )[:, 0]
             return q, (scales, zeros, books)
 
         if cfg.mode == "lut":

@@ -59,3 +59,7 @@ def test_result_log_format(tmp_path):
     append_result_log(str(log), args, 31.42, "wikitext2")
     line = log.read_text()
     assert "model = opt-125m" in line and "wbits = 4" in line and "31.42" in line
+    # every line records which measurement protocol produced the number
+    assert "protocol = eval" in line
+    append_result_log(str(log), args, 180.4, "decode-tok/s", protocol="chained")
+    assert "protocol = chained" in log.read_text().splitlines()[1]

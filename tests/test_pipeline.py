@@ -218,3 +218,28 @@ def test_bcq_rtn_whole_model():
     res = quantize_model(spec, params, calib, cfg, log=lambda s: None)
     assert all(q["mode"] == "bcq_rtn" for q in res.quantizers.values())
     assert np.isfinite(eval_ppl(spec, params, test, SEQLEN, log=lambda s: None))
+
+
+def test_fuse_serving_preserves_act_q():
+    """Serving fusion must carry activation quantizers onto the fused
+    entry (an act-quantized model previously served WITHOUT activation
+    quantization after the default fuse)."""
+    from gptq_tpu.models.common import fuse_serving
+    from gptq_tpu.pipeline import add_actquant
+
+    model = make_model("llama")
+    spec, params = params_from_hf_torch(model)
+    calib, test = calib_and_test()
+    cfg = QuantConfig(wbits=4, nsamples=8)
+    res = quantize_model(spec, params, calib, cfg, log=lambda s: None)
+    add_actquant(spec, params, calib, bits=8)
+    pack_model(spec, params, res.quantizers, cfg)
+
+    ids = jnp.asarray(test[:, :SEQLEN])
+    logits_unfused, _ = model_forward(spec, params, ids)
+    fused = fuse_serving(spec, params)
+    assert fused["layers"][0]["qkv_fused"]["act_q"] is not None
+    logits_fused, _ = model_forward(spec, fused, ids)
+    np.testing.assert_allclose(
+        np.asarray(logits_fused), np.asarray(logits_unfused), rtol=2e-5,
+        atol=2e-5)
