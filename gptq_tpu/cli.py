@@ -293,7 +293,9 @@ def main(argv=None) -> int:
 
         lm = JaxLM(spec, params, tokenizer, max_length=seqlen)
         tasks = [t.strip() for t in args.task.split(",") if t.strip()]
-        res = simple_evaluate(lm, tasks)
+        tk = ({t: {"data_dir": args.data_dir} for t in tasks}
+              if args.data_dir else None)
+        res = simple_evaluate(lm, tasks, task_kwargs=tk)
         print(json.dumps(res["results"], indent=2))
         print(make_table(res))
 

@@ -452,11 +452,27 @@ class RTE(Task):
 
 
 class Lambada(Task):
-    """(reference: tasks/lambada.py:42-90; the local zenodo loader becomes a
-    plain jsonl/dataset injection)."""
+    """(reference: tasks/lambada.py:42-90; the local zenodo loader —
+    tasks/local_datasets/lambada/lambada.py — becomes a plain jsonl load:
+    pass data_dir containing a lambada *.jsonl to score fully offline)."""
 
     DATASET_PATH = "EleutherAI/lambada_openai"
     DATASET_NAME = "en"
+
+    def download(self, data_dir=None, cache_dir=None):
+        import glob
+        import json
+        import os
+
+        if data_dir:
+            cands = (glob.glob(os.path.join(data_dir, "lambada*.jsonl"))
+                     or glob.glob(os.path.join(data_dir, "*.jsonl")))
+            if cands:
+                with open(sorted(cands)[0]) as f:
+                    docs = [json.loads(line) for line in f if line.strip()]
+                self.dataset = {"test": docs}
+                return
+        super().download(data_dir, cache_dir)
 
     @staticmethod
     def preprocess(text):
@@ -489,11 +505,38 @@ class Lambada(Task):
 
 
 class StoryCloze(MultipleChoiceTask):
-    """(reference: tasks/storycloze.py; 2018 local CSV becomes dataset
-    injection or HF `story_cloze` with data_dir)."""
+    """(reference: tasks/storycloze.py loads a local 2018 CSV from
+    tasks/local_datasets/storyCloze2018; pass data_dir containing that CSV
+    — columns InputSentence1..4, RandomFifthSentenceQuiz1/2,
+    AnswerRightEnding — to score fully offline)."""
 
     DATASET_PATH = "story_cloze"
     DATASET_NAME = "2018"
+
+    def download(self, data_dir=None, cache_dir=None):
+        import csv
+        import glob
+        import os
+
+        if data_dir:
+            cands = glob.glob(os.path.join(data_dir, "*.csv"))
+            if cands:
+                docs = []
+                with open(sorted(cands)[0], newline="") as f:
+                    for row in csv.DictReader(f):
+                        docs.append({
+                            "input_sentence_1": row["InputSentence1"],
+                            "input_sentence_2": row["InputSentence2"],
+                            "input_sentence_3": row["InputSentence3"],
+                            "input_sentence_4": row["InputSentence4"],
+                            "sentence_quiz1": row["RandomFifthSentenceQuiz1"],
+                            "sentence_quiz2": row["RandomFifthSentenceQuiz2"],
+                            "answer_right_ending":
+                                int(row["AnswerRightEnding"]),
+                        })
+                self.dataset = {"validation": docs}
+                return
+        super().download(data_dir, cache_dir)
 
     def validation_docs(self):
         return map(self._process_doc, self.dataset["validation"])

@@ -404,9 +404,22 @@ def _qkv(spec: ArchSpec, p: dict, x: jax.Array, captures: Optional[dict]):
 
 def _row_linear(lin: dict, x: jax.Array, tp_axis: Optional[str]) -> jax.Array:
     """Row-parallel (input-sharded) linear: local partial matmul, psum over
-    the tp axis, bias added once after the reduction."""
+    the tp axis, bias added once after the reduction.
+
+    Act-order support: a row-sharded PackedWeight carries THIS shard's
+    slice of the K-permutation (parallel/tp.py pads + shards it). The
+    permutation is global over K, so the shard-local input is all_gathered
+    (tiny at decode: K * batch floats) and each shard gathers the rows its
+    permuted weight shard needs; the psum epilogue is unchanged."""
     if tp_axis is None:
         return linear_apply(lin, x)
+    w = lin.get("w")
+    if isinstance(w, PackedWeight) and w.perm is not None:
+        import dataclasses
+
+        xf = jax.lax.all_gather(x, tp_axis, axis=x.ndim - 1, tiled=True)
+        x = jnp.take(xf, w.perm, axis=-1)  # (..., K_local), permuted order
+        lin = {**lin, "w": dataclasses.replace(w, perm=None)}
     y = linear_apply({**lin, "b": None}, x)
     y = jax.lax.psum(y, tp_axis)
     if lin.get("b") is not None:

@@ -266,7 +266,7 @@ def pack_quantized(
     )
 
 
-def fuse_packed(pws: list) -> Optional["PackedWeight"]:
+def fuse_packed(pws: list, tp: int = 1) -> Optional["PackedWeight"]:
     """Concatenate several PackedWeights sharing one input (q/k/v, gate/up)
     along N into a single wider weight — one kernel launch instead of three,
     and a wider grid for the same bytes.
@@ -276,7 +276,13 @@ def fuse_packed(pws: list) -> Optional["PackedWeight"]:
     Hessian, so act-order produces the same permutation). The fused weight's
     N is the total STORED width: each part's pad columns compute exact
     zeros, so callers slice the logical columns back out per part.
-    Returns None when the parts are not fusable."""
+    Returns None when the parts are not fusable.
+
+    tp > 1 builds the SHARD-INTERLEAVED layout for shard_map tensor
+    parallelism: N is ordered [p0_shard0, p1_shard0, ..., p0_shard1, ...]
+    so slicing the fused N into tp equal chunks hands every shard the
+    standard fused layout of its own column shards (per-part local width
+    Np_i/tp). Such a weight is only meaningful sliced over tp shards."""
     p0 = pws[0]
     for pw in pws:
         if (pw.fmt != p0.fmt or pw.bits != p0.bits or pw.Kp != p0.Kp
@@ -292,15 +298,25 @@ def fuse_packed(pws: list) -> Optional["PackedWeight"]:
         if pw.perm is not None and not bool(
                 jnp.all(pw.perm == p0.perm)):
             return None
+        if tp > 1 and pw.Np % tp:
+            return None
+
+    def cat(arrs, axis=-1):
+        if tp == 1:
+            return jnp.concatenate(arrs, axis=axis)
+        chunks = [jnp.split(a, tp, axis=axis) for a in arrs]
+        return jnp.concatenate(
+            [c for s in range(tp) for c in (ch[s] for ch in chunks)],
+            axis=axis)
+
     if p0.fmt == "bcq":
-        words = (jnp.concatenate([pw.words[0] for pw in pws], axis=-1),)
-        alpha = jnp.concatenate([pw.alpha for pw in pws], axis=-1)
+        words = (cat([pw.words[0] for pw in pws]),)
+        alpha = cat([pw.alpha for pw in pws])
         scale = zoff = None
     else:
-        words = tuple(jnp.concatenate(ws, axis=-1)
-                      for ws in zip(*[pw.words for pw in pws]))
-        scale = jnp.concatenate([pw.scale for pw in pws], axis=-1)
-        zoff = jnp.concatenate([pw.zoff for pw in pws], axis=-1)
+        words = tuple(cat(list(ws)) for ws in zip(*[pw.words for pw in pws]))
+        scale = cat([pw.scale for pw in pws])
+        zoff = cat([pw.zoff for pw in pws])
         alpha = None
     return PackedWeight(
         words=words, scale=scale, zoff=zoff, alpha=alpha, bias=None,

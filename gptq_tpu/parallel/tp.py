@@ -41,10 +41,6 @@ _REP = P()
 
 
 def _check_packed(pw: PackedWeight, kind: str, tp: int, name: str) -> None:
-    if pw.perm is not None:
-        raise ValueError(
-            f"{name}: act-order perm is a global x gather; use the GSPMD "
-            f"path or repack without act-order for shard_map TP")
     if kind == "row" and pw.bias is not None:
         # a bias baked into a row-sharded PackedWeight would be added on
         # every shard and multiplied by tp after the psum; pack_model never
@@ -76,10 +72,23 @@ def _packed_local(pw: PackedWeight, kind: str, tp: int) -> PackedWeight:
     stored locally: pad rows/cols flow through as exact zeros)."""
     if kind == "col":
         return dataclasses.replace(pw, N=pw.Np // tp)
-    return dataclasses.replace(pw, K=pw.Kp // tp, N=pw.Np)
+    perm = pw.perm
+    if perm is not None:
+        # pad the K-permutation to the stored Kp so it shards evenly; pad
+        # entries gather x[..., 0] into zero-scale pad rows -> contribute 0
+        perm = jnp.concatenate([
+            jnp.asarray(perm, jnp.int32),
+            jnp.zeros((pw.Kp - perm.shape[0],), jnp.int32)])
+    return dataclasses.replace(pw, K=pw.Kp // tp, N=pw.Np, perm=perm)
 
 
 def _packed_pspec(pw: PackedWeight, kind: str, axis: str) -> PackedWeight:
+    # act-order perm: replicated for col shards (the input x is replicated,
+    # so x[:, perm] is shard-local); K-sharded for row shards (each shard
+    # gathers its own slice of the permutation after an all_gather of x —
+    # see _row_linear in models/common.py)
+    pspec = None if pw.perm is None else (
+        _REP if kind == "col" else P(axis))
     if pw.fmt == "bcq":
         wspec = P(None, None, axis) if kind == "col" else P(None, axis, None)
         aspec = P(None, None, axis) if kind == "col" else P(axis, None, None)
@@ -91,7 +100,7 @@ def _packed_pspec(pw: PackedWeight, kind: str, axis: str) -> PackedWeight:
             pw, words=(wspec,), alpha=alpha, scale=None, zoff=None,
             bias=P(axis) if (kind == "col" and pw.bias is not None) else (
                 _REP if pw.bias is not None else None),
-            perm=None)
+            perm=pspec)
     wspec = P(None, axis) if kind == "col" else P(axis, None)
     if kind == "col":
         gspec = P(None, axis)
@@ -101,20 +110,33 @@ def _packed_pspec(pw: PackedWeight, kind: str, axis: str) -> PackedWeight:
         pw, words=tuple(wspec for _ in pw.words), scale=gspec, zoff=gspec,
         bias=P(axis) if (kind == "col" and pw.bias is not None) else (
             _REP if pw.bias is not None else None),
-        perm=None)
+        perm=pspec)
 
 
-def tp_local_view(spec: ArchSpec, params: dict, tp: int, axis: str = "tp"
-                  ) -> tuple[dict, dict]:
+def tp_local_view(spec: ArchSpec, params: dict, tp: int, axis: str = "tp",
+                  fuse: bool = False, a8: bool = False) -> tuple[dict, dict]:
     """(local_params, partition_spec_pytree) for shard_map.
 
     local_params has every PackedWeight's static dims rewritten to the
     local shard sizes; array leaves are untouched (shard_map slices them).
-    """
+
+    fuse=True builds the q/k/v (and llama-family gate/up) serving fusion in
+    the SHARD-INTERLEAVED layout (ops/pack.fuse_packed(tp=...)): slicing
+    the fused N over the mesh hands every shard a standard fused weight of
+    its own column shards — the fastest single-chip serving config now runs
+    tensor-parallel. a8=True marks every packed linear for dynamic int8
+    activations (the --faster-kernel path)."""
     if spec.n_heads % tp or spec.kv_heads % tp:
         raise ValueError(
             f"heads ({spec.n_heads}/{spec.kv_heads}) must divide tp={tp}")
     rules = sharding_rules(spec)
+
+    def serve_flags(lw):
+        from gptq_tpu.models.common import ServeFlags
+
+        if a8 and isinstance(lw, PackedWeight):
+            return ServeFlags(a8=True)
+        return None
 
     def lin_view(lin: dict, kind: str, name: str):
         w = lin["w"]
@@ -137,6 +159,49 @@ def tp_local_view(spec: ArchSpec, params: dict, tp: int, axis: str = "tp"
             lp["act_q"] = lin["act_q"]
             sp["act_q"] = None if lin["act_q"] is None else {
                 k: _REP for k in lin["act_q"]}
+        fl = serve_flags(lw)
+        if fl is not None:
+            lp["serve"] = sp["serve"] = fl
+        return lp, sp
+
+    def try_fuse_tp(bp, names, li):
+        """Interleaved fused entry (local + pspec) or None."""
+        from gptq_tpu.models.common import FusedSplits
+        from gptq_tpu.ops.pack import fuse_packed
+
+        lins = [bp.get(n) for n in names]
+        if any(l is None or not isinstance(l.get("w"), PackedWeight)
+               for l in lins):
+            return None
+        ws = [l["w"] for l in lins]
+        aqs = [l.get("act_q") for l in lins]
+        if any(aq is not None for aq in aqs):
+            # q/k/v share one input, so act_q params coincide; verify
+            a0 = aqs[0]
+            for aq in aqs[1:]:
+                if (aq is None) != (a0 is None):
+                    return None
+        if any(l.get("b") is not None and w.Np != w.N
+               for l, w in zip(lins, ws)):
+            return None  # padded stored cols would misalign sharded biases
+        for w, n in zip(ws, names):
+            _check_packed(w, "col", tp, f"layer{li}.{n}")
+        fused = fuse_packed(ws, tp=tp)
+        if fused is None:
+            return None
+        local_w = dataclasses.replace(fused, N=fused.Np // tp)
+        spec_w = _packed_pspec(local_w, "col", axis)
+        splits = FusedSplits(tuple((w.Np // tp, w.Np // tp) for w in ws))
+        lp = {"w": local_w, "splits": splits,
+              "b_parts": [l.get("b") for l in lins], "act_q": aqs[0]}
+        sp = {"w": spec_w, "splits": splits,
+              "b_parts": [None if l.get("b") is None else P(axis)
+                          for l in lins],
+              "act_q": None if aqs[0] is None else {
+                  k: _REP for k in aqs[0]}}
+        fl = serve_flags(local_w)
+        if fl is not None:
+            lp["serve"] = sp["serve"] = fl
         return lp, sp
 
     def rep_tree(p):
@@ -148,11 +213,25 @@ def tp_local_view(spec: ArchSpec, params: dict, tp: int, axis: str = "tp"
     for li, bp in enumerate(params["layers"]):
         if "qkv_fused" in bp or "gateup_fused" in bp:
             raise ValueError(
-                "shard_map TP runs on unfused params (fusion concatenates "
-                "N across parts, which breaks per-part shard boundaries); "
-                "build the engine with fuse=False")
+                "shard_map TP cannot slice a globally-fused weight (its N "
+                "concatenates parts); pass unfused params and use "
+                "tp_local_view(fuse=True) for the shard-interleaved fusion")
         lpd, spd = {}, {}
+        handled: set[str] = set()
+        if fuse:
+            groups = []
+            if spec.arch != "bloom":
+                groups.append((("q", "k", "v"), "qkv_fused"))
+            if spec.arch in ("llama", "gemma"):
+                groups.append((("gate", "up"), "gateup_fused"))
+            for names, fkey in groups:
+                entry = try_fuse_tp(bp, names, li)
+                if entry is not None:
+                    lpd[fkey], spd[fkey] = entry
+                    handled.update(names)
         for key, val in bp.items():
+            if key in handled:
+                continue
             if key in rules:
                 lpd[key], spd[key] = lin_view(val, rules[key],
                                               f"layer{li}.{key}")
@@ -198,13 +277,16 @@ def local_cache(spec: ArchSpec, tp: int, batch: int, max_len: int,
 
 
 def make_tp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
-                        axis: str = "tp", int8_cache: bool = False):
+                        axis: str = "tp", int8_cache: bool = False,
+                        fuse: bool = False, a8: bool = False):
     """(local_params, step): step(params, cache, token) -> (logits, cache)
     with every packed matmul running per-shard inside shard_map and one
     psum per residual projection. int8_cache=True expects a
-    KVCache.init(dtype=int8) cache (scale planes head-sharded)."""
+    KVCache.init(dtype=int8) cache (scale planes head-sharded); fuse/a8
+    enable the fast serving config (shard-interleaved q/k/v + gate/up
+    fusion, dynamic int8 activations) under TP."""
     tp = mesh.shape[axis]
-    local, pspecs = tp_local_view(spec, params, tp, axis)
+    local, pspecs = tp_local_view(spec, params, tp, axis, fuse=fuse, a8=a8)
     cspec = cache_pspec(axis, int8=int8_cache)
     other = tuple(a for a in mesh.axis_names if a != axis)
     if any(mesh.shape[a] != 1 for a in other):
@@ -226,11 +308,11 @@ def make_tp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
 
 
 def make_tp_forward(spec: ArchSpec, params: dict, mesh: Mesh,
-                    axis: str = "tp"):
+                    axis: str = "tp", fuse: bool = False, a8: bool = False):
     """(local_params, fwd): fwd(params, ids) -> logits, cache-less forward
     (PPL eval path) under shard_map TP."""
     tp = mesh.shape[axis]
-    local, pspecs = tp_local_view(spec, params, tp, axis)
+    local, pspecs = tp_local_view(spec, params, tp, axis, fuse=fuse, a8=a8)
 
     def local_fwd(p, ids):
         logits, _ = model_forward(spec, p, ids, tp_axis=axis, tp_size=tp)

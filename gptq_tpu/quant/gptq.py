@@ -445,10 +445,33 @@ def gptq_quantize(W, H, cfg: SolverConfig, mean_input=None):
 
 class GPTQ:
     """Mirrors the reference's per-layer object flow (reference: gptq.py:23-318):
-    construct per linear, feed calibration activations, then solve."""
+    construct per linear, feed calibration activations, then solve.
 
-    def __init__(self, weight: jax.Array):
-        # weight: (out_features, in_features) == reference nn.Linear layout
+    Like the reference's `GPTQ(layer)` it is transparent over layer kinds
+    (reference: gptq.py:29-32,49-58,303-304):
+      kind="linear" — weight (out, in), activations (..., in)
+      kind="conv2d" — weight (out, in, kh, kw); activations are NCHW
+        images, unfolded into patch rows exactly like torch.nn.Unfold
+        (stride/padding/dilation from conv_cfg); the solved Q restores the
+        4-d kernel layout
+      kind="conv1d" — HF transformers.Conv1D (in, out) transposed weight
+    """
+
+    def __init__(self, weight: jax.Array, kind: str = "linear",
+                 conv_cfg: dict | None = None):
+        self.kind = kind
+        self.conv_cfg = conv_cfg or {}
+        self.orig_shape = weight.shape
+        if kind == "conv2d":
+            from gptq_tpu.quant.conv import conv2d_weight_matrix
+
+            weight = conv2d_weight_matrix(weight)
+        elif kind == "conv1d":
+            from gptq_tpu.quant.conv import conv1d_weight_matrix
+
+            weight = conv1d_weight_matrix(weight)
+        elif kind != "linear":
+            raise ValueError(f"unknown layer kind {kind}")
         self.weight = weight
         self.rows, self.columns = weight.shape
         self.state = hessian_init(self.columns)
@@ -458,11 +481,30 @@ class GPTQ:
         return int(self.state[1])
 
     def add_batch(self, inp: jax.Array) -> None:
+        if self.kind == "conv2d":
+            from gptq_tpu.quant.conv import conv2d_patches
+
+            inp = conv2d_patches(
+                inp,
+                self.conv_cfg.get("kernel_size", self.orig_shape[2:]),
+                self.conv_cfg.get("stride", (1, 1)),
+                self.conv_cfg.get("padding", (0, 0)),
+                self.conv_cfg.get("dilation", (1, 1)),
+            )
         self.state = hessian_update(self.state, inp)
 
     def fasterquant(self, cfg: SolverConfig):
         H, _, mean_input = self.state
-        return gptq_quantize(self.weight, H, cfg, mean_input)
+        out = dict(gptq_quantize(self.weight, H, cfg, mean_input))
+        if self.kind == "conv2d":
+            from gptq_tpu.quant.conv import conv2d_weight_from_matrix
+
+            out["Q"] = conv2d_weight_from_matrix(out["Q"], self.orig_shape)
+        elif self.kind == "conv1d":
+            from gptq_tpu.quant.conv import conv1d_weight_from_matrix
+
+            out["Q"] = conv1d_weight_from_matrix(out["Q"])
+        return out
 
     def analyse(self, percdamp: float = 0.01):
         """Row/column-wise stats of W, W*a and W/diag(Hinv)

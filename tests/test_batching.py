@@ -87,3 +87,29 @@ def test_more_requests_than_slots_all_complete():
     results = cb.run()
     assert len(results) == n
     assert all(len(r.output) == 4 for r in results)
+
+
+def test_batched_refill_one_dispatch_per_bucket():
+    """A churning pool must refill with ONE prefill dispatch per bucket per
+    wave, not one per freed slot (30 ms RTT each on the relayed chip)."""
+    params = init_params(SPEC, jax.random.PRNGKey(3))
+    rng = np.random.default_rng(3)
+    # 8 same-bucket prompts into 4 slots: wave 1 = 1 call (4 slots stacked),
+    # wave 2 = 1 call; plus every request still completes correctly
+    prompts = [rng.integers(1, 61, size=(5,)) for _ in range(8)]
+    cb = ContinuousBatcher(SPEC, params, batch_slots=4, max_len=64,
+                           cache_dtype=jnp.float32, prefill_buckets=(8,))
+    for p in prompts:
+        cb.submit(p, max_new_tokens=4)
+    results = cb.run()
+    assert len(results) == 8
+    assert cb.prefill_calls == 2, cb.prefill_calls
+
+    # mixed buckets in one wave: one dispatch per bucket
+    cb2 = ContinuousBatcher(SPEC, params, batch_slots=4, max_len=64,
+                            cache_dtype=jnp.float32, prefill_buckets=(4, 16))
+    for n in (3, 4, 9, 12):
+        cb2.submit(rng.integers(1, 61, size=(n,)), max_new_tokens=3)
+    res2 = cb2.run()
+    assert len(res2) == 4
+    assert cb2.prefill_calls == 2, cb2.prefill_calls

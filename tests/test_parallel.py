@@ -169,3 +169,70 @@ def test_loss_decreases_under_training():
         params, st, loss = step(params, st, batch)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def _packed_serving_model(act_order=True, groupsize=128, tp=2, seed=7):
+    from gptq_tpu.config import QuantConfig
+    from gptq_tpu.pipeline import pack_model, quantize_model
+
+    spec = ArchSpec(arch="llama", n_layers=1, hidden=1024, n_heads=4,
+                    n_kv_heads=4, ffn=1024, vocab=96, max_pos=64,
+                    norm_eps=1e-5, act="silu", pos="rope",
+                    norm_type="rmsnorm", linear_bias=False,
+                    tie_embeddings=False)
+    params = init_params(spec, jax.random.PRNGKey(seed))
+    calib = jnp.asarray(
+        np.random.default_rng(seed).integers(0, 96, size=(2, 16)))
+    cfg = QuantConfig(wbits=4, nsamples=2, groupsize=groupsize,
+                      act_order=act_order, static_groups=act_order)
+    res = quantize_model(spec, params, calib, cfg, log=lambda s: None)
+    pack_model(spec, params, res.quantizers, cfg, tp=tp)
+    return spec, params
+
+
+def test_shardmap_tp_actorder_packed_matches_single():
+    """Act-order packed weights (stored permuted, run-time x gather) under
+    shard_map TP: col shards use the replicated perm, row shards all_gather
+    x and take their perm slice — logits must match single-device."""
+    from gptq_tpu.parallel.tp import make_tp_forward
+
+    spec, params = _packed_serving_model(act_order=True)
+    assert params["layers"][0]["o"]["w"].perm is not None  # row + perm
+    ids = jnp.asarray(np.random.default_rng(8).integers(0, 96, size=(2, 16)))
+    want, _ = model_forward(spec, params, ids)
+    mesh = make_mesh(tp=2, dp=1)
+    local, fwd = make_tp_forward(spec, params, mesh)
+    got = fwd(local, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_shardmap_tp_fused_a8_decode_matches_single():
+    """The fastest serving config — q/k/v + gate/up fusion with dynamic
+    int8 activations — under shard_map TP (shard-interleaved fused layout)
+    must produce the same tokens as the single-device fused a8 engine."""
+    from gptq_tpu.models.common import KVCache, fuse_serving
+    from gptq_tpu.parallel.tp import make_tp_decode_step
+
+    spec, params = _packed_serving_model(act_order=True)
+    mesh = make_mesh(tp=2, dp=1)
+    local, step = make_tp_decode_step(spec, params, mesh, fuse=True, a8=True)
+    assert "qkv_fused" in local["layers"][0]
+    assert "gateup_fused" in local["layers"][0]
+
+    single = fuse_serving(spec, params, a8=True)
+    cache_tp = KVCache.init(spec, 1, 8, jnp.float32)
+    cache_1 = KVCache.init(spec, 1, 8, jnp.float32)
+    toks = [3, 7, 11]
+    for t in toks:
+        tok = jnp.asarray([[t]])
+        logits_tp, cache_tp = step(local, cache_tp, tok)
+        want_full, cache_1 = model_forward(spec, single, tok, cache_1)
+        # row-sharded linears quantize activations per SHARD-local row
+        # slice (a finer grid than the single-device full-row absmax), so
+        # logits differ at the int8-rounding level; tokens must agree
+        want = np.asarray(want_full[:, -1])
+        rel = np.abs(np.asarray(logits_tp) - want).max() / np.abs(want).max()
+        assert rel < 0.05, rel
+        assert int(jnp.argmax(logits_tp)) == int(
+            jnp.argmax(want_full[:, -1]))

@@ -297,3 +297,36 @@ def test_rtn_parity(ref):
         torch.from_numpy(W.copy()), q.scale, q.zero, q.maxq).numpy()
     Q_jax = np.asarray(rtn_quantize_weight(jnp.asarray(W), 4, sym=False))
     np.testing.assert_allclose(Q_jax, Q_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_conv2d_solver_parity(ref):
+    """GPTQ over nn.Conv2d (reference: gptq.py:29-31,49-58): unfolded-patch
+    Hessian + flattened kernel must match the reference elementwise."""
+    rng = np.random.default_rng(21)
+    W = (rng.standard_normal((12, 6, 3, 3)) * 0.6).astype(np.float32)
+    xs = [rng.standard_normal((2, 6, 10, 10)).astype(np.float32)
+          for _ in range(3)]
+
+    layer = torch.nn.Conv2d(6, 12, 3, padding=1, bias=False)
+    layer.weight.data = torch.from_numpy(W.copy())
+    g = ref["gptq"].GPTQ(layer)
+    q = ref["quant"].Quantizer()
+    q.configure(4, perchannel=True, sym=False)
+    g.quantizer = q
+    for x in xs:
+        g.add_batch(torch.from_numpy(x), None)
+    H_ref = g.H.numpy().copy()
+    g.fasterquant(blocksize=32, percdamp=0.01)
+    Q_ref = layer.weight.data.numpy()
+
+    from gptq_tpu.quant.gptq import GPTQ, SolverConfig
+
+    gj = GPTQ(jnp.asarray(W), kind="conv2d",
+              conv_cfg={"kernel_size": (3, 3), "padding": (1, 1)})
+    for x in xs:
+        gj.add_batch(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(gj.state[0]), H_ref,
+                               rtol=2e-5, atol=2e-5)
+    out = gj.fasterquant(SolverConfig(bits=4, blocksize=32))
+    assert_parity(Q_ref.reshape(12, -1), np.asarray(out["Q"]).reshape(12, -1),
+                  bits=4)

@@ -127,3 +127,40 @@ def test_make_table():
     table = make_table({"results": {"piqa": {"acc": 0.5, "acc_stderr": 0.1}},
                         "versions": {"piqa": 0}})
     assert "|piqa|" in table
+
+
+def test_lambada_local_jsonl(tmp_path):
+    """Offline scoring: a local lambada jsonl (the reference ships a zenodo
+    loader, zeroShot/tasks/local_datasets/lambada) loads via data_dir."""
+    import json
+    from gptq_tpu.eval.zeroshot.tasks import Lambada
+
+    p = tmp_path / "lambada_test.jsonl"
+    docs = [{"text": "the cat sat on the mat"},
+            {"text": "dogs chase the red ball"}]
+    p.write_text("\n".join(json.dumps(d) for d in docs))
+    task = Lambada(data_dir=str(tmp_path))
+    vd = list(task.validation_docs())
+    assert len(vd) == 2
+    assert task.doc_to_text(vd[0]).endswith("the")
+    assert task.doc_to_target(vd[0]) == " mat"
+
+
+def test_storycloze_local_csv(tmp_path):
+    """Offline scoring: the reference's 2018 CSV format loads via data_dir."""
+    from gptq_tpu.eval.zeroshot.tasks import StoryCloze
+
+    p = tmp_path / "cloze_test_val.csv"
+    p.write_text(
+        "InputStoryid,InputSentence1,InputSentence2,InputSentence3,"
+        "InputSentence4,RandomFifthSentenceQuiz1,RandomFifthSentenceQuiz2,"
+        "AnswerRightEnding\n"
+        "id1,A.,B.,C.,D.,Good end.,Bad end.,1\n"
+        "id2,E.,F.,G.,H.,Wrong.,Right.,2\n")
+    task = StoryCloze(data_dir=str(tmp_path))
+    docs = list(task.validation_docs())
+    assert len(docs) == 2
+    assert docs[0]["query"] == "A. B. C. D."
+    assert docs[0]["choices"] == ["Good end.", "Bad end."]
+    assert docs[0]["gold"] == 0
+    assert docs[1]["gold"] == 1
