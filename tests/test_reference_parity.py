@@ -330,3 +330,80 @@ def test_conv2d_solver_parity(ref):
     out = gj.fasterquant(SolverConfig(bits=4, blocksize=32))
     assert_parity(Q_ref.reshape(12, -1), np.asarray(out["Q"]).reshape(12, -1),
                   bits=4)
+
+
+def test_tiny_opt_end_to_end_parity(ref, tmp_path, monkeypatch):
+    """Whole-pipeline differential: reference opt_sequential + opt_eval
+    (torch, CPU) vs gptq_tpu quantize_model + eval_ppl on an identical
+    tiny OPT with identical calibration tokens. Quantized weights must
+    match per-linear and the PPLs must agree."""
+    import types
+
+    from transformers import OPTConfig, OPTForCausalLM
+
+    sys.path.insert(0, REF)
+    import importlib
+
+    opt_mod = importlib.import_module("opt")
+
+    torch.manual_seed(0)
+    cfgm = OPTConfig(vocab_size=99, hidden_size=32, num_hidden_layers=2,
+                     ffn_dim=64, num_attention_heads=4,
+                     max_position_embeddings=32)
+    model = OPTForCausalLM(cfgm).eval()
+    model.seqlen = 32
+
+    rng = np.random.default_rng(0)
+    calib = rng.integers(0, 99, size=(4, 32))
+    test_ids = rng.integers(0, 99, size=(1, 4 * 32))
+
+    args = types.SimpleNamespace(
+        model="tiny-opt", nsamples=4, wbits=4, groupsize=-1, sym=False,
+        trits=False, act_order=False, static_groups=False, percdamp=0.01,
+        lut_eval=False, non_linear=False, columnwise=False, bcq_round=5,
+        use_bst=True, apot_nums=2, nearest=False, hyperbits=5,
+        exploreBits=1, exploreSplit=20, layermix=False, linearmix=False,
+        quant_config=None)
+    opt_mod.args = args
+
+    import copy
+
+    ref_model = copy.deepcopy(model)
+    dataloader = [(torch.from_numpy(calib[i:i+1]).long(), None)
+                  for i in range(4)]
+    opt_mod.opt_sequential(ref_model, dataloader, torch.device("cpu"))
+
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "quant_bit").mkdir()
+    testenc = types.SimpleNamespace(
+        input_ids=torch.from_numpy(test_ids).long())
+    opt_mod.opt_eval(ref_model, testenc, torch.device("cpu"))
+    line = (tmp_path / "quant_bit" / "ppl.txt").read_text().strip()
+    ppl_ref = float(line.split(":")[-1].split("||")[0].strip())
+
+    # --- gptq_tpu side, same model weights + calib tokens
+    from gptq_tpu.config import QuantConfig
+    from gptq_tpu.eval.ppl import eval_ppl
+    from gptq_tpu.models.convert import params_from_hf_torch
+    from gptq_tpu.pipeline import quantize_model
+
+    spec, params = params_from_hf_torch(model)
+    cfg = QuantConfig(wbits=4, nsamples=4)
+    quantize_model(spec, params, jnp.asarray(calib), cfg, log=lambda s: None)
+
+    # per-linear quantized-weight parity (jax layer key -> HF module name)
+    keymap = {"q": "self_attn.q_proj", "k": "self_attn.k_proj",
+              "v": "self_attn.v_proj", "o": "self_attn.out_proj",
+              "fc1": "fc1", "fc2": "fc2"}
+    sd = ref_model.state_dict()
+    for li in range(2):
+        for jk, hk in keymap.items():
+            W_ref = sd[f"model.decoder.layers.{li}.{hk}.weight"].numpy()
+            W_jax = np.asarray(params["layers"][li][jk]["w"])
+            exact = np.isclose(W_ref, W_jax, atol=1e-5, rtol=1e-4)
+            assert exact.mean() >= 0.98, (
+                f"layer{li}.{jk}: {exact.mean():.4%} match")
+
+    ppl_jax = eval_ppl(spec, params, jnp.asarray(test_ids), 32,
+                       log=lambda s: None)
+    assert abs(ppl_jax - ppl_ref) / ppl_ref < 0.01, (ppl_jax, ppl_ref)
