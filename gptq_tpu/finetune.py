@@ -31,10 +31,47 @@ def clm_loss(spec: ArchSpec, params: dict, batch: jax.Array) -> jax.Array:
     return jnp.mean(logz - tok)
 
 
-def make_optimizer(name: str = "adafactor", lr: float = 2e-5) -> optax.GradientTransformation:
-    if name == "adafactor":
-        return optax.adafactor(learning_rate=lr)
-    return optax.adamw(learning_rate=lr)
+def clm_accuracy(spec: ArchSpec, params: dict, batch: jax.Array) -> jax.Array:
+    """Next-token argmax accuracy (the reference Trainer's eval metric,
+    finetune/train.py compute_metrics + preprocess_logits_for_metrics)."""
+    logits, _ = model_forward(spec, params, batch)
+    pred = jnp.argmax(logits[:, :-1], axis=-1)
+    return jnp.mean((pred == batch[:, 1:]).astype(jnp.float32))
+
+
+def make_schedule(lr: float, kind: str = "constant", total_steps: int = 0,
+                  warmup_steps: int = 0):
+    """LR schedule (reference: HF Trainer --lr_scheduler_type/--warmup_steps,
+    default linear decay with warmup)."""
+    if kind == "constant" and not warmup_steps:
+        return lr
+    if kind == "linear":
+        decay = optax.linear_schedule(
+            lr, 0.0, max(1, total_steps - warmup_steps))
+    elif kind == "cosine":
+        decay = optax.cosine_decay_schedule(
+            lr, max(1, total_steps - warmup_steps))
+    else:
+        decay = optax.constant_schedule(lr)
+    if warmup_steps:
+        warm = optax.linear_schedule(0.0, lr, warmup_steps)
+        return optax.join_schedules([warm, decay], [warmup_steps])
+    return decay
+
+
+def make_optimizer(name: str = "adafactor", lr: float = 2e-5,
+                   schedule: str = "constant", total_steps: int = 0,
+                   warmup_steps: int = 0, grad_accum: int = 1
+                   ) -> optax.GradientTransformation:
+    """grad_accum > 1 wraps the optimizer in optax.MultiSteps: the train
+    step is called per micro-batch and applies updates every grad_accum
+    calls (reference: --gradient_accumulation_steps)."""
+    sched = make_schedule(lr, schedule, total_steps, warmup_steps)
+    opt = (optax.adafactor(learning_rate=sched) if name == "adafactor"
+           else optax.adamw(learning_rate=sched))
+    if grad_accum > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=grad_accum)
+    return opt
 
 
 def make_train_step(spec: ArchSpec, optimizer: optax.GradientTransformation,

@@ -43,6 +43,10 @@ def main(argv=None) -> int:
     p.add_argument("--block_size", type=int, default=2048)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--learning_rate", type=float, default=2e-5)
+    p.add_argument("--lr_scheduler_type", default="constant",
+                   choices=["constant", "linear", "cosine"])
+    p.add_argument("--warmup_steps", type=int, default=0)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--optim", default="adafactor", choices=["adafactor", "adamw"])
     p.add_argument("--num_train_epochs", type=float, default=1.0)
     p.add_argument("--max_steps", type=int, default=-1)
@@ -58,7 +62,8 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
-    from gptq_tpu.finetune import clm_loss, make_optimizer, make_train_step
+    from gptq_tpu.finetune import (clm_accuracy, clm_loss, make_optimizer,
+                                   make_train_step)
     from gptq_tpu.io import load_checkpoint, save_checkpoint
     from gptq_tpu.models.convert import params_from_dir
 
@@ -84,7 +89,16 @@ def main(argv=None) -> int:
         mesh = make_mesh(tp=args.tp, dp=args.dp)
         params = shard_params(spec, params, mesh)
 
-    opt = make_optimizer(args.optim, lr=args.learning_rate)
+    rng = np.random.default_rng(args.seed)
+    steps_per_epoch = len(train_blocks) // args.batch_size
+    total_steps = (args.max_steps if args.max_steps > 0
+                   else int(args.num_train_epochs * steps_per_epoch))
+
+    opt = make_optimizer(args.optim, lr=args.learning_rate,
+                         schedule=args.lr_scheduler_type,
+                         total_steps=total_steps,
+                         warmup_steps=args.warmup_steps,
+                         grad_accum=args.gradient_accumulation_steps)
     init, step = make_train_step(spec, opt, mesh=mesh)
     opt_state = init(params)
 
@@ -96,19 +110,16 @@ def main(argv=None) -> int:
             start_step = json.load(f)["step"]
         print(f"resumed from {resume} at step {start_step}")
 
-    rng = np.random.default_rng(args.seed)
-    steps_per_epoch = len(train_blocks) // args.batch_size
-    total_steps = (args.max_steps if args.max_steps > 0
-                   else int(args.num_train_epochs * steps_per_epoch))
-
     eval_fn = jax.jit(lambda p, b: clm_loss(spec, p, b))
+    acc_fn = jax.jit(lambda p, b: clm_accuracy(spec, p, b))
 
-    def evaluate() -> float:
-        losses = []
+    def evaluate() -> tuple[float, float]:
+        losses, accs = [], []
         for i in range(0, min(len(eval_blocks), 16), args.batch_size):
             b = jnp.asarray(eval_blocks[i : i + args.batch_size])
             losses.append(float(eval_fn(params, b)))
-        return float(np.exp(np.mean(losses)))
+            accs.append(float(acc_fn(params, b)))
+        return float(np.exp(np.mean(losses))), float(np.mean(accs))
 
     t0 = time.time()
     for s in range(start_step, total_steps):
@@ -119,7 +130,8 @@ def main(argv=None) -> int:
             print(f"step {s+1}/{total_steps} loss={float(loss):.4f} "
                   f"({(s + 1 - start_step) / (time.time() - t0):.2f} it/s)")
         if (s + 1) % args.eval_steps == 0:
-            print(f"eval ppl = {evaluate():.4f}")
+            ppl, acc = evaluate()
+            print(f"eval ppl = {ppl:.4f} accuracy = {acc:.4f}")
         if (s + 1) % args.save_steps == 0 or s + 1 == total_steps:
             ck = os.path.join(args.output_dir, f"checkpoint-{s+1}")
             os.makedirs(ck, exist_ok=True)
@@ -128,7 +140,8 @@ def main(argv=None) -> int:
                 json.dump({"step": s + 1}, f)
             print(f"saved {ck}")
 
-    print(f"final eval ppl = {evaluate():.4f}")
+    ppl, acc = evaluate()
+    print(f"final eval ppl = {ppl:.4f} accuracy = {acc:.4f}")
     return 0
 
 

@@ -510,9 +510,23 @@ def block_forward(
             cv = jax.lax.dynamic_update_slice(
                 cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
         if ks is not None:
+            new_kv = (ck, cv, ks, vs)
+            if T == 1 and spec.pos != "alibi" and _attn_int8_impl():
+                # fused int8-cache decode attention: the kernel consumes
+                # int8 slabs + scales directly — half the cache read
+                # bandwidth of the materialized path below
+                from gptq_tpu.ops.attention import decode_attention_int8
+
+                lens = (cache_len + 1 if getattr(cache_len, "ndim", 0)
+                        else cache_len + T)
+                out = decode_attention_int8(
+                    q[:, 0], ck, cv, ks, vs, lens, spec.scale,
+                    interpret=_attn_int8_impl() == "interpret")
+                attn = out.reshape(B, 1, -1).astype(x.dtype)
+                return _finish_block(spec, p, x, attn, captures, tp_axis,
+                                     new_kv)
             k_all = ck.astype(jnp.float32) * ks[..., None]
             v_all = cv.astype(jnp.float32) * vs[..., None]
-            new_kv = (ck, cv, ks, vs)
         else:
             k_all, v_all = ck, cv
             new_kv = (ck, cv)
@@ -522,6 +536,26 @@ def block_forward(
 
     attn = attention(spec, q, k_all, v_all, mask,
                      plain_causal=cache is None and spec.pos != "alibi")
+    return _finish_block(spec, p, residual, attn, captures, tp_axis, new_kv)
+
+
+def _attn_int8_impl() -> str | None:
+    """Whether the fused int8-cache attention kernel serves decode:
+    'tpu' (compiled) / 'interpret' (CPU tests) / None (materialize)."""
+    import os
+
+    mode = os.environ.get("GPTQ_TPU_ATTN_IMPL", "auto")
+    if mode == "kernel":
+        return "tpu"
+    if mode == "interpret":
+        return "interpret"
+    if mode == "xla":
+        return None
+    return "tpu" if jax.default_backend() == "tpu" else None
+
+
+def _finish_block(spec, p, residual, attn, captures, tp_axis, new_kv):
+    """Post-attention half of a decoder block (o projection + MLP)."""
     o_name = {"bloom": "self_attention.dense", "opt": "self_attn.out_proj"}.get(
         spec.arch, "self_attn.o_proj"
     )

@@ -8,6 +8,12 @@ callers pre-tune the unique (K, N) shapes of a model once —
 at trace time. Results persist to results/autotune.json keyed by shape,
 format and backend, so a model's second run skips tuning.
 
+Table schema: key -> [tk, tn, gbps] (gbps = achieved effective bandwidth
+of the winner, bytes = packed weight bytes / measured time; recorded so
+regressions are visible across chips/runs). Legacy [tk, tn] entries load
+fine. tk == -1 encodes the streamed double-buffered impl
+(GPTQ_TPU_MATMUL_IMPL=streamed) as the winner.
+
 The reference tunes its CUDA kernels by hand per GPU (BLOCKWIDTH/
 BLOCKHEIGHT constants, quant_cuda_kernel.cu:28-29; k_tile/m_tile template
 dispatch, lut_gemm/mv_fp16_bias.hpp:118-141); here the sweep is automated.
@@ -22,7 +28,7 @@ from typing import Iterable
 
 import numpy as np
 
-_TABLE: dict[str, tuple[int, int]] = {}
+_TABLE: dict[str, tuple] = {}
 _LOADED = False
 _PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "results", "autotune.json")
@@ -30,7 +36,16 @@ _PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
 # candidate (tk, tn) tiles for decode-shape (small M) matmuls. Each
 # candidate costs two kernel compiles (~1 min on a relayed chip), so the
 # list is small; results persist, so the cost is once per shape.
-CANDIDATES = [(2048, 512), (1024, 1024), (4096, 512), (1024, 2048)]
+# (0, FULL_N) expands to tn = stored N: the words block then covers full
+# rows, so its HBM DMA is one contiguous slab (chip-measured at or near
+# the 819 GB/s HBM spec where strided tn blocks sit at 400-600).
+FULL_N = -2
+STREAMED = -1
+CANDIDATES = [(2048, 512), (1024, 1024), (4096, 512), (1024, 2048),
+              (2048, 2048), (512, FULL_N), (1024, FULL_N),
+              (STREAMED, STREAMED)]
+
+_VMEM_BUDGET = 13_000_000  # double-buffered words blocks must fit VMEM
 
 
 def _key(K: int, N: int, bits: int, groupsize: int, fmt: str, M: int,
@@ -65,9 +80,11 @@ def _save() -> None:
 
 def best_tiles(K: int, N: int, bits: int, groupsize: int, fmt: str,
                M: int, act: str = "bf16") -> tuple[int, int] | None:
-    """Tuned (tk, tn) for this shape, or None for the built-in default."""
+    """Tuned (tk, tn) for this shape, or None for the built-in default.
+    (-1, -1) means the streamed impl won."""
     _load()
-    return _TABLE.get(_key(K, N, bits, groupsize, fmt, M, act))
+    ent = _TABLE.get(_key(K, N, bits, groupsize, fmt, M, act))
+    return None if ent is None else tuple(ent[:2])
 
 
 def _time_eager(fn, x, iters: int = 64, reps: int = 3) -> float:
@@ -75,6 +92,25 @@ def _time_eager(fn, x, iters: int = 64, reps: int = 3) -> float:
     from gptq_tpu.ops.kernel_bench import chained_seconds
 
     return chained_seconds(fn, x, iters=iters, reps=reps)
+
+
+def _expand(tk: int, tn: int, pw) -> tuple[int, int] | None:
+    """Resolve placeholder candidates against a concrete shape; None if the
+    candidate is invalid (doesn't divide / exceeds VMEM)."""
+    if tk == STREAMED:
+        return (STREAMED, STREAMED)
+    if tn == FULL_N:
+        tn = pw.Np
+    if pw.Kp % tk or pw.Np % tn:
+        return None
+    from gptq_tpu.ops.pack import FIELD_SPLITS
+
+    fbs = ([fb for fb, _ in FIELD_SPLITS[pw.bits]] if pw.fmt != "bcq"
+           else [1] * pw.bits)
+    words_bytes = sum(2 * (tk // (32 // fb)) * tn * 4 for fb in fbs)
+    if words_bytes > _VMEM_BUDGET:
+        return None
+    return (tk, tn)
 
 
 def tune_packed(pw, M: int = 8, log=lambda s: None,
@@ -85,12 +121,13 @@ def tune_packed(pw, M: int = 8, log=lambda s: None,
     import jax.numpy as jnp
 
     from gptq_tpu.ops.bcq_matmul import _matmul_pallas as bcq_mm
-    from gptq_tpu.ops.qmatmul import _matmul_pallas as uni_mm
+    from gptq_tpu.ops.qmatmul import (_matmul_pallas as uni_mm,
+                                      _matmul_streamed)
 
     _load()
     key = _key(pw.K, pw.N, pw.bits, pw.groupsize, pw.fmt, M, act)
     if key in _TABLE:
-        return _TABLE[key]
+        return tuple(_TABLE[key][:2])
     mm = bcq_mm if pw.fmt == "bcq" else uni_mm
     if act == "int8":
         x = jax.random.randint(jax.random.PRNGKey(0), (max(8, M), pw.Kp),
@@ -104,28 +141,49 @@ def tune_packed(pw, M: int = 8, log=lambda s: None,
         default = (1024, 1024) if M <= 64 else (512, 256)
     else:
         default = (2048, 1024) if M <= 64 else (512, 256)
+    nbytes = (pw.Kp * pw.Np * pw.bits) / 8
     results: dict[tuple[int, int], float] = {}
-    for tk, tn in dict.fromkeys([default] + CANDIDATES):
-        if pw.Kp % tk or pw.Np % tn:
+    for cand in dict.fromkeys([default] + CANDIDATES):
+        c = _expand(*cand, pw)
+        if c is None:
             continue
+        tk, tn = c
+        if tk == STREAMED:
+            if pw.fmt == "bcq" or len(pw.words) != 1:
+                continue
+            fn = lambda a: _matmul_streamed(a, pw)
+        else:
+            fn = lambda a, tk=tk, tn=tn: mm(a, pw, tk, tn)
         try:
-            t = _time_eager(lambda c, tk=tk, tn=tn: mm(c, pw, tk, tn), x)
+            t = _time_eager(fn, x)
         except Exception:  # noqa: BLE001 — tile invalid for this layout
             continue
-        log(f"  {pw.K}x{pw.N} tk{tk} tn{tn}: {t*1e6:.1f} us")
+        log(f"  {pw.K}x{pw.N} tk{tk} tn{tn}: {t*1e6:.1f} us "
+            f"{nbytes/t/1e9:.0f} GB/s")
         results[(tk, tn)] = t
     if not results:
         return (0, 0)
     best = min(results, key=results.get)
     # chip timing is noisy: only override the static default when the
-    # winner is clearly (>8%) faster than the default's own measurement
+    # winner is clearly (>8%) faster than the default's own measurement;
+    # implausible wins (above ~1.3x the 819 GB/s HBM spec) are artifacts of
+    # the differencing protocol — re-measure once and drop if repeated
+    while best != default and nbytes / results[best] / 1e9 > 1050:
+        t2 = _time_eager(
+            (lambda a: _matmul_streamed(a, pw)) if best[0] == STREAMED
+            else (lambda a: mm(a, pw, *best)), x)
+        results[best] = max(results[best], t2)
+        if nbytes / results[best] / 1e9 > 1050:
+            del results[best]
+        best = min(results, key=results.get)
     if default in results and best != default:
         if results[best] > 0.92 * results[default]:
             best = default
-    _TABLE[key] = best
+    gbps = round(nbytes / results[best] / 1e9, 1)
+    _TABLE[key] = (*best, gbps)
     _save()
     log(f"autotune {key}: tk{best[0]} tn{best[1]} "
-        f"({results[best]*1e6:.1f} us)")
+        f"({results[best]*1e6:.1f} us, {gbps} GB/s)")
     return best
 
 

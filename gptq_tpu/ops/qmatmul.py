@@ -318,7 +318,7 @@ def _matmul_pallas(x: jax.Array, pw: PackedWeight, tk: int = 0, tn: int = 0,
 
         act = "int8" if x.dtype == jnp.int8 else "bf16"
         tuned = best_tiles(pw.K, pw.N, pw.bits, pw.groupsize, pw.fmt, M, act)
-        if tuned:
+        if tuned and tuned[0] > 0:
             tk, tn = tuned
         else:
             # decode shapes amortize grid overhead with big tiles (tile
@@ -436,6 +436,15 @@ def dequant_matmul(
         Mp = max(8, ((M + 7) // 8) * 8)
         if Mp != M or pw.Kp != pw.K:
             x2 = jnp.pad(x2, ((0, Mp - M), (0, pw.Kp - pw.K)))
+        if impl == "pallas" and len(pw.words) == 1:
+            # the tuner may have crowned the streamed impl for this shape
+            from gptq_tpu.ops.autotune import best_tiles
+
+            act = "int8" if x2.dtype == jnp.int8 else "bf16"
+            tuned = best_tiles(pw.K, pw.N, pw.bits, pw.groupsize, pw.fmt,
+                               M, act)
+            if tuned and tuned[0] == -1:
+                impl = "streamed"
         if impl == "streamed" and len(pw.words) == 1:
             y = _matmul_streamed(x2, pw, interpret=interpret)[:M, :pw.N]
         else:

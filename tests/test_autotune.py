@@ -42,3 +42,36 @@ def test_tuned_tiles_still_correct(monkeypatch):
     y = dequant_matmul(x, pw, impl="pallas", interpret=True)
     assert y.shape == (2, 512)
     np.testing.assert_allclose(np.asarray(y), 0.0, atol=1e-6)
+
+
+def test_table_schema_with_bandwidth(tmp_path, monkeypatch):
+    """New entries carry [tk, tn, gbps]; legacy 2-entry rows still load;
+    tk=-1 encodes the streamed impl."""
+    monkeypatch.setattr(autotune, "_PATH", str(tmp_path / "at.json"))
+    monkeypatch.setattr(autotune, "_TABLE", {})
+    monkeypatch.setattr(autotune, "_LOADED", False)
+    k3 = autotune._key(256, 256, 4, -1, "uniform", 8)
+    autotune._TABLE[k3] = (1024, 512, 733.5)
+    k2 = autotune._key(128, 128, 4, -1, "uniform", 8)
+    autotune._TABLE[k2] = (512, 256)
+    ks = autotune._key(64, 64, 4, -1, "uniform", 8)
+    autotune._TABLE[ks] = (-1, -1, 810.0)
+    autotune._save()
+    monkeypatch.setattr(autotune, "_TABLE", {})
+    monkeypatch.setattr(autotune, "_LOADED", False)
+    assert autotune.best_tiles(256, 256, 4, -1, "uniform", 8) == (1024, 512)
+    assert autotune.best_tiles(128, 128, 4, -1, "uniform", 8) == (512, 256)
+    assert autotune.best_tiles(64, 64, 4, -1, "uniform", 8) == (-1, -1)
+
+
+def test_expand_candidates():
+    from gptq_tpu.ops.kernel_bench import make_random_packed
+    import jax
+
+    pw = make_random_packed(jax.random.PRNGKey(0), 1024, 2048, 4, -1)
+    assert autotune._expand(512, autotune.FULL_N, pw) == (512, 2048)
+    assert autotune._expand(autotune.STREAMED, autotune.STREAMED, pw) == (
+        autotune.STREAMED, autotune.STREAMED)
+    assert autotune._expand(768, 512, pw) is None  # doesn't divide
+    # VMEM budget: 4-bit words block 2*(tk/8)*tn*4 bytes
+    assert autotune._expand(1024, autotune.FULL_N, pw) is not None

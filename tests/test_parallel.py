@@ -236,3 +236,44 @@ def test_shardmap_tp_fused_a8_decode_matches_single():
         assert rel < 0.05, rel
         assert int(jnp.argmax(logits_tp)) == int(
             jnp.argmax(want_full[:, -1]))
+
+
+def test_lr_schedule_and_grad_accum():
+    """HF-Trainer-parity knobs: warmup+decay schedules and MultiSteps
+    gradient accumulation (params update once every k micro-steps)."""
+    import jax.numpy as jnp
+    from gptq_tpu.finetune import make_optimizer, make_schedule
+
+    s = make_schedule(1e-3, "linear", total_steps=100, warmup_steps=10)
+    assert float(s(0)) == 0.0
+    assert abs(float(s(10)) - 1e-3) < 1e-9
+    assert float(s(100)) < float(s(50)) < float(s(10))
+    c = make_schedule(1e-3, "cosine", total_steps=100, warmup_steps=0)
+    assert abs(float(c(0)) - 1e-3) < 1e-9 and float(c(99)) < 1e-4
+
+    params = init_params(SPEC, jax.random.PRNGKey(9))
+    batch = jnp.asarray(np.random.default_rng(9).integers(0, 97, size=(2, 16)))
+    opt = make_optimizer("adamw", lr=1e-3, grad_accum=2)
+    from gptq_tpu.finetune import make_train_step
+
+    init, step = make_train_step(SPEC, opt)
+    st = init(params)
+    p1, st, _ = step(params, st, batch)
+    # first micro-step: gradients accumulate, params unchanged
+    d0 = max(float(jnp.max(jnp.abs(a - b)))
+             for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p1)))
+    assert d0 == 0.0
+    p2, st, _ = step(p1, st, batch)
+    d1 = max(float(jnp.max(jnp.abs(a - b)))
+             for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)))
+    assert d1 > 0.0
+
+
+def test_clm_accuracy_metric():
+    import jax.numpy as jnp
+    from gptq_tpu.finetune import clm_accuracy
+
+    params = init_params(SPEC, jax.random.PRNGKey(10))
+    batch = jnp.asarray(np.random.default_rng(10).integers(0, 97, size=(2, 16)))
+    acc = float(clm_accuracy(SPEC, params, batch))
+    assert 0.0 <= acc <= 1.0
