@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quant_lm_head", type=int, default=0, metavar="BITS",
                    help="also quantize the output projection (RTN, e.g. 8); "
                         "beyond-reference serving option")
+    p.add_argument("--int8_kv", action="store_true",
+                   help="serve with the int8 KV cache (dynamic per-token-"
+                        "head scales; fused dequant attention kernel) — "
+                        "halves cache HBM footprint/bandwidth; beyond-"
+                        "reference serving option")
     p.add_argument("--lut_eval", action="store_true")
     p.add_argument("--bcq_round", type=int, default=5)
     p.add_argument("--columnwise", action="store_true")
@@ -315,6 +320,9 @@ def main(argv=None) -> int:
 
             params = fuse_serving(spec, params, a8=True)
             print("--faster-kernel: serving with dynamic int8 activations")
+        import jax.numpy as jnp
+
+        cache_dtype = jnp.int8 if args.int8_kv else jnp.bfloat16
         if args.benchmark_batch > 1:
             # batched lock-step decode (beyond reference); tokens/s scales
             # with batch because weight streaming amortizes
@@ -322,7 +330,8 @@ def main(argv=None) -> int:
             import time as _t
 
             eng = DecodeEngine(spec, params, max_len=args.benchmark + 8,
-                               batch=args.benchmark_batch)
+                               batch=args.benchmark_batch,
+                               cache_dtype=cache_dtype)
             prompt = np.tile(ids[:1, :1], (args.benchmark_batch, 1))
             # warm with the SAME token count (chunk lengths are compiled in)
             eng.generate_chained(prompt, max_new_tokens=args.benchmark)
@@ -337,7 +346,8 @@ def main(argv=None) -> int:
                               protocol=f"batch{args.benchmark_batch}")
         elif measure_dispatch_rtt(reps=3) > 1e-3:
             print("dispatch RTT > 1ms: using on-device chained protocol")
-            r = benchmark_decode_chained(spec, params, ids, check=args.check)
+            r = benchmark_decode_chained(spec, params, ids, check=args.check,
+                                         cache_dtype=cache_dtype)
             append_result_log(args.results_log, args,
                               r.get("ppl", round(r["tokens_per_s"], 2)),
                               "decode-ppl" if args.check else "decode-tok/s",
@@ -345,7 +355,7 @@ def main(argv=None) -> int:
         else:
             r = benchmark_decode(spec, params, ids, check=args.check,
                                  trace_dir="results/profile" if args.check
-                                 else None)
+                                 else None, cache_dtype=cache_dtype)
             append_result_log(args.results_log, args,
                               r.get("ppl", round(r["tokens_per_s"], 2)),
                               "decode-ppl" if args.check else "decode-tok/s",

@@ -182,6 +182,7 @@ def benchmark_decode(
     warmup: int = 100,
     trace_dir: str | None = None,
     log=print,
+    cache_dtype=jnp.bfloat16,
 ) -> dict:
     """Reference benchmark protocol (opt.py:440-507): feed input_ids one
     token at a time through the cached decode step; report median per-token
@@ -189,7 +190,8 @@ def benchmark_decode(
     `--benchmark --check` (opt.py:499-507)."""
     n = int(np.prod(input_ids.shape))
     ids = np.asarray(input_ids).reshape(1, n)
-    engine = DecodeEngine(spec, params, max_len=n + 1, batch=1)
+    engine = DecodeEngine(spec, params, max_len=n + 1, batch=1,
+                          cache_dtype=cache_dtype)
     params = engine.params  # fused serving weights
     cache = engine.new_cache()
 
@@ -257,6 +259,7 @@ def benchmark_decode_chained(
     warmup: int = 2,
     reps: int = 3,
     log=print,
+    cache_dtype=jnp.bfloat16,
 ) -> dict:
     """Decode benchmark with the token loop on-device.
 
@@ -272,7 +275,7 @@ def benchmark_decode_chained(
     def make_run(length: int):
         @jax.jit
         def run(params, ids_slice):
-            cache = KVCache.init(spec, 1, n + 1, jnp.bfloat16)
+            cache = KVCache.init(spec, 1, n + 1, cache_dtype)
             nxt = jnp.concatenate([ids_slice[1:], ids_slice[-1:]])
             valid = jnp.arange(length) < length - 1
 

@@ -554,6 +554,44 @@ def _attn_int8_impl() -> str | None:
     return "tpu" if jax.default_backend() == "tpu" else None
 
 
+def _ffn_fusion_impl() -> str | None:
+    """Whole-FFN fused kernel mode: 'tpu' / 'interpret' / None (off)."""
+    import os
+
+    mode = os.environ.get("GPTQ_TPU_FFN_FUSION", "auto")
+    if mode in ("on", "kernel"):
+        return "tpu"
+    if mode == "interpret":
+        return "interpret"
+    if mode == "off":
+        return None
+    return "tpu" if jax.default_backend() == "tpu" else None
+
+
+def _ffn_fusion_entry(p, tp_axis, captures):
+    """The gateup entry when the single-launch FFN kernel can serve this
+    block's MLP (fast w4a8 serving config; see ops/ffn.py), else None."""
+    if _ffn_fusion_impl() is None or tp_axis is not None or captures is not None:
+        return None
+    gu = p.get("gateup_fused")
+    dn = p.get("down")
+    if gu is None or dn is None or not isinstance(dn.get("w"), PackedWeight):
+        return None
+    flags_g = gu.get("serve")
+    flags_d = dn.get("serve")
+    if not (flags_g and flags_g.a8 and flags_d and flags_d.a8):
+        return None
+    if gu.get("act_q") is not None or dn.get("act_q") is not None:
+        return None
+    if any(b is not None for b in gu["b_parts"]) or dn.get("b") is not None:
+        return None
+    from gptq_tpu.ops.ffn import ffn_fusable
+
+    if not ffn_fusable(gu["w"], dn["w"]):
+        return None
+    return gu
+
+
 def _finish_block(spec, p, residual, attn, captures, tp_axis, new_kv):
     """Post-attention half of a decoder block (o projection + MLP)."""
     o_name = {"bloom": "self_attention.dense", "opt": "self_attn.out_proj"}.get(
@@ -572,6 +610,19 @@ def _finish_block(spec, p, residual, attn, captures, tp_axis, new_kv):
         if captures is not None:
             captures["mlp.gate_proj"] = m
             captures["mlp.up_proj"] = m
+        n_rows = 1
+        for d in m.shape[:-1]:
+            n_rows *= d
+        if n_rows <= 32 and _ffn_fusion_entry(p, tp_axis, captures) is not None:
+            # whole-FFN single-launch kernel (gateup + act + down streamed
+            # back-to-back; intermediate stays in VMEM) — fast serving path
+            from gptq_tpu.ops.ffn import ffn_fused
+
+            gu = p["gateup_fused"]
+            mlp_out = ffn_fused(
+                m, gu["w"], p["down"]["w"], act=spec.act,
+                interpret=_ffn_fusion_impl() == "interpret")
+            return residual + mlp_out, new_kv, captures
         if "gateup_fused" in p:
             g, up = _apply_fused(p["gateup_fused"], m)
             gate = activation(spec, g)
