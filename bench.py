@@ -115,7 +115,7 @@ def synth_dense_params(spec, dtype=None, seed=0):
 
 
 def measure_decode(spec, params, n_tokens=96, max_len=256, reps=5,
-                   a8=False):
+                   a8=False, cache_dtype=None):
     """Median per-token decode latency with the token loop ON-DEVICE.
 
     A host-synced per-token loop measures the relay round-trip (~30 ms
@@ -129,11 +129,12 @@ def measure_decode(spec, params, n_tokens=96, max_len=256, reps=5,
     from gptq_tpu.models.common import KVCache, fuse_serving, model_forward
 
     params = fuse_serving(spec, params, a8=a8)
+    cdt = cache_dtype or jnp.bfloat16
 
     def make_run(length):
         @jax.jit
         def run(params):
-            cache = KVCache.init(spec, 1, max_len, jnp.bfloat16)
+            cache = KVCache.init(spec, 1, max_len, cdt)
             tok = jnp.zeros((1, 1), jnp.int32)
 
             def body(carry, _):
@@ -181,29 +182,42 @@ def _retry(fn, attempts: int = 2):
 def main():
     spec = llama7b_spec()
     try:
+        import jax.numpy as jnp
+
         params_q = synth_packed_params(spec, bits=4)
         from gptq_tpu.models.common import fuse_serving
         from gptq_tpu.ops.autotune import tune_model
 
-        # tune the FUSED serving shapes (what measure_decode runs).
-        # int8 activations keep the static default tiles: per-kernel
-        # microbench winners for int8 measured worse in the full model
-        # (noise-prone), while the static default reproduces reliably.
+        # tune the FUSED serving shapes (what measure_decode runs), int8
+        # activations first (the fast path); results persist in
+        # results/autotune.json so repeat runs skip this. The tuner's
+        # plausibility guard re-measures and drops shared-chip garbage
+        # readings (see ops/autotune.py).
         try:
             fused = fuse_serving(spec, params_q)
-            tune_model(fused, M=8, log=lambda s: None, budget_s=420.0)
+            tune_model(fused, M=8, log=lambda s: None, act="int8",
+                       budget_s=420.0)
+            tune_model(fused, M=8, log=lambda s: None, budget_s=180.0)
             del fused
         except Exception:  # noqa: BLE001 — tuning is best-effort
             pass
         t_q = _retry(lambda: measure_decode(spec, params_q))
         # fast path: dynamic int8 activations (the reference's headline
         # 3.25x is its --faster-kernel number; this is ours) plus the
-        # near-lossless 8-bit packed lm_head (--quant_lm_head 8)
+        # near-lossless 8-bit packed lm_head (--quant_lm_head 8). The a8
+        # path also engages the single-launch post-attention kernel
+        # (o + residual + norm + gateup + act + down, ops/ffn.py).
         t_q8 = _retry(lambda: measure_decode(spec, params_q, a8=True))
         from gptq_tpu.pipeline import quantize_lm_head
 
         quantize_lm_head(spec, params_q, bits=8)
         t_fast = _retry(lambda: measure_decode(spec, params_q, a8=True))
+        # fastest config adds the int8 KV cache (dynamic per-token-head
+        # scales + fused dequant attention kernel; near-lossless like the
+        # 8-bit head — both beyond-reference serving options, reported
+        # separately in detail)
+        t_kv8 = _retry(lambda: measure_decode(spec, params_q, a8=True,
+                                              cache_dtype=jnp.int8))
         del params_q
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"metric": "llama7b-4bit decode", "value": 0,
@@ -228,7 +242,7 @@ def main():
         except Exception:
             t_d = None
 
-    t_best = min(t_q, t_q8, t_fast)
+    t_best = min(t_q, t_q8, t_fast, t_kv8)
     toks = 1.0 / t_best
     speedup = (t_d / t_best) if t_d else None
     out = {
@@ -241,6 +255,7 @@ def main():
             "median_token_s_w4a16": round(t_q, 6),
             "median_token_s_w4a8": round(t_q8, 6),
             "median_token_s_w4a8_head8": round(t_fast, 6),
+            "median_token_s_w4a8_head8_int8kv": round(t_kv8, 6),
             "median_token_s_bf16": round(t_d, 6) if t_d else None,
             "speedup_vs_bf16": round(speedup, 3) if speedup else None,
         },

@@ -455,8 +455,24 @@ def block_forward(
     B, T, _ = x.shape
 
     residual = x
-    h = norm_apply(spec, p["ln1"], x) if spec.do_layer_norm_before else x
-    q, k, v = _qkv(spec, p, h, captures)
+    if _norm_qkv_ok(spec, p, tp_axis, captures, B * T):
+        # attention-input half in one launch: ln1 + fused q/k/v matmul
+        from gptq_tpu.ops.ffn import norm_qkv_fused
+
+        y = norm_qkv_fused(
+            x, p["ln1"]["w"], p["qkv_fused"]["w"], norm=spec.norm_type,
+            eps=float(spec.norm_eps),
+            interpret=_ffn_fusion_impl() == "interpret")
+        hd_ = spec.hd
+        off = 0
+        outs = []
+        for (n_stored, n_logical) in p["qkv_fused"]["splits"].parts:
+            outs.append(y[..., off:off + n_logical])
+            off += n_stored
+        q, k, v = (o.reshape(B, T, o.shape[-1] // hd_, hd_) for o in outs)
+    else:
+        h = norm_apply(spec, p["ln1"], x) if spec.do_layer_norm_before else x
+        q, k, v = _qkv(spec, p, h, captures)
 
     if spec.pos == "rope":
         # tables are position-only: callers looping over layers hoist them
@@ -592,8 +608,66 @@ def _ffn_fusion_entry(p, tp_axis, captures):
     return gu
 
 
+def _norm_qkv_ok(spec, p, tp_axis, captures, n_rows):
+    """Can the single-launch ln1+qkv kernel (ops/ffn.norm_qkv_fused) serve
+    this block's attention input?"""
+    if (_ffn_fusion_impl() is None or tp_axis is not None
+            or captures is not None or n_rows > 32):
+        return False
+    if not spec.do_layer_norm_before or spec.norm_type not in (
+            "rmsnorm", "rmsnorm1p"):
+        return False
+    entry = p.get("qkv_fused")
+    if entry is None or not isinstance(entry.get("w"), PackedWeight):
+        return False
+    fl = entry.get("serve")
+    if not (fl and fl.a8) or entry.get("act_q") is not None:
+        return False
+    if any(b is not None for b in entry["b_parts"]):
+        return False
+    from gptq_tpu.ops.ffn import norm_qkv_fusable
+
+    return norm_qkv_fusable(entry["w"])
+
+
+def _attn_mlp_ok(spec, p, tp_axis, captures, n_rows):
+    """Can the single-launch post-attention kernel (o + residual + norm +
+    gateup + act + down + residual; ops/ffn.attn_mlp_fused) serve this
+    block?"""
+    if (_ffn_fusion_impl() is None or tp_axis is not None
+            or captures is not None or n_rows > 32):
+        return False
+    if spec.arch not in ("llama", "gemma") or not spec.do_layer_norm_before:
+        return False
+    if spec.norm_type not in ("rmsnorm", "rmsnorm1p"):
+        return False
+    if _ffn_fusion_entry(p, tp_axis, captures) is None:
+        return False
+    o = p.get("o")
+    if o is None or not isinstance(o.get("w"), PackedWeight):
+        return False
+    fl = o.get("serve")
+    if not (fl and fl.a8) or o.get("b") is not None or o.get("act_q"):
+        return False
+    from gptq_tpu.ops.ffn import attn_mlp_fusable
+
+    return attn_mlp_fusable(o["w"], p["gateup_fused"]["w"], p["down"]["w"])
+
+
 def _finish_block(spec, p, residual, attn, captures, tp_axis, new_kv):
     """Post-attention half of a decoder block (o projection + MLP)."""
+    n_rows = 1
+    for d in attn.shape[:-1]:
+        n_rows *= d
+    if _attn_mlp_ok(spec, p, tp_axis, captures, n_rows):
+        from gptq_tpu.ops.ffn import attn_mlp_fused
+
+        out = attn_mlp_fused(
+            attn, residual, p["ln2"]["w"], p["o"]["w"],
+            p["gateup_fused"]["w"], p["down"]["w"], act=spec.act,
+            norm=spec.norm_type, eps=float(spec.norm_eps),
+            interpret=_ffn_fusion_impl() == "interpret")
+        return out, new_kv, captures
     o_name = {"bloom": "self_attention.dense", "opt": "self_attn.out_proj"}.get(
         spec.arch, "self_attn.o_proj"
     )

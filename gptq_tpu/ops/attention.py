@@ -36,13 +36,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def _attn_kernel(sm_scale, G, Sb, n_sb, len_ref, q_ref, k_ref, v_ref,
-                 ks_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref):
-    """One (batch, S-block) program; online softmax across S blocks."""
+def _attn_kernel(sm_scale, G, Sb, n_sb, Hkv, hd, len_ref, q_ref, k_ref,
+                 v_ref, ks_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref):
+    """One (batch, S-block) program; online softmax across S blocks.
+
+    Everything stays 2-D inside the kernel (Mosaic restriction: >2-D
+    gathers are unimplemented): the caller passes caches reshaped to
+    (B, S, Hkv*hd) so per-head slabs are static LANE slices, and the
+    per-head work is a static loop of (G, hd) x (Sb, hd) MXU dots."""
     sb = pl.program_id(1)
     length = len_ref[0, 0]
-    Hkv = k_ref.shape[2]
-    hd = k_ref.shape[3]
 
     @pl.when(sb == 0)
     def _():
@@ -50,47 +53,47 @@ def _attn_kernel(sm_scale, G, Sb, n_sb, len_ref, q_ref, k_ref, v_ref,
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0].reshape(Hkv, G, hd).astype(jnp.float32)  # leading split
-    kf = k_ref[0].astype(jnp.float32)  # (Sb, Hkv, hd)
-    ks = ks_ref[0]  # (Sb, Hkv)
+    q = q_ref[0].astype(jnp.float32)  # (H, hd)
+    k2 = k_ref[0]  # (Sb, Hkv*hd) int8
+    v2 = v_ref[0]
+    ks = ks_ref[0]  # (Sb, Hkv) f32
     vs = vs_ref[0]
 
-    pos = sb * Sb + jax.lax.broadcasted_iota(jnp.int32, (Sb, Hkv), 0)
-    valid = pos < length  # (Sb, Hkv)
+    pos = sb * Sb + jax.lax.broadcasted_iota(jnp.int32, (G, Sb), 1)
+    valid = pos < length  # (G, Sb)
 
-    m_old = m_ref[:, 0].reshape(Hkv, G)
-    l_old = l_ref[:, 0].reshape(Hkv, G)
-    acc = acc_ref[:].reshape(Hkv, G, hd)
+    for h in range(Hkv):
+        qh = q[h * G:(h + 1) * G]  # (G, hd)
+        # fold the per-token k scale into the slab before the dot (keeps
+        # every operand 2-D; a (1, Sb) broadcast would need a relayout)
+        kh = (k2[:, h * hd:(h + 1) * hd].astype(jnp.float32)
+              * (ks[:, h:h + 1] * sm_scale))  # (Sb, hd)
+        sc = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (G, Sb)
+        sc = jnp.where(valid, sc, NEG_INF)
 
-    # scores + probabilities per query-group row (G is small; static loop)
-    scs = []
-    for g in range(G):
-        raw = jnp.sum(q[None, :, g, :] * kf, axis=-1)  # (Sb, Hkv)
-        scs.append(raw * ks * sm_scale)
-    sc = jnp.stack(scs, axis=-1)  # (Sb, Hkv, G)
-    sc = jnp.where(valid[:, :, None], sc, NEG_INF)
+        rows = slice(h * G, (h + 1) * G)
+        m_old = m_ref[rows, 0:1]  # (G, 1)
+        l_old = l_ref[rows, 0:1]
+        m_new = jnp.maximum(m_old, jnp.max(sc, axis=1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.exp(sc - m_new)
+        p = jnp.where(valid, p, 0.0)  # fully-masked blocks -> 0
+        l_new = l_old * alpha + jnp.sum(p, axis=1, keepdims=True)
 
-    m_blk = jnp.max(sc, axis=0)  # (Hkv, G)
-    m_new = jnp.maximum(m_old, m_blk)
-    alpha = jnp.exp(m_old - m_new)
-    p = jnp.exp(sc - m_new[None])
-    p = jnp.where(valid[:, :, None], p, 0.0)  # fully-masked blocks -> 0
-    l_new = l_old * alpha + jnp.sum(p, axis=0)
-
-    vf = v_ref[0].astype(jnp.float32) * vs[:, :, None]  # (Sb, Hkv, hd)
-    pvs = []
-    for g in range(G):
-        pvs.append(jnp.sum(p[:, :, g, None] * vf, axis=0))  # (Hkv, hd)
-    pv = jnp.stack(pvs, axis=1)  # (Hkv, G, hd)
-    acc = acc * alpha[:, :, None] + pv
-
-    acc_ref[:] = acc.reshape(Hkv * G, hd)
-    m_ref[:] = jnp.broadcast_to(m_new.reshape(Hkv * G, 1), m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_new.reshape(Hkv * G, 1), l_ref.shape)
+        vh = (v2[:, h * hd:(h + 1) * hd].astype(jnp.float32)
+              * vs[:, h:h + 1])  # (Sb, hd), v scale folded in
+        pv = jax.lax.dot_general(
+            p, vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (G, hd)
+        acc_ref[rows, :] = acc_ref[rows, :] * alpha + pv
+        m_ref[rows, :] = jnp.broadcast_to(m_new, (G, m_ref.shape[1]))
+        l_ref[rows, :] = jnp.broadcast_to(l_new, (G, l_ref.shape[1]))
 
     @pl.when(sb == n_sb - 1)
     def _():
-        out_ref[0] = acc_ref[:] / l_ref[:, 0][:, None]
+        out_ref[0] = acc_ref[:] / l_ref[:, 0:1]
 
 
 def _pick_sb(S: int, prefer: int = 512) -> int:
@@ -119,18 +122,22 @@ def decode_attention_int8(
     Sb = _pick_sb(S)
     n_sb = S // Sb
 
+    k2 = k.reshape(B, S, Hkv * hd)  # free reshape: lane-merge of (Hkv, hd)
+    v2 = v.reshape(B, S, Hkv * hd)
+
     grid = (B, n_sb)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, float(sm_scale), G, Sb, n_sb),
+        functools.partial(_attn_kernel, float(sm_scale), G, Sb, n_sb,
+                          Hkv, hd),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda b, s: (b, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, H, hd), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sb, Hkv, hd), lambda b, s: (b, s, 0, 0),
+            pl.BlockSpec((1, Sb, Hkv * hd), lambda b, s: (b, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sb, Hkv, hd), lambda b, s: (b, s, 0, 0),
+            pl.BlockSpec((1, Sb, Hkv * hd), lambda b, s: (b, s, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Sb, Hkv), lambda b, s: (b, s, 0),
                          memory_space=pltpu.VMEM),
@@ -149,5 +156,5 @@ def decode_attention_int8(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lens, q.astype(jnp.float32), k, v, k_scale, v_scale)
+    )(lens, q.astype(jnp.float32), k2, v2, k_scale, v_scale)
     return out

@@ -60,13 +60,24 @@ def _unpack_int8(words, fb, sh):
     return planes[0] if E == 1 else jnp.concatenate(planes, axis=0)
 
 
+def _first_dma(w_hbm, wbuf, sem, nc):
+    """The chunk-0 DMA of a phase — weights never depend on earlier phase
+    outputs, so callers start this at KERNEL ENTRY to hide the phase-
+    transition pipeline bubble (cross-phase prefetch)."""
+    return pltpu.make_async_copy(
+        w_hbm.at[:, pl.ds(0, nc)], wbuf.at[0], sem.at[0])
+
+
 def _stream_matmul(x8, sx, w_hbm, scale_ref, zoff_ref, out_ref, *,
-                   fb, sh, code_off, K, N, nc, sb, dtype):
+                   fb, sh, code_off, K, N, nc, sb, dtype,
+                   bufs=None, prestarted=False):
     """out[:, :] = dequant-matmul of x8 against the streamed words.
 
     x8: (M, K) int8 in VMEM; w_hbm: (K//P, N) int32 in HBM; per-tensor
     grids scale/zoff (1, N) in VMEM. Streams N in `nc`-wide chunks with
-    double-buffered DMA. sb = byteplane subblock of the packed layout."""
+    double-buffered DMA. sb = byteplane subblock of the packed layout.
+    bufs=(wbuf, sem) uses caller-allocated buffers; prestarted=True means
+    the chunk-0 DMA was already issued (via _first_dma)."""
     P = 32 // fb
     rows = K // P
     M = x8.shape[0]
@@ -80,7 +91,8 @@ def _stream_matmul(x8, sx, w_hbm, scale_ref, zoff_ref, out_ref, *,
             return pltpu.make_async_copy(
                 w_hbm.at[:, pl.ds(c * nc, nc)], wbuf.at[slot], sem.at[slot])
 
-        get_dma(0, 0).start()
+        if not prestarted:
+            get_dma(0, 0).start()
         xs = jnp.sum(x8.astype(jnp.int32), axis=1, keepdims=True
                      ).astype(jnp.float32)  # (M, 1)
 
@@ -119,25 +131,17 @@ def _stream_matmul(x8, sx, w_hbm, scale_ref, zoff_ref, out_ref, *,
 
         jax.lax.fori_loop(0, n_chunks, loop, 0, unroll=False)
 
-    pl.run_scoped(
-        body,
-        wbuf=pltpu.VMEM((2, rows, nc), jnp.int32),
-        sem=pltpu.SemaphoreType.DMA((2,)),
-    )
+    if bufs is not None:
+        body(*bufs)
+    else:
+        pl.run_scoped(
+            body,
+            wbuf=pltpu.VMEM((2, rows, nc), jnp.int32),
+            sem=pltpu.SemaphoreType.DMA((2,)),
+        )
 
 
-def _ffn_kernel(act, fb_g, sh_g, off_g, fb_d, sh_d, off_d, Kg, Ngu, Kd, Nd,
-                nc_g, nc_d, sb_g, sb_d,
-                m_ref, gu_scale, gu_zoff, dn_scale, dn_zoff,
-                gu_words, dn_words, out_ref, inner_ref):
-    M = m_ref.shape[0]
-    m8, sx = _quant_rows(m_ref[:].astype(jnp.float32))
-    _stream_matmul(m8, sx, gu_words, gu_scale, gu_zoff, inner_ref,
-                   fb=fb_g, sh=sh_g, code_off=off_g, K=Kg, N=Ngu,
-                   nc=nc_g, sb=sb_g, dtype=jnp.float32)
-    half = Ngu // 2
-    g = inner_ref[:, :half]
-    u = inner_ref[:, half:]
+def _apply_act(act, g, u):
     if act == "relu":
         a = jnp.maximum(g, 0.0)
     elif act == "gelu":
@@ -146,11 +150,38 @@ def _ffn_kernel(act, fb_g, sh_g, off_g, fb_d, sh_d, off_d, Kg, Ngu, Kd, Nd,
         a = jax.nn.gelu(g, approximate=True)
     else:
         a = g * jax.nn.sigmoid(g)  # silu
-    inner = (a * u).astype(jnp.bfloat16).astype(jnp.float32)
-    i8, sx2 = _quant_rows(inner)
-    _stream_matmul(i8, sx2, dn_words, dn_scale, dn_zoff, out_ref,
-                   fb=fb_d, sh=sh_d, code_off=off_d, K=Kd, N=Nd,
-                   nc=nc_d, sb=sb_d, dtype=jnp.float32)
+    return (a * u).astype(jnp.bfloat16).astype(jnp.float32)
+
+
+def _ffn_kernel(act, fb_g, sh_g, off_g, fb_d, sh_d, off_d, Kg, Ngu, Kd, Nd,
+                nc_g, nc_d, sb_g, sb_d,
+                m_ref, gu_scale, gu_zoff, dn_scale, dn_zoff,
+                gu_words, dn_words, out_ref, inner_ref):
+    def body(gubuf, gusem, dnbuf, dnsem):
+        # cross-phase prefetch: both phases' chunk-0 weight DMAs start
+        # immediately (weights don't depend on earlier phase outputs)
+        _first_dma(gu_words, gubuf, gusem, nc_g).start()
+        _first_dma(dn_words, dnbuf, dnsem, nc_d).start()
+        m8, sx = _quant_rows(m_ref[:].astype(jnp.float32))
+        _stream_matmul(m8, sx, gu_words, gu_scale, gu_zoff, inner_ref,
+                       fb=fb_g, sh=sh_g, code_off=off_g, K=Kg, N=Ngu,
+                       nc=nc_g, sb=sb_g, dtype=jnp.float32,
+                       bufs=(gubuf, gusem), prestarted=True)
+        half = Ngu // 2
+        inner = _apply_act(act, inner_ref[:, :half], inner_ref[:, half:])
+        i8, sx2 = _quant_rows(inner)
+        _stream_matmul(i8, sx2, dn_words, dn_scale, dn_zoff, out_ref,
+                       fb=fb_d, sh=sh_d, code_off=off_d, K=Kd, N=Nd,
+                       nc=nc_d, sb=sb_d, dtype=jnp.float32,
+                       bufs=(dnbuf, dnsem), prestarted=True)
+
+    pl.run_scoped(
+        body,
+        gubuf=pltpu.VMEM((2, Kg // (32 // fb_g), nc_g), jnp.int32),
+        gusem=pltpu.SemaphoreType.DMA((2,)),
+        dnbuf=pltpu.VMEM((2, Kd // (32 // fb_d), nc_d), jnp.int32),
+        dnsem=pltpu.SemaphoreType.DMA((2,)),
+    )
 
 
 def _pick_chunk(N: int, prefer: int) -> int | None:
@@ -225,3 +256,195 @@ def ffn_fused(m: jax.Array, gu: PackedWeight, dn: PackedWeight,
         interpret=interpret,
     )(x2, gu.scale, gu.zoff, dn.scale, dn.zoff, gu.words[0], dn.words[0])
     return out[:M, :dn.N].reshape(*lead, dn.N).astype(m.dtype)
+
+
+def _attn_mlp_kernel(act, norm, eps, specs_o, specs_g, specs_d,
+                     attn_ref, xres_ref, w2_ref,
+                     o_scale, o_zoff, gu_scale, gu_zoff, dn_scale, dn_zoff,
+                     o_words, gu_words, dn_words, out_ref,
+                     obuf_ref, inner_ref):
+    """o-projection + residual + rmsnorm + gateup + act + down + residual,
+    one launch. specs_* = (fb, sh, code_off, K, N, nc, sb)."""
+    fb_o, sh_o, off_o, K_o, N_o, nc_o, sb_o = specs_o
+    fb_g, sh_g, off_g, K_g, Ngu, nc_g, sb_g = specs_g
+    fb_d, sh_d, off_d, K_d, Nd, nc_d, sb_d = specs_d
+
+    def body(owbuf, osem, gubuf, gusem, dnbuf, dnsem):
+        # cross-phase prefetch: all three phases' chunk-0 weight DMAs
+        # start at kernel entry (weights don't depend on phase outputs)
+        _first_dma(o_words, owbuf, osem, nc_o).start()
+        _first_dma(gu_words, gubuf, gusem, nc_g).start()
+        _first_dma(dn_words, dnbuf, dnsem, nc_d).start()
+
+        a8, sx0 = _quant_rows(attn_ref[:].astype(jnp.float32))
+        _stream_matmul(a8, sx0, o_words, o_scale, o_zoff, obuf_ref,
+                       fb=fb_o, sh=sh_o, code_off=off_o, K=K_o, N=N_o,
+                       nc=nc_o, sb=sb_o, dtype=jnp.float32,
+                       bufs=(owbuf, osem), prestarted=True)
+        r2 = (xres_ref[:].astype(jnp.float32) + obuf_ref[:]
+              ).astype(jnp.bfloat16).astype(jnp.float32)
+        var = jnp.mean(r2 * r2, axis=-1, keepdims=True)
+        w2 = w2_ref[0].astype(jnp.float32)[None, :]
+        if norm == "rmsnorm1p":
+            w2 = 1.0 + w2
+        m = ((r2 * jax.lax.rsqrt(var + eps)) * w2
+             ).astype(jnp.bfloat16).astype(jnp.float32)
+
+        m8, sx = _quant_rows(m)
+        _stream_matmul(m8, sx, gu_words, gu_scale, gu_zoff, inner_ref,
+                       fb=fb_g, sh=sh_g, code_off=off_g, K=K_g, N=Ngu,
+                       nc=nc_g, sb=sb_g, dtype=jnp.float32,
+                       bufs=(gubuf, gusem), prestarted=True)
+        half = Ngu // 2
+        inner = _apply_act(act, inner_ref[:, :half], inner_ref[:, half:])
+        i8, sx2 = _quant_rows(inner)
+        _stream_matmul(i8, sx2, dn_words, dn_scale, dn_zoff, out_ref,
+                       fb=fb_d, sh=sh_d, code_off=off_d, K=K_d, N=Nd,
+                       nc=nc_d, sb=sb_d, dtype=jnp.float32,
+                       bufs=(dnbuf, dnsem), prestarted=True)
+        out_ref[:] = out_ref[:] + r2
+
+    pl.run_scoped(
+        body,
+        owbuf=pltpu.VMEM((2, K_o // (32 // fb_o), nc_o), jnp.int32),
+        osem=pltpu.SemaphoreType.DMA((2,)),
+        gubuf=pltpu.VMEM((2, K_g // (32 // fb_g), nc_g), jnp.int32),
+        gusem=pltpu.SemaphoreType.DMA((2,)),
+        dnbuf=pltpu.VMEM((2, K_d // (32 // fb_d), nc_d), jnp.int32),
+        dnsem=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def _mm_specs(pw: PackedWeight) -> tuple:
+    fb, sh = FIELD_SPLITS[pw.bits][0]
+    off = 128 << sh if fb == 8 else 0
+    from gptq_tpu.ops.pack import subblock
+
+    nc = _pick_chunk(
+        pw.Np, 512 if (pw.Kp // (32 // fb)) * 512 * 4 <= 2_500_000 else 256)
+    return (fb, sh, off, pw.Kp, pw.Np, nc, subblock(pw.Kp, pw.groupsize))
+
+
+def attn_mlp_fusable(o: PackedWeight, gu: PackedWeight,
+                     dn: PackedWeight) -> bool:
+    if (o.fmt != "uniform" or len(o.words) != 1 or o.perm is not None
+            or o.scale.shape[0] != 1 or o.bias is not None
+            or o.Kp != o.K or _pick_chunk(o.Np, 512) is None):
+        return False
+    # stored == logical widths so the residual/norm lanes line up exactly
+    if o.Np != o.N or dn.Np != dn.N or o.Np != gu.Kp or dn.N != o.N:
+        return False
+    return ffn_fusable(gu, dn)
+
+
+@functools.partial(jax.jit, static_argnames=("act", "norm", "eps",
+                                             "interpret"))
+def attn_mlp_fused(attn: jax.Array, xres: jax.Array, w2: jax.Array,
+                   o: PackedWeight, gu: PackedWeight, dn: PackedWeight,
+                   act: str = "silu", norm: str = "rmsnorm",
+                   eps: float = 1e-5, interpret: bool = False) -> jax.Array:
+    """The whole post-attention half of a llama-family decoder block in one
+    launch: y = r2 + down(act(gate(n)) * up(n)), n = rmsnorm(r2) * w2,
+    r2 = xres + o(attn). Dynamic int8 activations on all three matmuls."""
+    lead = attn.shape[:-1]
+    a2 = attn.reshape(-1, attn.shape[-1]).astype(jnp.float32)
+    x2 = xres.reshape(-1, xres.shape[-1]).astype(jnp.bfloat16)
+    M = a2.shape[0]
+    Mp = max(8, ((M + 7) // 8) * 8)
+    if Mp != M or o.Kp != o.K:
+        a2 = jnp.pad(a2, ((0, Mp - M), (0, o.Kp - a2.shape[1])))
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    kernel = functools.partial(
+        _attn_mlp_kernel, act, norm, float(eps),
+        _mm_specs(o), _mm_specs(gu), _mm_specs(dn))
+    Nd = dn.Np
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # attn
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # xres
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2 (1, hidden)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # o scale
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # o zoff
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # gu scale
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # gu zoff
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dn scale
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dn zoff
+            pl.BlockSpec(memory_space=pl.ANY),      # o words
+            pl.BlockSpec(memory_space=pl.ANY),      # gu words
+            pl.BlockSpec(memory_space=pl.ANY),      # dn words
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Nd), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Mp, o.Np), jnp.float32),
+                        pltpu.VMEM((Mp, gu.Np), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(a2, x2, w2.reshape(1, -1), o.scale, o.zoff, gu.scale, gu.zoff,
+      dn.scale, dn.zoff, o.words[0], gu.words[0], dn.words[0])
+    return out[:M, :dn.N].reshape(*lead, dn.N).astype(attn.dtype)
+
+
+def norm_qkv_fusable(pw: PackedWeight) -> bool:
+    return (pw.fmt == "uniform" and len(pw.words) == 1 and pw.perm is None
+            and pw.scale.shape[0] == 1 and pw.bias is None
+            and pw.Kp == pw.K and _pick_chunk(pw.Np, 512) is not None)
+
+
+def _norm_qkv_kernel(norm, eps, specs, x_ref, w1_ref,
+                     scale_ref, zoff_ref, words, out_ref):
+    fb, sh, off, K, N, nc, sb = specs
+
+    def body(wbuf, sem):
+        _first_dma(words, wbuf, sem, nc).start()
+        x = x_ref[:].astype(jnp.float32)
+        var = jnp.mean(x * x, axis=-1, keepdims=True)
+        w1 = w1_ref[0].astype(jnp.float32)[None, :]
+        if norm == "rmsnorm1p":
+            w1 = 1.0 + w1
+        h = ((x * jax.lax.rsqrt(var + eps)) * w1
+             ).astype(jnp.bfloat16).astype(jnp.float32)
+        h8, sx = _quant_rows(h)
+        _stream_matmul(h8, sx, words, scale_ref, zoff_ref, out_ref,
+                       fb=fb, sh=sh, code_off=off, K=K, N=N, nc=nc, sb=sb,
+                       dtype=jnp.float32, bufs=(wbuf, sem), prestarted=True)
+
+    pl.run_scoped(
+        body,
+        wbuf=pltpu.VMEM((2, specs[3] // (32 // specs[0]), specs[5]),
+                        jnp.int32),
+        sem=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("norm", "eps", "interpret"))
+def norm_qkv_fused(x: jax.Array, w1: jax.Array, pw: PackedWeight,
+                   norm: str = "rmsnorm", eps: float = 1e-5,
+                   interpret: bool = False) -> jax.Array:
+    """y = rmsnorm(x)*w1 @ dequant(pw) in one launch (the attention-input
+    half: ln1 + fused q/k/v matmul, dynamic int8 activations)."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16)
+    M = x2.shape[0]
+    Mp = max(8, ((M + 7) // 8) * 8)
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_norm_qkv_kernel, norm, float(eps), _mm_specs(pw)),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1 (1, hidden)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # scale
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # zoff
+            pl.BlockSpec(memory_space=pl.ANY),      # words
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, pw.Np), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x2, w1.reshape(1, -1), pw.scale, pw.zoff, pw.words[0])
+    return out[:M].reshape(*lead, pw.Np).astype(x.dtype)
