@@ -46,12 +46,31 @@ def test_ffn_fusable_gates():
     key = jax.random.PRNGKey(1)
     gate, up, down, gu = make_gateup_down(key)
     assert ffn_fusable(gu, down)
-    # grouped grids not in the v1 envelope
+    # grouped grids not in the support envelope
     g128 = make_random_packed(key, 256, 512, 4, 128)
     assert not ffn_fusable(fuse_packed([g128, g128]), down)
-    # 3-bit (two fields) not in the v1 envelope
+    # multi-field (3-bit) IS supported: one DMA pipeline per field
     b3 = make_random_packed(key, 256, 512, 3, -1)
-    assert not ffn_fusable(fuse_packed([b3, b3]), down)
+    d3 = make_random_packed(jax.random.fold_in(key, 1), 512, 256, 3, -1)
+    assert ffn_fusable(fuse_packed([b3, b3]), d3)
+
+
+@pytest.mark.parametrize("bits", [3])
+def test_ffn_fused_multifield(bits):
+    """3-bit (2+1 field split) through the fused kernel."""
+    key = jax.random.PRNGKey(11)
+    gate, up, down, gu = make_gateup_down(key, bits=bits)
+    m = jax.random.normal(jax.random.fold_in(key, 9), (1, 2, 256),
+                          jnp.bfloat16)
+    g = dequant_matmul(m, gate, impl="xla", a8=True)
+    u = dequant_matmul(m, up, impl="xla", a8=True)
+    inner = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
+             ).astype(jnp.bfloat16)
+    want = dequant_matmul(inner, down, impl="xla", a8=True)
+    got = ffn_fused(m, gu, down, act="silu", interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=0.08, atol=0.08 * float(jnp.abs(want).max()))
 
 
 def test_model_decode_with_ffn_fusion(monkeypatch):
