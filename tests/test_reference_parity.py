@@ -407,3 +407,38 @@ def test_tiny_opt_end_to_end_parity(ref, tmp_path, monkeypatch):
     ppl_jax = eval_ppl(spec, params, jnp.asarray(test_ids), 32,
                        log=lambda s: None)
     assert abs(ppl_jax - ppl_ref) / ppl_ref < 0.01, (ppl_jax, ppl_ref)
+
+
+def test_trueobs_sparse_outliers_parity(ref):
+    """TrueOBS sparse-outlier mode (reference:
+    zeroShot/models/fast_trueobs.py:108,135): weights whose quantization
+    error exceeds .25*scale^2 stay dense; our SolverConfig.sparse_outliers
+    must reproduce the reference elementwise."""
+    import importlib
+
+    sys.path.insert(0, REF + "/zeroShot/models")
+    tob = importlib.import_module("fast_trueobs")
+
+    W, xs = make_layer_and_data(rows=32, cols=96, seed=17)
+    layer = torch.nn.Linear(96, 32, bias=False)
+    layer.weight.data = torch.from_numpy(W.copy())
+    g = tob.TrueOBS(layer)
+    q = ref["quant"].Quantizer()
+    q.configure(3, perchannel=True, sym=False)
+    g.quantizer = q
+    for x in xs:
+        g.add_batch(torch.from_numpy(x)[None], None)
+    g.fasterquant(blocksize=32, percdamp=0.01, sparseout=True)
+    Q_ref = layer.weight.data.numpy().copy()
+
+    from gptq_tpu.quant.gptq import (SolverConfig, gptq_quantize,
+                                     hessian_init, hessian_update)
+
+    st = hessian_init(96)
+    for x in xs:
+        st = hessian_update(st, jnp.asarray(x)[None])
+    out = gptq_quantize(jnp.asarray(W), st[0],
+                        SolverConfig(bits=3, blocksize=32,
+                                     sparse_outliers=True), st[2])
+    assert_parity(Q_ref, np.asarray(out["Q"]), bits=3)
+    assert float(out["outlier_frac"]) > 0  # some weights stayed dense
