@@ -51,6 +51,7 @@ class _MMSpec(NamedTuple):
     N: int
     nc: int  # N-chunk width
     sb: int  # byteplane subblock
+    ng: int  # quantization groups along K (1 = per-tensor grids)
 
 
 def _mm_specs(pw: PackedWeight) -> _MMSpec:
@@ -62,7 +63,7 @@ def _mm_specs(pw: PackedWeight) -> _MMSpec:
     nc = _pick_chunk(pw.Np, 512 if words_rows * 512 * 4 <= 2_500_000
                      else 256)
     return _MMSpec(fields, off, pw.Kp, pw.Np, nc,
-                   subblock(pw.Kp, pw.groupsize))
+                   subblock(pw.Kp, pw.groupsize), pw.scale.shape[0])
 
 
 def _pick_chunk(N: int, prefer: int) -> int | None:
@@ -116,12 +117,16 @@ def _stream_matmul(x8, sx, whbms, scale_ref, zoff_ref, out_ref,
     """out[:, :] = dequant-matmul of x8 against the streamed field words.
 
     x8: (M, K) int8 in VMEM; whbms: one (K//P_f, N) int32 HBM ref per
-    field; per-tensor grids scale/zoff (1, N) in VMEM; bufs: one
-    (double-buffer, sem) pair per field. Streams N in spec.nc chunks;
-    multi-field formats run one DMA pipeline per field and ADD the int32
-    dot partials (field shifts are pre-applied at the word level)."""
+    field; grids scale/zoff (ng, N) in VMEM; bufs: one (double-buffer,
+    sem) pair per field. Streams N in spec.nc chunks; multi-field formats
+    run one DMA pipeline per field and ADD the int32 dot partials (field
+    shifts are pre-applied at the word level). Grouped grids (ng > 1)
+    split each chunk's dot at group boundaries — the MXU ingests the same
+    codes either way, the epilogue applies per (group, n)."""
     n_chunks = spec.N // spec.nc
     nc = spec.nc
+    ng = spec.ng
+    g = spec.K // ng
 
     def get_dma(fi, slot, c):
         wbuf, sem = bufs[fi]
@@ -131,8 +136,10 @@ def _stream_matmul(x8, sx, whbms, scale_ref, zoff_ref, out_ref,
     if not prestarted:
         for fi in range(len(whbms)):
             get_dma(fi, 0, 0).start()
-    xs = jnp.sum(x8.astype(jnp.int32), axis=1, keepdims=True
-                 ).astype(jnp.float32)  # (M, 1)
+    # per-group input sums for the zero-offset epilogue (one (M, 1) per
+    # group; static loop — ng is 1 or K/128-ish)
+    xs_g = [jnp.sum(x8[:, gi * g:(gi + 1) * g].astype(jnp.int32), axis=1,
+                    keepdims=True).astype(jnp.float32) for gi in range(ng)]
 
     def loop(c, _):
         slot = c % 2
@@ -142,19 +149,27 @@ def _stream_matmul(x8, sx, whbms, scale_ref, zoff_ref, out_ref,
             for fi in range(len(whbms)):
                 get_dma(fi, (c + 1) % 2, c + 1).start()
 
-        part = None
+        c8s = []
         for fi, (fb, sh) in enumerate(spec.fields):
             get_dma(fi, slot, c).wait()
-            c8 = _unpack_field(bufs[fi][0][slot], fb, sh, spec.K, spec.sb)
-            d = jax.lax.dot_general(
-                x8, c8, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)  # (M, nc)
-            part = d if part is None else part + d
-        s = scale_ref[0, pl.ds(c * nc, nc)][None, :]
-        z = zoff_ref[0, pl.ds(c * nc, nc)][None, :]
-        y = (part.astype(jnp.float32) * s
-             + xs * (spec.code_off * s - z)) * sx
-        out_ref[:, pl.ds(c * nc, nc)] = y
+            c8s.append(_unpack_field(bufs[fi][0][slot], fb, sh, spec.K,
+                                     spec.sb))
+        y = None
+        for gi in range(ng):
+            part = None
+            for c8 in c8s:
+                d = jax.lax.dot_general(
+                    x8[:, gi * g:(gi + 1) * g],
+                    c8[gi * g:(gi + 1) * g],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)  # (M, nc)
+                part = d if part is None else part + d
+            s = scale_ref[gi, pl.ds(c * nc, nc)][None, :]
+            z = zoff_ref[gi, pl.ds(c * nc, nc)][None, :]
+            t = (part.astype(jnp.float32) * s
+                 + xs_g[gi] * (spec.code_off * s - z))
+            y = t if y is None else y + t
+        out_ref[:, pl.ds(c * nc, nc)] = y * sx
         return 0
 
     jax.lax.fori_loop(0, n_chunks, loop, 0, unroll=False)
@@ -189,9 +204,15 @@ def _apply_act(act, g, u):
 
 
 def _streamable(pw: PackedWeight) -> bool:
-    return (pw.fmt == "uniform" and pw.perm is None
-            and pw.scale.shape[0] == 1 and pw.bias is None
-            and _pick_chunk(pw.Np, 512) is not None)
+    if (pw.fmt != "uniform" or pw.perm is not None or pw.bias is not None
+            or _pick_chunk(pw.Np, 512) is None):
+        return False
+    ng = pw.scale.shape[0]
+    if ng == 1:
+        return True
+    # grouped grids: groups must tile K in lane-efficient (>=128) slices
+    g = pw.Kp // ng
+    return pw.Kp % ng == 0 and g >= 128 and g % 128 == 0
 
 
 # ---------------------------------------------------------------------------

@@ -46,13 +46,41 @@ def test_ffn_fusable_gates():
     key = jax.random.PRNGKey(1)
     gate, up, down, gu = make_gateup_down(key)
     assert ffn_fusable(gu, down)
-    # grouped grids not in the support envelope
+    # grouped grids supported when groups tile K in >=128 lane slices
     g128 = make_random_packed(key, 256, 512, 4, 128)
-    assert not ffn_fusable(fuse_packed([g128, g128]), down)
+    d128 = make_random_packed(jax.random.fold_in(key, 2), 512, 256, 4, 128)
+    assert ffn_fusable(fuse_packed([g128, g128]), d128)
+    # ...but not sub-128 groups
+    g64 = make_random_packed(key, 256, 512, 4, 64)
+    assert not ffn_fusable(fuse_packed([g64, g64]), down)
     # multi-field (3-bit) IS supported: one DMA pipeline per field
     b3 = make_random_packed(key, 256, 512, 3, -1)
     d3 = make_random_packed(jax.random.fold_in(key, 1), 512, 256, 3, -1)
     assert ffn_fusable(fuse_packed([b3, b3]), d3)
+
+
+@pytest.mark.parametrize("groupsize", [128])
+def test_ffn_fused_grouped(groupsize):
+    """Grouped grids (the standard 4-bit g128 quality config) through the
+    fused kernel."""
+    key = jax.random.PRNGKey(13)
+    ks = jax.random.split(key, 3)
+    gate = make_random_packed(ks[0], 256, 512, 4, groupsize)
+    up = make_random_packed(ks[1], 256, 512, 4, groupsize)
+    down = make_random_packed(ks[2], 512, 256, 4, groupsize)
+    gu = fuse_packed([gate, up])
+    assert ffn_fusable(gu, down)
+    m = jax.random.normal(jax.random.fold_in(key, 9), (1, 2, 256),
+                          jnp.bfloat16)
+    g = dequant_matmul(m, gate, impl="xla", a8=True)
+    u = dequant_matmul(m, up, impl="xla", a8=True)
+    inner = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
+             ).astype(jnp.bfloat16)
+    want = dequant_matmul(inner, down, impl="xla", a8=True)
+    got = ffn_fused(m, gu, down, act="silu", interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=0.08, atol=0.08 * float(jnp.abs(want).max()))
 
 
 @pytest.mark.parametrize("bits", [3])
