@@ -461,7 +461,8 @@ def block_forward(
 
         y = norm_qkv_fused(
             x, p["ln1"]["w"], p["qkv_fused"]["w"], norm=spec.norm_type,
-            eps=float(spec.norm_eps),
+            eps=float(spec.norm_eps), b_ln=p["ln1"].get("b"),
+            b_qkv=_qkv_fused_bias(p["qkv_fused"]),
             interpret=_ffn_fusion_impl() == "interpret")
         hd_ = spec.hd
         off = 0
@@ -615,7 +616,7 @@ def _norm_qkv_ok(spec, p, tp_axis, captures, n_rows):
             or captures is not None or n_rows > 32):
         return False
     if not spec.do_layer_norm_before or spec.norm_type not in (
-            "rmsnorm", "rmsnorm1p"):
+            "rmsnorm", "rmsnorm1p", "layernorm"):
         return False
     entry = p.get("qkv_fused")
     if entry is None or not isinstance(entry.get("w"), PackedWeight):
@@ -624,34 +625,74 @@ def _norm_qkv_ok(spec, p, tp_axis, captures, n_rows):
     if not (fl and fl.a8) or entry.get("act_q") is not None:
         return False
     if any(b is not None for b in entry["b_parts"]):
-        return False
+        # biases fold into the kernel only when every part's stored width
+        # equals its logical width (the concat then lines up exactly)
+        if any(ns != nl for ns, nl in entry["splits"].parts):
+            return False
     from gptq_tpu.ops.ffn import norm_qkv_fusable
 
     return norm_qkv_fusable(entry["w"])
 
 
+def _qkv_fused_bias(entry):
+    """Concatenated per-part bias vector for the fused qkv kernel, or None
+    (only called when _norm_qkv_ok validated the alignment)."""
+    if all(b is None for b in entry["b_parts"]):
+        return None
+    parts = []
+    for (n_stored, _nl), b in zip(entry["splits"].parts, entry["b_parts"]):
+        parts.append(jnp.zeros((n_stored,), jnp.float32) if b is None
+                     else b.astype(jnp.float32))
+    return jnp.concatenate(parts)
+
+
+def _mlp_entries(spec, p):
+    """(fc1-like entry, fc2-like entry, glu) for the fused MLP kernels:
+    llama-family uses the fused gate|up weight (glu), OPT-family fc1/fc2."""
+    if spec.arch in ("llama", "gemma"):
+        return p.get("gateup_fused"), p.get("down"), True
+    if spec.arch == "opt":
+        return p.get("fc1"), p.get("fc2"), False
+    return None, None, False
+
+
 def _attn_mlp_ok(spec, p, tp_axis, captures, n_rows):
     """Can the single-launch post-attention kernel (o + residual + norm +
-    gateup + act + down + residual; ops/ffn.attn_mlp_fused) serve this
-    block?"""
+    MLP + residual; ops/ffn.attn_mlp_fused) serve this block?"""
     if (_ffn_fusion_impl() is None or tp_axis is not None
             or captures is not None or n_rows > 32):
         return False
-    if spec.arch not in ("llama", "gemma") or not spec.do_layer_norm_before:
+    if not spec.do_layer_norm_before or spec.norm_type not in (
+            "rmsnorm", "rmsnorm1p", "layernorm"):
         return False
-    if spec.norm_type not in ("rmsnorm", "rmsnorm1p"):
+    g_e, d_e, glu = _mlp_entries(spec, p)
+    if g_e is None or d_e is None:
         return False
-    if _ffn_fusion_entry(p, tp_axis, captures) is None:
-        return False
+    for e in (g_e, d_e):
+        if not isinstance(e.get("w"), PackedWeight):
+            return False
+        fl = e.get("serve")
+        if not (fl and fl.a8) or e.get("act_q") is not None:
+            return False
+    if glu and (any(b is not None for b in g_e["b_parts"])
+                or d_e.get("b") is not None):
+        return False  # llama-family has no biases; keep the fast gate exact
+    if not glu:
+        # OPT biases fold into the kernel only when stored == logical N
+        for e in (g_e, d_e):
+            if e.get("b") is not None and e["w"].Np != e["w"].N:
+                return False
     o = p.get("o")
     if o is None or not isinstance(o.get("w"), PackedWeight):
         return False
     fl = o.get("serve")
-    if not (fl and fl.a8) or o.get("b") is not None or o.get("act_q"):
+    if not (fl and fl.a8) or o.get("act_q"):
+        return False
+    if o.get("b") is not None and o["w"].Np != o["w"].N:
         return False
     from gptq_tpu.ops.ffn import attn_mlp_fusable
 
-    return attn_mlp_fusable(o["w"], p["gateup_fused"]["w"], p["down"]["w"])
+    return attn_mlp_fusable(o["w"], g_e["w"], d_e["w"], glu=glu)
 
 
 def _finish_block(spec, p, residual, attn, captures, tp_axis, new_kv):
@@ -662,10 +703,14 @@ def _finish_block(spec, p, residual, attn, captures, tp_axis, new_kv):
     if _attn_mlp_ok(spec, p, tp_axis, captures, n_rows):
         from gptq_tpu.ops.ffn import attn_mlp_fused
 
+        g_e, d_e, glu = _mlp_entries(spec, p)
         out = attn_mlp_fused(
             attn, residual, p["ln2"]["w"], p["o"]["w"],
-            p["gateup_fused"]["w"], p["down"]["w"], act=spec.act,
-            norm=spec.norm_type, eps=float(spec.norm_eps),
+            g_e["w"], d_e["w"], act=spec.act,
+            norm=spec.norm_type, eps=float(spec.norm_eps), glu=glu,
+            b_ln=p["ln2"].get("b"), b_o=p["o"].get("b"),
+            b_g=None if glu else g_e.get("b"),
+            b_d=None if glu else d_e.get("b"),
             interpret=_ffn_fusion_impl() == "interpret")
         return out, new_kv, captures
     o_name = {"bloom": "self_attention.dense", "opt": "self_attn.out_proj"}.get(

@@ -113,7 +113,7 @@ def _start_first_dmas(whbms, bufs, spec: _MMSpec):
 
 
 def _stream_matmul(x8, sx, whbms, scale_ref, zoff_ref, out_ref,
-                   spec: _MMSpec, bufs, prestarted: bool):
+                   spec: _MMSpec, bufs, prestarted: bool, bias_ref=None):
     """out[:, :] = dequant-matmul of x8 against the streamed field words.
 
     x8: (M, K) int8 in VMEM; whbms: one (K//P_f, N) int32 HBM ref per
@@ -169,7 +169,10 @@ def _stream_matmul(x8, sx, whbms, scale_ref, zoff_ref, out_ref,
             t = (part.astype(jnp.float32) * s
                  + xs_g[gi] * (spec.code_off * s - z))
             y = t if y is None else y + t
-        out_ref[:, pl.ds(c * nc, nc)] = y * sx
+        y = y * sx
+        if bias_ref is not None:
+            y = y + bias_ref[0, pl.ds(c * nc, nc)][None, :]
+        out_ref[:, pl.ds(c * nc, nc)] = y
         return 0
 
     jax.lax.fori_loop(0, n_chunks, loop, 0, unroll=False)
@@ -191,6 +194,24 @@ def _take_bufs(refs, spec: _MMSpec, i0: int):
         i0 + 2 * n
 
 
+def _apply_norm(x, w_ref, b_ref, kind, eps):
+    """x (M, K) f32 -> normalized, scaled (and shifted, layernorm) bf16-
+    rounded f32; mirrors models.common.norm_apply."""
+    w = w_ref[0].astype(jnp.float32)[None, :]
+    if kind == "layernorm":
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        xc = x - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        y = xc * jax.lax.rsqrt(var + eps) * w
+        y = y + b_ref[0].astype(jnp.float32)[None, :]
+    else:
+        if kind == "rmsnorm1p":
+            w = 1.0 + w
+        var = jnp.mean(x * x, axis=-1, keepdims=True)
+        y = x * jax.lax.rsqrt(var + eps) * w
+    return y.astype(jnp.bfloat16).astype(jnp.float32)
+
+
 def _apply_act(act, g, u):
     if act == "relu":
         a = jnp.maximum(g, 0.0)
@@ -200,7 +221,9 @@ def _apply_act(act, g, u):
         a = jax.nn.gelu(g, approximate=True)
     else:
         a = g * jax.nn.sigmoid(g)  # silu
-    return (a * u).astype(jnp.bfloat16).astype(jnp.float32)
+    if u is not None:
+        a = a * u
+    return a.astype(jnp.bfloat16).astype(jnp.float32)
 
 
 def _streamable(pw: PackedWeight) -> bool:
@@ -219,10 +242,13 @@ def _streamable(pw: PackedWeight) -> bool:
 # ffn_fused: gateup + act + down
 # ---------------------------------------------------------------------------
 
-def ffn_fusable(gu: PackedWeight, dn: PackedWeight) -> bool:
+def ffn_fusable(gu: PackedWeight, dn: PackedWeight,
+                glu: bool = True) -> bool:
     if not (_streamable(gu) and _streamable(dn)):
         return False
-    return gu.Np == 2 * dn.Kp  # stored gate half must feed down's stored K
+    if glu:  # stored gate half must feed down's stored K
+        return gu.Np == 2 * dn.Kp
+    return gu.Np == dn.Kp  # OPT-style fc1 -> fc2
 
 
 def _ffn_kernel(act, spec_g: _MMSpec, spec_d: _MMSpec,
@@ -286,17 +312,18 @@ def ffn_fused(m: jax.Array, gu: PackedWeight, dn: PackedWeight,
 # ---------------------------------------------------------------------------
 
 def attn_mlp_fusable(o: PackedWeight, gu: PackedWeight,
-                     dn: PackedWeight) -> bool:
+                     dn: PackedWeight, glu: bool = True) -> bool:
     if not _streamable(o) or o.Kp != o.K:
         return False
     # stored == logical widths so the residual/norm lanes line up exactly
     if o.Np != o.N or dn.Np != dn.N or o.Np != gu.Kp or dn.N != o.N:
         return False
-    return ffn_fusable(gu, dn)
+    return ffn_fusable(gu, dn, glu=glu)
 
 
-def _attn_mlp_kernel(act, norm, eps, spec_o, spec_g, spec_d,
-                     attn_ref, xres_ref, w2_ref,
+def _attn_mlp_kernel(act, norm, eps, glu, spec_o, spec_g, spec_d,
+                     attn_ref, xres_ref, w2_ref, bln_ref,
+                     bo_ref, bg_ref, bd_ref,
                      o_scale, o_zoff, gu_scale, gu_zoff, dn_scale, dn_zoff,
                      *rest):
     counts = [len(s.fields) for s in (spec_o, spec_g, spec_d)]
@@ -317,36 +344,38 @@ def _attn_mlp_kernel(act, norm, eps, spec_o, spec_g, spec_d,
 
     a8, sx0 = _quant_rows(attn_ref[:].astype(jnp.float32))
     _stream_matmul(a8, sx0, o_words, o_scale, o_zoff, obuf_ref,
-                   spec_o, o_bufs, prestarted=True)
+                   spec_o, o_bufs, prestarted=True, bias_ref=bo_ref)
     r2 = (xres_ref[:].astype(jnp.float32) + obuf_ref[:]
           ).astype(jnp.bfloat16).astype(jnp.float32)
-    var = jnp.mean(r2 * r2, axis=-1, keepdims=True)
-    w2 = w2_ref[0].astype(jnp.float32)[None, :]
-    if norm == "rmsnorm1p":
-        w2 = 1.0 + w2
-    m = ((r2 * jax.lax.rsqrt(var + eps)) * w2
-         ).astype(jnp.bfloat16).astype(jnp.float32)
+    m = _apply_norm(r2, w2_ref, bln_ref, norm, eps)
 
     m8, sx = _quant_rows(m)
     _stream_matmul(m8, sx, gu_words, gu_scale, gu_zoff, inner_ref,
-                   spec_g, gu_bufs, prestarted=True)
-    half = spec_g.N // 2
-    inner = _apply_act(act, inner_ref[:, :half], inner_ref[:, half:])
+                   spec_g, gu_bufs, prestarted=True, bias_ref=bg_ref)
+    if glu:
+        half = spec_g.N // 2
+        inner = _apply_act(act, inner_ref[:, :half], inner_ref[:, half:])
+    else:
+        inner = _apply_act(act, inner_ref[:], None)
     i8, sx2 = _quant_rows(inner)
     _stream_matmul(i8, sx2, dn_words, dn_scale, dn_zoff, out_ref,
-                   spec_d, dn_bufs, prestarted=True)
+                   spec_d, dn_bufs, prestarted=True, bias_ref=bd_ref)
     out_ref[:] = out_ref[:] + r2
 
 
-@functools.partial(jax.jit, static_argnames=("act", "norm", "eps",
+@functools.partial(jax.jit, static_argnames=("act", "norm", "eps", "glu",
                                              "interpret"))
 def attn_mlp_fused(attn: jax.Array, xres: jax.Array, w2: jax.Array,
                    o: PackedWeight, gu: PackedWeight, dn: PackedWeight,
                    act: str = "silu", norm: str = "rmsnorm",
-                   eps: float = 1e-5, interpret: bool = False) -> jax.Array:
-    """The whole post-attention half of a llama-family decoder block in one
-    launch: y = r2 + down(act(gate(n)) * up(n)), n = rmsnorm(r2) * w2,
-    r2 = xres + o(attn). Dynamic int8 activations on all three matmuls."""
+                   eps: float = 1e-5, glu: bool = True,
+                   b_ln=None, b_o=None, b_g=None, b_d=None,
+                   interpret: bool = False) -> jax.Array:
+    """The whole post-attention half of a decoder block in one launch:
+    llama-family (glu=True):  y = r2 + down(act(gate(n)) * up(n))
+    OPT-family  (glu=False):  y = r2 + fc2(act(fc1(n))) (+ biases)
+    with n = norm(r2) (rmsnorm / rmsnorm1p / layernorm), r2 = xres +
+    o(attn) (+ b_o). Dynamic int8 activations on all three matmuls."""
     lead = attn.shape[:-1]
     a2 = attn.reshape(-1, attn.shape[-1]).astype(jnp.float32)
     x2 = xres.reshape(-1, xres.shape[-1]).astype(jnp.bfloat16)
@@ -357,10 +386,15 @@ def attn_mlp_fused(attn: jax.Array, xres: jax.Array, w2: jax.Array,
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
     spec_o, spec_g, spec_d = _mm_specs(o), _mm_specs(gu), _mm_specs(dn)
     n_words = len(o.words) + len(gu.words) + len(dn.words)
+
+    def vec(b, n):
+        v = jnp.zeros((n,), jnp.float32) if b is None else b
+        return v.astype(jnp.float32).reshape(1, -1)
+
     out = pl.pallas_call(
-        functools.partial(_attn_mlp_kernel, act, norm, float(eps),
+        functools.partial(_attn_mlp_kernel, act, norm, float(eps), glu,
                           spec_o, spec_g, spec_d),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13
         + [pl.BlockSpec(memory_space=pl.ANY)] * n_words,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, dn.Np), jnp.float32),
@@ -372,7 +406,9 @@ def attn_mlp_fused(attn: jax.Array, xres: jax.Array, w2: jax.Array,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(a2, x2, w2.reshape(1, -1), o.scale, o.zoff, gu.scale, gu.zoff,
+    )(a2, x2, w2.reshape(1, -1), vec(b_ln, xres.shape[-1]),
+      vec(b_o, o.Np), vec(b_g, gu.Np), vec(b_d, dn.Np),
+      o.scale, o.zoff, gu.scale, gu.zoff,
       dn.scale, dn.zoff, *o.words, *gu.words, *dn.words)
     return out[:M, :dn.N].reshape(*lead, dn.N).astype(attn.dtype)
 
@@ -385,8 +421,8 @@ def norm_qkv_fusable(pw: PackedWeight) -> bool:
     return _streamable(pw) and pw.Kp == pw.K
 
 
-def _norm_qkv_kernel(norm, eps, spec: _MMSpec, x_ref, w1_ref,
-                     scale_ref, zoff_ref, *rest):
+def _norm_qkv_kernel(norm, eps, spec: _MMSpec, x_ref, w1_ref, bln_ref,
+                     bqkv_ref, scale_ref, zoff_ref, *rest):
     nw = len(spec.fields)
     words = rest[:nw]
     out_ref = rest[nw]
@@ -394,24 +430,20 @@ def _norm_qkv_kernel(norm, eps, spec: _MMSpec, x_ref, w1_ref,
     bufs, _ = _take_bufs(scratch, spec, 0)
 
     _start_first_dmas(words, bufs, spec)
-    x = x_ref[:].astype(jnp.float32)
-    var = jnp.mean(x * x, axis=-1, keepdims=True)
-    w1 = w1_ref[0].astype(jnp.float32)[None, :]
-    if norm == "rmsnorm1p":
-        w1 = 1.0 + w1
-    h = ((x * jax.lax.rsqrt(var + eps)) * w1
-         ).astype(jnp.bfloat16).astype(jnp.float32)
+    h = _apply_norm(x_ref[:].astype(jnp.float32), w1_ref, bln_ref, norm, eps)
     h8, sx = _quant_rows(h)
     _stream_matmul(h8, sx, words, scale_ref, zoff_ref, out_ref,
-                   spec, bufs, prestarted=True)
+                   spec, bufs, prestarted=True, bias_ref=bqkv_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("norm", "eps", "interpret"))
 def norm_qkv_fused(x: jax.Array, w1: jax.Array, pw: PackedWeight,
                    norm: str = "rmsnorm", eps: float = 1e-5,
+                   b_ln=None, b_qkv=None,
                    interpret: bool = False) -> jax.Array:
-    """y = rmsnorm(x)*w1 @ dequant(pw) in one launch (the attention-input
-    half: ln1 + fused q/k/v matmul, dynamic int8 activations)."""
+    """y = norm(x) @ dequant(pw) (+ b_qkv) in one launch (the attention-
+    input half: ln1 + fused q/k/v matmul, dynamic int8 activations).
+    norm covers rmsnorm / rmsnorm1p / layernorm (with b_ln)."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16)
     M = x2.shape[0]
@@ -419,9 +451,14 @@ def norm_qkv_fused(x: jax.Array, w1: jax.Array, pw: PackedWeight,
     if Mp != M:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
     spec = _mm_specs(pw)
+
+    def vec(b, n):
+        v = jnp.zeros((n,), jnp.float32) if b is None else b
+        return v.astype(jnp.float32).reshape(1, -1)
+
     out = pl.pallas_call(
         functools.partial(_norm_qkv_kernel, norm, float(eps), spec),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
         + [pl.BlockSpec(memory_space=pl.ANY)] * len(pw.words),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, pw.Np), jnp.float32),
@@ -430,5 +467,6 @@ def norm_qkv_fused(x: jax.Array, w1: jax.Array, pw: PackedWeight,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x2, w1.reshape(1, -1), pw.scale, pw.zoff, *pw.words)
+    )(x2, w1.reshape(1, -1), vec(b_ln, x.shape[-1]), vec(b_qkv, pw.Np),
+      pw.scale, pw.zoff, *pw.words)
     return out[:M].reshape(*lead, pw.Np).astype(x.dtype)
