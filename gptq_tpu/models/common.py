@@ -459,18 +459,30 @@ def block_forward(
         # attention-input half in one launch: ln1 + fused q/k/v matmul
         from gptq_tpu.ops.ffn import norm_qkv_fused
 
-        y = norm_qkv_fused(
-            x, p["ln1"]["w"], p["qkv_fused"]["w"], norm=spec.norm_type,
-            eps=float(spec.norm_eps), b_ln=p["ln1"].get("b"),
-            b_qkv=_qkv_fused_bias(p["qkv_fused"]),
-            interpret=_ffn_fusion_impl() == "interpret")
         hd_ = spec.hd
-        off = 0
-        outs = []
-        for (n_stored, n_logical) in p["qkv_fused"]["splits"].parts:
-            outs.append(y[..., off:off + n_logical])
-            off += n_stored
-        q, k, v = (o.reshape(B, T, o.shape[-1] // hd_, hd_) for o in outs)
+        if spec.arch == "bloom":  # natively-fused q/k/v linear
+            y = norm_qkv_fused(
+                x, p["ln1"]["w"], p["qkv"]["w"], norm=spec.norm_type,
+                eps=float(spec.norm_eps), b_ln=p["ln1"].get("b"),
+                b_qkv=p["qkv"].get("b"),
+                interpret=_ffn_fusion_impl() == "interpret")
+            fused = y[..., :p["qkv"]["w"].N]
+            fused = fused.reshape(B, T, fused.shape[-1] // (3 * hd_),
+                                  3 * hd_)
+            q, k, v = jnp.split(fused, 3, axis=-1)
+        else:
+            y = norm_qkv_fused(
+                x, p["ln1"]["w"], p["qkv_fused"]["w"], norm=spec.norm_type,
+                eps=float(spec.norm_eps), b_ln=p["ln1"].get("b"),
+                b_qkv=_qkv_fused_bias(p["qkv_fused"]),
+                interpret=_ffn_fusion_impl() == "interpret")
+            off = 0
+            outs = []
+            for (n_stored, n_logical) in p["qkv_fused"]["splits"].parts:
+                outs.append(y[..., off:off + n_logical])
+                off += n_stored
+            q, k, v = (o.reshape(B, T, o.shape[-1] // hd_, hd_)
+                       for o in outs)
     else:
         h = norm_apply(spec, p["ln1"], x) if spec.do_layer_norm_before else x
         q, k, v = _qkv(spec, p, h, captures)
@@ -618,6 +630,19 @@ def _norm_qkv_ok(spec, p, tp_axis, captures, n_rows):
     if not spec.do_layer_norm_before or spec.norm_type not in (
             "rmsnorm", "rmsnorm1p", "layernorm"):
         return False
+    from gptq_tpu.ops.ffn import norm_qkv_fusable
+
+    if spec.arch == "bloom":
+        # bloom's q/k/v is natively one fused linear
+        entry = p.get("qkv")
+        if entry is None or not isinstance(entry.get("w"), PackedWeight):
+            return False
+        fl = entry.get("serve")
+        if not (fl and fl.a8) or entry.get("act_q") is not None:
+            return False
+        if entry.get("b") is not None and entry["w"].Np != entry["w"].N:
+            return False
+        return norm_qkv_fusable(entry["w"])
     entry = p.get("qkv_fused")
     if entry is None or not isinstance(entry.get("w"), PackedWeight):
         return False
@@ -629,8 +654,6 @@ def _norm_qkv_ok(spec, p, tp_axis, captures, n_rows):
         # equals its logical width (the concat then lines up exactly)
         if any(ns != nl for ns, nl in entry["splits"].parts):
             return False
-    from gptq_tpu.ops.ffn import norm_qkv_fusable
-
     return norm_qkv_fusable(entry["w"])
 
 
@@ -648,10 +671,10 @@ def _qkv_fused_bias(entry):
 
 def _mlp_entries(spec, p):
     """(fc1-like entry, fc2-like entry, glu) for the fused MLP kernels:
-    llama-family uses the fused gate|up weight (glu), OPT-family fc1/fc2."""
+    llama-family uses the fused gate|up weight (glu), OPT/BLOOM fc1/fc2."""
     if spec.arch in ("llama", "gemma"):
         return p.get("gateup_fused"), p.get("down"), True
-    if spec.arch == "opt":
+    if spec.arch in ("opt", "bloom"):
         return p.get("fc1"), p.get("fc2"), False
     return None, None, False
 

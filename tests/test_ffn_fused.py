@@ -357,3 +357,43 @@ def test_model_decode_fusions_opt(monkeypatch):
     l_on = decode("interpret")
     rel = np.abs(l_on - l_off).max() / np.abs(l_off).max()
     assert rel < 0.08, rel
+
+
+def test_model_decode_fusions_bloom(monkeypatch):
+    """BLOOM flavor: natively-fused q/k/v linear + layernorm + biases +
+    alibi attention with the fused kernels."""
+    from gptq_tpu.config import QuantConfig
+    from gptq_tpu.models.common import (ArchSpec, KVCache, fuse_serving,
+                                        init_params, model_forward,
+                                        _attn_mlp_ok, _norm_qkv_ok)
+    from gptq_tpu.pipeline import pack_model, quantize_model
+
+    spec = ArchSpec(arch="bloom", n_layers=1, hidden=512, n_heads=4,
+                    n_kv_heads=4, ffn=512, vocab=96, max_pos=32,
+                    act="gelu_tanh", pos="alibi", norm_type="layernorm",
+                    linear_bias=True, tie_embeddings=True)
+    params = init_params(spec, jax.random.PRNGKey(14))
+    calib = jnp.asarray(
+        np.random.default_rng(14).integers(0, 96, size=(2, 16)))
+    cfg = QuantConfig(wbits=4, nsamples=2)
+    res = quantize_model(spec, params, calib, cfg, log=lambda s: None)
+    pack_model(spec, params, res.quantizers, cfg)
+    served = fuse_serving(spec, params, a8=True)
+    monkeypatch.setenv("GPTQ_TPU_FFN_FUSION", "interpret")
+    assert _norm_qkv_ok(spec, served["layers"][0], None, None, 1)
+    assert _attn_mlp_ok(spec, served["layers"][0], None, None, 1)
+
+    def decode(mode):
+        monkeypatch.setenv("GPTQ_TPU_FFN_FUSION", mode)
+        cache = KVCache.init(spec, 1, 8, jnp.float32)
+        logits_all = []
+        for t in (5, 9, 3):
+            logits, cache = model_forward(spec, served,
+                                          jnp.asarray([[t]]), cache)
+            logits_all.append(np.asarray(logits[:, -1], np.float32))
+        return np.stack(logits_all)
+
+    l_off = decode("off")
+    l_on = decode("interpret")
+    rel = np.abs(l_on - l_off).max() / np.abs(l_off).max()
+    assert rel < 0.08, rel
