@@ -809,8 +809,45 @@ def embed_forward(spec: ArchSpec, params: dict, input_ids: jax.Array,
     return emb
 
 
+def _head_fusion_ok(spec, params, tp_axis, n_rows):
+    """Can final_ln + the packed lm_head run as one norm_qkv_fused launch?"""
+    if (_ffn_fusion_impl() is None or tp_axis is not None or n_rows > 32):
+        return False
+    if spec.norm_type not in ("rmsnorm", "rmsnorm1p", "layernorm"):
+        return False
+    if params.get("final_ln") is None:
+        return False
+    if spec.arch == "opt" and params["embed"].get("project_out") is not None:
+        return False
+    lm = params.get("lm_head")
+    if lm is None or not isinstance(lm.get("w"), PackedWeight):
+        return False
+    if lm.get("act_q") is not None:
+        return False
+    if lm.get("b") is not None and lm["w"].Np != lm["w"].N:
+        return False
+    from gptq_tpu.ops.ffn import norm_qkv_fusable
+
+    return norm_qkv_fusable(lm["w"])
+
+
 def head_forward(spec: ArchSpec, params: dict, h: jax.Array,
                  tp_axis: str | None = None) -> jax.Array:
+    n_rows = 1
+    for d in h.shape[:-1]:
+        n_rows *= d
+    if _head_fusion_ok(spec, params, tp_axis, n_rows):
+        # final_ln + packed lm_head in one launch (decode fast path); the
+        # head matvec also gains the dynamic-int8 activation path here
+        from gptq_tpu.ops.ffn import norm_qkv_fused
+
+        lm = params["lm_head"]
+        y = norm_qkv_fused(
+            h, params["final_ln"]["w"], lm["w"], norm=spec.norm_type,
+            eps=float(spec.norm_eps), b_ln=params["final_ln"].get("b"),
+            b_qkv=lm.get("b"),
+            interpret=_ffn_fusion_impl() == "interpret")
+        return y[..., :lm["w"].N]
     if params.get("final_ln") is not None:
         h = norm_apply(spec, params["final_ln"], h)
     if spec.arch == "opt" and params["embed"].get("project_out") is not None:

@@ -397,3 +397,31 @@ def test_model_decode_fusions_bloom(monkeypatch):
     l_on = decode("interpret")
     rel = np.abs(l_on - l_off).max() / np.abs(l_off).max()
     assert rel < 0.08, rel
+
+
+def test_head_fusion_matches_unfused(monkeypatch):
+    """final_ln + packed lm_head as one launch (w8 head with dynamic int8
+    activations) must track the unfused w8a16 head to a8 noise."""
+    from gptq_tpu.models.common import (ArchSpec, KVCache, init_params,
+                                        model_forward, _head_fusion_ok)
+    from gptq_tpu.pipeline import quantize_lm_head
+
+    spec = ArchSpec(arch="llama", n_layers=1, hidden=512, n_heads=4,
+                    n_kv_heads=4, ffn=512, vocab=512, max_pos=32,
+                    act="silu", pos="rope", norm_type="rmsnorm",
+                    linear_bias=False, tie_embeddings=False)
+    params = init_params(spec, jax.random.PRNGKey(15))
+    assert quantize_lm_head(spec, params, bits=8)
+    monkeypatch.setenv("GPTQ_TPU_FFN_FUSION", "interpret")
+    assert _head_fusion_ok(spec, params, None, 1)
+
+    def logits_of(mode):
+        monkeypatch.setenv("GPTQ_TPU_FFN_FUSION", mode)
+        cache = KVCache.init(spec, 1, 8, jnp.float32)
+        l, _ = model_forward(spec, params, jnp.asarray([[7]]), cache)
+        return np.asarray(l[:, -1], np.float32)
+
+    l_off = logits_of("off")
+    l_on = logits_of("interpret")
+    rel = np.abs(l_on - l_off).max() / np.abs(l_off).max()
+    assert rel < 0.05, rel
