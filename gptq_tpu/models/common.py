@@ -597,6 +597,14 @@ def _ffn_fusion_impl() -> str | None:
     return "tpu" if jax.default_backend() == "tpu" else None
 
 
+def _stream_preferred(w) -> bool:
+    """Serve through the streamed fused kernels? Uniform formats yes; BCQ
+    measures SLOWER fused than its bitplane grid kernel (chip: 146 vs
+    104 us at llama-7B ffn shapes — 3 sign planes = 3x MXU ingest and the
+    grid kernel pipelines it better), so BCQ keeps the grid path."""
+    return isinstance(w, PackedWeight) and w.fmt != "bcq"
+
+
 def _ffn_fusion_entry(p, tp_axis, captures):
     """The gateup entry when the single-launch FFN kernel can serve this
     block's MLP (fast w4a8 serving config; see ops/ffn.py), else None."""
@@ -604,7 +612,9 @@ def _ffn_fusion_entry(p, tp_axis, captures):
         return None
     gu = p.get("gateup_fused")
     dn = p.get("down")
-    if gu is None or dn is None or not isinstance(dn.get("w"), PackedWeight):
+    if gu is None or dn is None or not _stream_preferred(dn.get("w")):
+        return None
+    if not _stream_preferred(gu.get("w")):
         return None
     flags_g = gu.get("serve")
     flags_d = dn.get("serve")
@@ -635,7 +645,7 @@ def _norm_qkv_ok(spec, p, tp_axis, captures, n_rows):
     if spec.arch == "bloom":
         # bloom's q/k/v is natively one fused linear
         entry = p.get("qkv")
-        if entry is None or not isinstance(entry.get("w"), PackedWeight):
+        if entry is None or not _stream_preferred(entry.get("w")):
             return False
         fl = entry.get("serve")
         if not (fl and fl.a8) or entry.get("act_q") is not None:
@@ -644,7 +654,7 @@ def _norm_qkv_ok(spec, p, tp_axis, captures, n_rows):
             return False
         return norm_qkv_fusable(entry["w"])
     entry = p.get("qkv_fused")
-    if entry is None or not isinstance(entry.get("w"), PackedWeight):
+    if entry is None or not _stream_preferred(entry.get("w")):
         return False
     fl = entry.get("serve")
     if not (fl and fl.a8) or entry.get("act_q") is not None:
@@ -692,7 +702,7 @@ def _attn_mlp_ok(spec, p, tp_axis, captures, n_rows):
     if g_e is None or d_e is None:
         return False
     for e in (g_e, d_e):
-        if not isinstance(e.get("w"), PackedWeight):
+        if not _stream_preferred(e.get("w")):
             return False
         fl = e.get("serve")
         if not (fl and fl.a8) or e.get("act_q") is not None:
@@ -706,7 +716,7 @@ def _attn_mlp_ok(spec, p, tp_axis, captures, n_rows):
             if e.get("b") is not None and e["w"].Np != e["w"].N:
                 return False
     o = p.get("o")
-    if o is None or not isinstance(o.get("w"), PackedWeight):
+    if o is None or not _stream_preferred(o.get("w")):
         return False
     fl = o.get("serve")
     if not (fl and fl.a8) or o.get("act_q"):
@@ -820,7 +830,7 @@ def _head_fusion_ok(spec, params, tp_axis, n_rows):
     if spec.arch == "opt" and params["embed"].get("project_out") is not None:
         return False
     lm = params.get("lm_head")
-    if lm is None or not isinstance(lm.get("w"), PackedWeight):
+    if lm is None or not _stream_preferred(lm.get("w")):
         return False
     if lm.get("act_q") is not None:
         return False

@@ -45,16 +45,25 @@ from gptq_tpu.ops.pack import FIELD_SPLITS, PackedWeight, subblock
 class _MMSpec(NamedTuple):
     """Static description of one streamed dequant-matmul phase."""
 
-    fields: tuple  # ((fb, sh), ...) per packed field
+    fields: tuple  # ((fb, sh), ...) per packed field; bcq: one (1, 0)/plane
     code_off: int  # stored-code offset folded into the epilogue (8-bit)
     K: int
     N: int
     nc: int  # N-chunk width
     sb: int  # byteplane subblock
     ng: int  # quantization groups along K (1 = per-tensor grids)
+    fmt: str = "uniform"  # uniform grids | bcq sign bitplanes
 
 
 def _mm_specs(pw: PackedWeight) -> _MMSpec:
+    if pw.fmt == "bcq":
+        fields = tuple((1, 0) for _ in range(pw.bits))
+        words_rows = pw.bits * (pw.Kp // 32)
+        nc = _pick_chunk(pw.Np, 512 if words_rows * 512 * 4 <= 2_500_000
+                         else 256)
+        return _MMSpec(fields, 0, pw.Kp, pw.Np, nc,
+                       subblock(pw.Kp, pw.groupsize), pw.alpha.shape[0],
+                       "bcq")
     fields = tuple(FIELD_SPLITS[pw.bits])
     fb0, sh0 = fields[0]
     off = 128 << sh0 if fb0 == 8 else 0
@@ -64,6 +73,14 @@ def _mm_specs(pw: PackedWeight) -> _MMSpec:
                      else 256)
     return _MMSpec(fields, off, pw.Kp, pw.Np, nc,
                    subblock(pw.Kp, pw.groupsize), pw.scale.shape[0])
+
+
+def _mm_grids(pw: PackedWeight):
+    """(scale-like, zoff-like) VMEM grid arrays for a phase: uniform grids
+    or BCQ (ng, bits, N) alphas with a dummy second array."""
+    if pw.fmt == "bcq":
+        return pw.alpha, jnp.zeros((1, 1), jnp.float32)
+    return pw.scale, pw.zoff
 
 
 def _pick_chunk(N: int, prefer: int) -> int | None:
@@ -105,11 +122,15 @@ def _unpack_field(w, fb, sh, K, sb):
 
 
 def _start_first_dmas(whbms, bufs, spec: _MMSpec):
-    """Issue every field's chunk-0 DMA (cross-phase prefetch: weights never
-    depend on earlier phase outputs, so these start at kernel entry)."""
-    for w_hbm, (wbuf, sem) in zip(whbms, bufs):
-        pltpu.make_async_copy(
-            w_hbm.at[:, pl.ds(0, spec.nc)], wbuf.at[0], sem.at[0]).start()
+    """Issue every field/plane's chunk-0 DMA (cross-phase prefetch: weights
+    never depend on earlier phase outputs, so these start at kernel
+    entry)."""
+    for fi, (wbuf, sem) in enumerate(bufs):
+        if spec.fmt == "bcq":
+            src_ref = whbms[0].at[fi, :, pl.ds(0, spec.nc)]
+        else:
+            src_ref = whbms[fi].at[:, pl.ds(0, spec.nc)]
+        pltpu.make_async_copy(src_ref, wbuf.at[0], sem.at[0]).start()
 
 
 def _stream_matmul(x8, sx, whbms, scale_ref, zoff_ref, out_ref,
@@ -127,14 +148,20 @@ def _stream_matmul(x8, sx, whbms, scale_ref, zoff_ref, out_ref,
     nc = spec.nc
     ng = spec.ng
     g = spec.K // ng
+    bcq = spec.fmt == "bcq"
 
     def get_dma(fi, slot, c):
         wbuf, sem = bufs[fi]
+        if bcq:  # one (bits, K//32, N) array; DMA one plane's chunk
+            return pltpu.make_async_copy(
+                whbms[0].at[fi, :, pl.ds(c * nc, nc)], wbuf.at[slot],
+                sem.at[slot])
         return pltpu.make_async_copy(
             whbms[fi].at[:, pl.ds(c * nc, nc)], wbuf.at[slot], sem.at[slot])
 
+    nplanes = len(spec.fields)
     if not prestarted:
-        for fi in range(len(whbms)):
+        for fi in range(nplanes):
             get_dma(fi, 0, 0).start()
     # per-group input sums for the zero-offset epilogue (one (M, 1) per
     # group; static loop — ng is 1 or K/128-ish)
@@ -146,7 +173,7 @@ def _stream_matmul(x8, sx, whbms, scale_ref, zoff_ref, out_ref,
 
         @pl.when(c + 1 < n_chunks)
         def _():
-            for fi in range(len(whbms)):
+            for fi in range(nplanes):
                 get_dma(fi, (c + 1) % 2, c + 1).start()
 
         c8s = []
@@ -155,20 +182,36 @@ def _stream_matmul(x8, sx, whbms, scale_ref, zoff_ref, out_ref,
             c8s.append(_unpack_field(bufs[fi][0][slot], fb, sh, spec.K,
                                      spec.sb))
         y = None
-        for gi in range(ng):
-            part = None
-            for c8 in c8s:
-                d = jax.lax.dot_general(
-                    x8[:, gi * g:(gi + 1) * g],
-                    c8[gi * g:(gi + 1) * g],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)  # (M, nc)
-                part = d if part is None else part + d
-            s = scale_ref[gi, pl.ds(c * nc, nc)][None, :]
-            z = zoff_ref[gi, pl.ds(c * nc, nc)][None, :]
-            t = (part.astype(jnp.float32) * s
-                 + xs_g[gi] * (spec.code_off * s - z))
-            y = t if y is None else y + t
+        if bcq:
+            # y = sum_g sum_b alpha[g,b] * (2*(x_g @ bits_b) - sum x_g)
+            # (the sign-select LUT-GEMM identity; ops/bcq_matmul.py)
+            for gi in range(ng):
+                t = None
+                for b, c8 in enumerate(c8s):
+                    d = jax.lax.dot_general(
+                        x8[:, gi * g:(gi + 1) * g],
+                        c8[gi * g:(gi + 1) * g],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    a = scale_ref[gi, b, pl.ds(c * nc, nc)][None, :]
+                    tb = a * (2.0 * d.astype(jnp.float32) - xs_g[gi])
+                    t = tb if t is None else t + tb
+                y = t if y is None else y + t
+        else:
+            for gi in range(ng):
+                part = None
+                for c8 in c8s:
+                    d = jax.lax.dot_general(
+                        x8[:, gi * g:(gi + 1) * g],
+                        c8[gi * g:(gi + 1) * g],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)  # (M, nc)
+                    part = d if part is None else part + d
+                s = scale_ref[gi, pl.ds(c * nc, nc)][None, :]
+                z = zoff_ref[gi, pl.ds(c * nc, nc)][None, :]
+                t = (part.astype(jnp.float32) * s
+                     + xs_g[gi] * (spec.code_off * s - z))
+                y = t if y is None else y + t
         y = y * sx
         if bias_ref is not None:
             y = y + bias_ref[0, pl.ds(c * nc, nc)][None, :]
@@ -179,11 +222,12 @@ def _stream_matmul(x8, sx, whbms, scale_ref, zoff_ref, out_ref,
 
 
 def _phase_scratch(spec: _MMSpec):
-    """Scratch shapes for one phase: per field a (2, rows, nc) buffer and a
-    2-slot DMA semaphore (flattened; _take_bufs regroups)."""
+    """Scratch shapes for one phase: per field/plane a (2, rows, nc) buffer
+    and a 2-slot DMA semaphore (flattened; _take_bufs regroups)."""
     out = []
     for fb, _sh in spec.fields:
-        out.append(pltpu.VMEM((2, spec.K // (32 // fb), spec.nc), jnp.int32))
+        rows = spec.K // 32 if spec.fmt == "bcq" else spec.K // (32 // fb)
+        out.append(pltpu.VMEM((2, rows, spec.nc), jnp.int32))
         out.append(pltpu.SemaphoreType.DMA((2,)))
     return out
 
@@ -192,6 +236,11 @@ def _take_bufs(refs, spec: _MMSpec, i0: int):
     n = len(spec.fields)
     return [(refs[i0 + 2 * f], refs[i0 + 2 * f + 1]) for f in range(n)], \
         i0 + 2 * n
+
+
+def _n_words(spec: _MMSpec) -> int:
+    """Input word arrays per phase: bcq stores all planes in ONE array."""
+    return 1 if spec.fmt == "bcq" else len(spec.fields)
 
 
 def _apply_norm(x, w_ref, b_ref, kind, eps):
@@ -227,10 +276,10 @@ def _apply_act(act, g, u):
 
 
 def _streamable(pw: PackedWeight) -> bool:
-    if (pw.fmt != "uniform" or pw.perm is not None or pw.bias is not None
-            or _pick_chunk(pw.Np, 512) is None):
+    if (pw.fmt not in ("uniform", "bcq") or pw.perm is not None
+            or pw.bias is not None or _pick_chunk(pw.Np, 512) is None):
         return False
-    ng = pw.scale.shape[0]
+    ng = (pw.alpha if pw.fmt == "bcq" else pw.scale).shape[0]
     if ng == 1:
         return True
     # grouped grids: groups must tile K in lane-efficient (>=128) slices
@@ -254,8 +303,8 @@ def ffn_fusable(gu: PackedWeight, dn: PackedWeight,
 def _ffn_kernel(act, spec_g: _MMSpec, spec_d: _MMSpec,
                 m_ref, gu_scale, gu_zoff, dn_scale, dn_zoff,
                 *rest):
-    nw_g = len(spec_g.fields)
-    nw_d = len(spec_d.fields)
+    nw_g = _n_words(spec_g)
+    nw_d = _n_words(spec_d)
     gu_words = rest[:nw_g]
     dn_words = rest[nw_g:nw_g + nw_d]
     out_ref = rest[nw_g + nw_d]
@@ -303,7 +352,7 @@ def ffn_fused(m: jax.Array, gu: PackedWeight, dn: PackedWeight,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x2, gu.scale, gu.zoff, dn.scale, dn.zoff, *gu.words, *dn.words)
+    )(x2, *_mm_grids(gu), *_mm_grids(dn), *gu.words, *dn.words)
     return out[:M, :dn.N].reshape(*lead, dn.N).astype(m.dtype)
 
 
@@ -326,7 +375,7 @@ def _attn_mlp_kernel(act, norm, eps, glu, spec_o, spec_g, spec_d,
                      bo_ref, bg_ref, bd_ref,
                      o_scale, o_zoff, gu_scale, gu_zoff, dn_scale, dn_zoff,
                      *rest):
-    counts = [len(s.fields) for s in (spec_o, spec_g, spec_d)]
+    counts = [_n_words(s) for s in (spec_o, spec_g, spec_d)]
     o_words = rest[:counts[0]]
     gu_words = rest[counts[0]:counts[0] + counts[1]]
     dn_words = rest[counts[0] + counts[1]:sum(counts)]
@@ -408,8 +457,8 @@ def attn_mlp_fused(attn: jax.Array, xres: jax.Array, w2: jax.Array,
         interpret=interpret,
     )(a2, x2, w2.reshape(1, -1), vec(b_ln, xres.shape[-1]),
       vec(b_o, o.Np), vec(b_g, gu.Np), vec(b_d, dn.Np),
-      o.scale, o.zoff, gu.scale, gu.zoff,
-      dn.scale, dn.zoff, *o.words, *gu.words, *dn.words)
+      *_mm_grids(o), *_mm_grids(gu),
+      *_mm_grids(dn), *o.words, *gu.words, *dn.words)
     return out[:M, :dn.N].reshape(*lead, dn.N).astype(attn.dtype)
 
 
@@ -423,7 +472,7 @@ def norm_qkv_fusable(pw: PackedWeight) -> bool:
 
 def _norm_qkv_kernel(norm, eps, spec: _MMSpec, x_ref, w1_ref, bln_ref,
                      bqkv_ref, scale_ref, zoff_ref, *rest):
-    nw = len(spec.fields)
+    nw = _n_words(spec)
     words = rest[:nw]
     out_ref = rest[nw]
     scratch = rest[nw + 1:]
@@ -468,5 +517,5 @@ def norm_qkv_fused(x: jax.Array, w1: jax.Array, pw: PackedWeight,
         ),
         interpret=interpret,
     )(x2, w1.reshape(1, -1), vec(b_ln, x.shape[-1]), vec(b_qkv, pw.Np),
-      pw.scale, pw.zoff, *pw.words)
+      *_mm_grids(pw), *pw.words)
     return out[:M].reshape(*lead, pw.Np).astype(x.dtype)

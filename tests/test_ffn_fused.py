@@ -425,3 +425,71 @@ def test_head_fusion_matches_unfused(monkeypatch):
     l_on = logits_of("interpret")
     rel = np.abs(l_on - l_off).max() / np.abs(l_off).max()
     assert rel < 0.05, rel
+
+
+def test_ffn_fused_bcq():
+    """BCQ/LUT bitplane weights (the reference's flagship serving format)
+    through the fused kernel: sign-select identity, per-plane DMA."""
+    from gptq_tpu.ops.kernel_bench import make_random_bcq
+    from gptq_tpu.ops.bcq_matmul import bcq_matmul
+
+    key = jax.random.PRNGKey(17)
+    ks = jax.random.split(key, 3)
+    gate = make_random_bcq(ks[0], 256, 512, 3, -1)
+    up = make_random_bcq(ks[1], 256, 512, 3, -1)
+    down = make_random_bcq(ks[2], 512, 256, 3, -1)
+    gu = fuse_packed([gate, up])
+    assert ffn_fusable(gu, down)
+    m = jax.random.normal(jax.random.fold_in(key, 9), (1, 2, 256),
+                          jnp.bfloat16)
+    g = bcq_matmul(m, gate, impl="xla", a8=True)
+    u = bcq_matmul(m, up, impl="xla", a8=True)
+    inner = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
+             ).astype(jnp.bfloat16)
+    want = bcq_matmul(inner, down, impl="xla", a8=True)
+    got = ffn_fused(m, gu, down, act="silu", interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=0.08, atol=0.08 * float(jnp.abs(want).max()))
+
+
+def test_model_decode_fusions_bcq_lut(monkeypatch):
+    """End-to-end LUT-mode serving (--lut_eval counterpart) through the
+    fused kernels."""
+    from gptq_tpu.config import QuantConfig
+    from gptq_tpu.models.common import (ArchSpec, KVCache, fuse_serving,
+                                        init_params, model_forward,
+                                        _attn_mlp_ok)
+    from gptq_tpu.pipeline import pack_model, quantize_model
+
+    spec = ArchSpec(arch="llama", n_layers=1, hidden=512, n_heads=4,
+                    n_kv_heads=4, ffn=512, vocab=96, max_pos=32,
+                    act="silu", pos="rope", norm_type="rmsnorm",
+                    linear_bias=False, tie_embeddings=False)
+    params = init_params(spec, jax.random.PRNGKey(18))
+    calib = jnp.asarray(
+        np.random.default_rng(18).integers(0, 96, size=(2, 16)))
+    cfg = QuantConfig(wbits=3, nsamples=2, lut_eval=True, bcq_round=2)
+    res = quantize_model(spec, params, calib, cfg, log=lambda s: None)
+    pack_model(spec, params, res.quantizers, cfg)
+    served = fuse_serving(spec, params, a8=True)
+    monkeypatch.setenv("GPTQ_TPU_FFN_FUSION", "interpret")
+    # BCQ serving keeps the bitplane GRID kernel (chip-measured faster
+    # than the streamed fusion: 104 vs 146 us — 3 sign planes = 3x MXU
+    # ingest); the fused route stays available at kernel level only
+    assert not _attn_mlp_ok(spec, served["layers"][0], None, None, 1)
+
+    def decode(mode):
+        monkeypatch.setenv("GPTQ_TPU_FFN_FUSION", mode)
+        cache = KVCache.init(spec, 1, 8, jnp.float32)
+        logits_all = []
+        for t in (5, 9, 3):
+            logits, cache = model_forward(spec, served,
+                                          jnp.asarray([[t]]), cache)
+            logits_all.append(np.asarray(logits[:, -1], np.float32))
+        return np.stack(logits_all)
+
+    l_off = decode("off")
+    l_on = decode("interpret")
+    rel = np.abs(l_on - l_off).max() / np.abs(l_off).max()
+    assert rel < 1e-6, rel  # identical: both routes use the grid kernel
