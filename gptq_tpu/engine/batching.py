@@ -206,8 +206,20 @@ class ContinuousBatcher:
             by_bucket.setdefault(self._bucket(len(req.prompt)), []).append(
                 (slot, req))
         for Tp, group in by_bucket.items():
-            slots = np.asarray([s for s, _ in group])
-            ids = np.zeros((len(group), Tp), np.int32)
+            # pad the group to a power-of-two row count so the jitted
+            # prefill compiles at most log2(batch_slots)+1 shapes per
+            # bucket (each compile is ~minutes on a relayed chip — far
+            # more than the 30 ms dispatch the batching saves). Pad rows
+            # re-gather slot 0 (reads tolerate duplicates); only the real
+            # rows scatter back.
+            n_real = len(group)
+            gp = 1
+            while gp < n_real:
+                gp *= 2
+            gp = min(gp, self.B)
+            slots = np.asarray([s for s, _ in group]
+                               + [group[0][0]] * (gp - n_real))
+            ids = np.zeros((gp, Tp), np.int32)
             for row, (_, req) in enumerate(group):
                 ids[row, : len(req.prompt)] = req.prompt
             kc_g = self.kc[:, slots]
@@ -217,11 +229,12 @@ class ContinuousBatcher:
             nk, nv, nks, nvs, _ = self._prefill(
                 self.params, kc_g, vc_g, ks_g, vs_g, jnp.asarray(ids))
             self.prefill_calls += 1
-            self.kc = self.kc.at[:, slots].set(nk)
-            self.vc = self.vc.at[:, slots].set(nv)
+            real = slots[:n_real]
+            self.kc = self.kc.at[:, real].set(nk[:, :n_real])
+            self.vc = self.vc.at[:, real].set(nv[:, :n_real])
             if nks is not None:
-                self.ks = self.ks.at[:, slots].set(nks)
-                self.vs = self.vs.at[:, slots].set(nvs)
+                self.ks = self.ks.at[:, real].set(nks[:, :n_real])
+                self.vs = self.vs.at[:, real].set(nvs[:, :n_real])
             # re-decode from each true prompt end (padding wrote junk beyond
             # T, but lengths masks it out)
             for slot, req in group:

@@ -467,8 +467,12 @@ class Lambada(Task):
         if data_dir:
             cands = (glob.glob(os.path.join(data_dir, "lambada*.jsonl"))
                      or glob.glob(os.path.join(data_dir, "*.jsonl")))
+            if len(cands) > 1:
+                raise ValueError(
+                    f"ambiguous lambada data_dir (several jsonl files): "
+                    f"{sorted(cands)}; keep exactly one")
             if cands:
-                with open(sorted(cands)[0]) as f:
+                with open(cands[0]) as f:
                     docs = [json.loads(line) for line in f if line.strip()]
                 self.dataset = {"test": docs}
                 return
@@ -519,10 +523,18 @@ class StoryCloze(MultipleChoiceTask):
         import os
 
         if data_dir:
-            cands = glob.glob(os.path.join(data_dir, "*.csv"))
+            # prefer the validation-split CSV (the 2018 release ships
+            # cloze_test_val*.csv next to the test split); error rather
+            # than silently scoring the wrong file
+            cands = (glob.glob(os.path.join(data_dir, "*val*.csv"))
+                     or glob.glob(os.path.join(data_dir, "*.csv")))
+            if len(cands) > 1:
+                raise ValueError(
+                    f"ambiguous storycloze data_dir (several CSVs): "
+                    f"{sorted(cands)}; keep one *val*.csv")
             if cands:
                 docs = []
-                with open(sorted(cands)[0], newline="") as f:
+                with open(cands[0], newline="") as f:
                     for row in csv.DictReader(f):
                         docs.append({
                             "input_sentence_1": row["InputSentence1"],

@@ -65,7 +65,13 @@ def make_optimizer(name: str = "adafactor", lr: float = 2e-5,
                    ) -> optax.GradientTransformation:
     """grad_accum > 1 wraps the optimizer in optax.MultiSteps: the train
     step is called per micro-batch and applies updates every grad_accum
-    calls (reference: --gradient_accumulation_steps)."""
+    calls (reference: --gradient_accumulation_steps). total_steps and
+    warmup_steps are MICRO-step counts (what the training loop iterates);
+    MultiSteps advances the schedule once per optimizer update, so the
+    horizons convert to optimizer steps here."""
+    if grad_accum > 1:
+        total_steps = max(1, total_steps // grad_accum)
+        warmup_steps = warmup_steps // grad_accum
     sched = make_schedule(lr, schedule, total_steps, warmup_steps)
     opt = (optax.adafactor(learning_rate=sched) if name == "adafactor"
            else optax.adamw(learning_rate=sched))

@@ -348,7 +348,11 @@ def fuse_serving(spec: ArchSpec, params: dict, a8: bool = False) -> dict:
                 if isinstance(w, PackedWeight):
                     lp[key] = {**val, "serve": ServeFlags(a8=True)}
         new_layers.append(lp)
-    return {**params, "layers": new_layers}
+    out = {**params, "layers": new_layers}
+    lm = params.get("lm_head")
+    if a8 and lm is not None and isinstance(lm.get("w"), PackedWeight):
+        out["lm_head"] = {**lm, "serve": ServeFlags(a8=True)}
+    return out
 
 
 def _apply_fused(entry: dict, x: jax.Array) -> list[jax.Array]:
@@ -831,6 +835,11 @@ def _head_fusion_ok(spec, params, tp_axis, n_rows):
         return False
     lm = params.get("lm_head")
     if lm is None or not _stream_preferred(lm.get("w")):
+        return False
+    fl = lm.get("serve")
+    if not (fl and fl.a8):
+        # the fused head always int8-quantizes activations; only serve it
+        # in the --faster-kernel configuration the user asked for
         return False
     if lm.get("act_q") is not None:
         return False

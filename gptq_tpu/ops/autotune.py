@@ -176,7 +176,11 @@ def tune_packed(pw, M: int = 8, log=lambda s: None,
         if nbytes / results[best] / 1e9 > 1050:
             del results[best]
         if not results:
-            return (0, 0)  # every reading implausible: keep static default
+            # every reading implausible: persist the keep-default sentinel
+            # so the sweep doesn't re-run every invocation
+            _TABLE[key] = (0, 0, 0.0)
+            _save()
+            return (0, 0)
         best = min(results, key=results.get)
     if default in results and best != default:
         if results[best] > 0.92 * results[default]:

@@ -438,11 +438,12 @@ def dequant_matmul(
             x2 = jnp.pad(x2, ((0, Mp - M), (0, pw.Kp - pw.K)))
         if impl == "pallas" and len(pw.words) == 1:
             # the tuner may have crowned the streamed impl for this shape
+            # (look up with the PADDED row count — the tuner keys on it)
             from gptq_tpu.ops.autotune import best_tiles
 
             act = "int8" if x2.dtype == jnp.int8 else "bf16"
             tuned = best_tiles(pw.K, pw.N, pw.bits, pw.groupsize, pw.fmt,
-                               M, act)
+                               x2.shape[0], act)
             if tuned and tuned[0] == -1:
                 impl = "streamed"
         if impl == "streamed" and len(pw.words) == 1:

@@ -181,9 +181,10 @@ def tp_local_view(spec: ArchSpec, params: dict, tp: int, axis: str = "tp",
             for aq in aqs[1:]:
                 if (aq is None) != (a0 is None):
                     return None
-        if any(l.get("b") is not None and w.Np != w.N
-               for l, w in zip(lins, ws)):
-            return None  # padded stored cols would misalign sharded biases
+        if any(w.Np != w.N for w in ws):
+            # pad columns would be emitted as logical head outputs after
+            # the per-shard split (FusedSplits below uses stored == logical)
+            return None
         for w, n in zip(ws, names):
             _check_packed(w, "col", tp, f"layer{li}.{n}")
         fused = fuse_packed(ws, tp=tp)

@@ -410,9 +410,14 @@ def test_head_fusion_matches_unfused(monkeypatch):
                     n_kv_heads=4, ffn=512, vocab=512, max_pos=32,
                     act="silu", pos="rope", norm_type="rmsnorm",
                     linear_bias=False, tie_embeddings=False)
+    from gptq_tpu.models.common import fuse_serving
+
     params = init_params(spec, jax.random.PRNGKey(15))
     assert quantize_lm_head(spec, params, bits=8)
     monkeypatch.setenv("GPTQ_TPU_FFN_FUSION", "interpret")
+    # w8a16 head (no --faster-kernel): fusion must NOT engage
+    assert not _head_fusion_ok(spec, params, None, 1)
+    params = fuse_serving(spec, params, a8=True)
     assert _head_fusion_ok(spec, params, None, 1)
 
     def logits_of(mode):
