@@ -459,7 +459,8 @@ def block_forward(
     B, T, _ = x.shape
 
     residual = x
-    if _norm_qkv_ok(spec, p, tp_axis, captures, B * T):
+    qkv_a8 = _norm_qkv_ok(spec, p, tp_axis, captures, B * T)
+    if qkv_a8 is not None:
         # attention-input half in one launch: ln1 + fused q/k/v matmul
         from gptq_tpu.ops.ffn import norm_qkv_fused
 
@@ -467,7 +468,7 @@ def block_forward(
         if spec.arch == "bloom":  # natively-fused q/k/v linear
             y = norm_qkv_fused(
                 x, p["ln1"]["w"], p["qkv"]["w"], norm=spec.norm_type,
-                eps=float(spec.norm_eps), b_ln=p["ln1"].get("b"),
+                eps=float(spec.norm_eps), a8=qkv_a8, b_ln=p["ln1"].get("b"),
                 b_qkv=p["qkv"].get("b"),
                 interpret=_ffn_fusion_impl() == "interpret")
             fused = y[..., :p["qkv"]["w"].N]
@@ -477,7 +478,8 @@ def block_forward(
         else:
             y = norm_qkv_fused(
                 x, p["ln1"]["w"], p["qkv_fused"]["w"], norm=spec.norm_type,
-                eps=float(spec.norm_eps), b_ln=p["ln1"].get("b"),
+                eps=float(spec.norm_eps), a8=qkv_a8,
+                b_ln=p["ln1"].get("b"),
                 b_qkv=_qkv_fused_bias(p["qkv_fused"]),
                 interpret=_ffn_fusion_impl() == "interpret")
             off = 0
@@ -609,9 +611,17 @@ def _stream_preferred(w) -> bool:
     return isinstance(w, PackedWeight) and w.fmt != "bcq"
 
 
+def _a8_mode(*entries):
+    """The shared dynamic-int8 activation mode of a phase's entries, or
+    None when the flags disagree (mixed configs keep the unfused path)."""
+    modes = {bool(e.get("serve") and e["serve"].a8) for e in entries}
+    return modes.pop() if len(modes) == 1 else None
+
+
 def _ffn_fusion_entry(p, tp_axis, captures):
-    """The gateup entry when the single-launch FFN kernel can serve this
-    block's MLP (fast w4a8 serving config; see ops/ffn.py), else None."""
+    """The gateup entry's activation mode (True = w?a8, False = w?a16)
+    when the single-launch FFN kernel can serve this block's MLP, else
+    None (see ops/ffn.py)."""
     if _ffn_fusion_impl() is None or tp_axis is not None or captures is not None:
         return None
     gu = p.get("gateup_fused")
@@ -620,9 +630,8 @@ def _ffn_fusion_entry(p, tp_axis, captures):
         return None
     if not _stream_preferred(gu.get("w")):
         return None
-    flags_g = gu.get("serve")
-    flags_d = dn.get("serve")
-    if not (flags_g and flags_g.a8 and flags_d and flags_d.a8):
+    a8 = _a8_mode(gu, dn)
+    if a8 is None:
         return None
     if gu.get("act_q") is not None or dn.get("act_q") is not None:
         return None
@@ -632,43 +641,42 @@ def _ffn_fusion_entry(p, tp_axis, captures):
 
     if not ffn_fusable(gu["w"], dn["w"]):
         return None
-    return gu
+    return a8
 
 
 def _norm_qkv_ok(spec, p, tp_axis, captures, n_rows):
-    """Can the single-launch ln1+qkv kernel (ops/ffn.norm_qkv_fused) serve
-    this block's attention input?"""
+    """Activation mode (True = a8, False = a16/bf16) when the single-launch
+    ln1+qkv kernel (ops/ffn.norm_qkv_fused) can serve this block's
+    attention input, else None."""
     if (_ffn_fusion_impl() is None or tp_axis is not None
             or captures is not None or n_rows > 32):
-        return False
+        return None
     if not spec.do_layer_norm_before or spec.norm_type not in (
             "rmsnorm", "rmsnorm1p", "layernorm"):
-        return False
+        return None
     from gptq_tpu.ops.ffn import norm_qkv_fusable
 
     if spec.arch == "bloom":
         # bloom's q/k/v is natively one fused linear
         entry = p.get("qkv")
         if entry is None or not _stream_preferred(entry.get("w")):
-            return False
-        fl = entry.get("serve")
-        if not (fl and fl.a8) or entry.get("act_q") is not None:
-            return False
+            return None
+        if entry.get("act_q") is not None:
+            return None
         if entry.get("b") is not None and entry["w"].Np != entry["w"].N:
-            return False
-        return norm_qkv_fusable(entry["w"])
+            return None
+        return _a8_mode(entry) if norm_qkv_fusable(entry["w"]) else None
     entry = p.get("qkv_fused")
     if entry is None or not _stream_preferred(entry.get("w")):
-        return False
-    fl = entry.get("serve")
-    if not (fl and fl.a8) or entry.get("act_q") is not None:
-        return False
+        return None
+    if entry.get("act_q") is not None:
+        return None
     if any(b is not None for b in entry["b_parts"]):
         # biases fold into the kernel only when every part's stored width
         # equals its logical width (the concat then lines up exactly)
         if any(ns != nl for ns, nl in entry["splits"].parts):
-            return False
-    return norm_qkv_fusable(entry["w"])
+            return None
+    return _a8_mode(entry) if norm_qkv_fusable(entry["w"]) else None
 
 
 def _qkv_fused_bias(entry):
@@ -694,42 +702,42 @@ def _mlp_entries(spec, p):
 
 
 def _attn_mlp_ok(spec, p, tp_axis, captures, n_rows):
-    """Can the single-launch post-attention kernel (o + residual + norm +
-    MLP + residual; ops/ffn.attn_mlp_fused) serve this block?"""
+    """Activation mode (True = a8, False = a16) when the single-launch
+    post-attention kernel (o + residual + norm + MLP + residual;
+    ops/ffn.attn_mlp_fused) can serve this block, else None."""
     if (_ffn_fusion_impl() is None or tp_axis is not None
             or captures is not None or n_rows > 32):
-        return False
+        return None
     if not spec.do_layer_norm_before or spec.norm_type not in (
             "rmsnorm", "rmsnorm1p", "layernorm"):
-        return False
+        return None
     g_e, d_e, glu = _mlp_entries(spec, p)
     if g_e is None or d_e is None:
-        return False
+        return None
     for e in (g_e, d_e):
-        if not _stream_preferred(e.get("w")):
-            return False
-        fl = e.get("serve")
-        if not (fl and fl.a8) or e.get("act_q") is not None:
-            return False
+        if not _stream_preferred(e.get("w")) or e.get("act_q") is not None:
+            return None
     if glu and (any(b is not None for b in g_e["b_parts"])
                 or d_e.get("b") is not None):
-        return False  # llama-family has no biases; keep the fast gate exact
+        return None  # llama-family has no biases; keep the fast gate exact
     if not glu:
         # OPT biases fold into the kernel only when stored == logical N
         for e in (g_e, d_e):
             if e.get("b") is not None and e["w"].Np != e["w"].N:
-                return False
+                return None
     o = p.get("o")
-    if o is None or not _stream_preferred(o.get("w")):
-        return False
-    fl = o.get("serve")
-    if not (fl and fl.a8) or o.get("act_q"):
-        return False
+    if o is None or not _stream_preferred(o.get("w")) or o.get("act_q"):
+        return None
     if o.get("b") is not None and o["w"].Np != o["w"].N:
-        return False
+        return None
+    a8 = _a8_mode(o, g_e, d_e)
+    if a8 is None:
+        return None
     from gptq_tpu.ops.ffn import attn_mlp_fusable
 
-    return attn_mlp_fusable(o["w"], g_e["w"], d_e["w"], glu=glu)
+    if not attn_mlp_fusable(o["w"], g_e["w"], d_e["w"], glu=glu):
+        return None
+    return a8
 
 
 def _finish_block(spec, p, residual, attn, captures, tp_axis, new_kv):
@@ -737,7 +745,8 @@ def _finish_block(spec, p, residual, attn, captures, tp_axis, new_kv):
     n_rows = 1
     for d in attn.shape[:-1]:
         n_rows *= d
-    if _attn_mlp_ok(spec, p, tp_axis, captures, n_rows):
+    mlp_a8 = _attn_mlp_ok(spec, p, tp_axis, captures, n_rows)
+    if mlp_a8 is not None:
         from gptq_tpu.ops.ffn import attn_mlp_fused
 
         g_e, d_e, glu = _mlp_entries(spec, p)
@@ -745,6 +754,7 @@ def _finish_block(spec, p, residual, attn, captures, tp_axis, new_kv):
             attn, residual, p["ln2"]["w"], p["o"]["w"],
             g_e["w"], d_e["w"], act=spec.act,
             norm=spec.norm_type, eps=float(spec.norm_eps), glu=glu,
+            a8=mlp_a8,
             b_ln=p["ln2"].get("b"), b_o=p["o"].get("b"),
             b_g=None if glu else g_e.get("b"),
             b_d=None if glu else d_e.get("b"),
@@ -769,14 +779,15 @@ def _finish_block(spec, p, residual, attn, captures, tp_axis, new_kv):
         n_rows = 1
         for d in m.shape[:-1]:
             n_rows *= d
-        if n_rows <= 32 and _ffn_fusion_entry(p, tp_axis, captures) is not None:
+        ffn_a8 = _ffn_fusion_entry(p, tp_axis, captures)
+        if n_rows <= 32 and ffn_a8 is not None:
             # whole-FFN single-launch kernel (gateup + act + down streamed
             # back-to-back; intermediate stays in VMEM) — fast serving path
             from gptq_tpu.ops.ffn import ffn_fused
 
             gu = p["gateup_fused"]
             mlp_out = ffn_fused(
-                m, gu["w"], p["down"]["w"], act=spec.act,
+                m, gu["w"], p["down"]["w"], act=spec.act, a8=ffn_a8,
                 interpret=_ffn_fusion_impl() == "interpret")
             return residual + mlp_out, new_kv, captures
         if "gateup_fused" in p:
@@ -824,30 +835,29 @@ def embed_forward(spec: ArchSpec, params: dict, input_ids: jax.Array,
 
 
 def _head_fusion_ok(spec, params, tp_axis, n_rows):
-    """Can final_ln + the packed lm_head run as one norm_qkv_fused launch?"""
+    """Activation mode (True = a8 under --faster-kernel, False = bf16 —
+    identical w-bit/a16 semantics to the unfused head) when final_ln + the
+    packed lm_head can run as one norm_qkv_fused launch, else None."""
     if (_ffn_fusion_impl() is None or tp_axis is not None or n_rows > 32):
-        return False
+        return None
     if spec.norm_type not in ("rmsnorm", "rmsnorm1p", "layernorm"):
-        return False
+        return None
     if params.get("final_ln") is None:
-        return False
+        return None
     if spec.arch == "opt" and params["embed"].get("project_out") is not None:
-        return False
+        return None
     lm = params.get("lm_head")
     if lm is None or not _stream_preferred(lm.get("w")):
-        return False
-    fl = lm.get("serve")
-    if not (fl and fl.a8):
-        # the fused head always int8-quantizes activations; only serve it
-        # in the --faster-kernel configuration the user asked for
-        return False
+        return None
     if lm.get("act_q") is not None:
-        return False
+        return None
     if lm.get("b") is not None and lm["w"].Np != lm["w"].N:
-        return False
+        return None
     from gptq_tpu.ops.ffn import norm_qkv_fusable
 
-    return norm_qkv_fusable(lm["w"])
+    if not norm_qkv_fusable(lm["w"]):
+        return None
+    return _a8_mode(lm)
 
 
 def head_forward(spec: ArchSpec, params: dict, h: jax.Array,
@@ -855,16 +865,17 @@ def head_forward(spec: ArchSpec, params: dict, h: jax.Array,
     n_rows = 1
     for d in h.shape[:-1]:
         n_rows *= d
-    if _head_fusion_ok(spec, params, tp_axis, n_rows):
-        # final_ln + packed lm_head in one launch (decode fast path); the
-        # head matvec also gains the dynamic-int8 activation path here
+    head_a8 = _head_fusion_ok(spec, params, tp_axis, n_rows)
+    if head_a8 is not None:
+        # final_ln + packed lm_head in one launch (decode fast path); under
+        # --faster-kernel the head matvec also runs dynamic-int8 activations
         from gptq_tpu.ops.ffn import norm_qkv_fused
 
         lm = params["lm_head"]
         y = norm_qkv_fused(
             h, params["final_ln"]["w"], lm["w"], norm=spec.norm_type,
-            eps=float(spec.norm_eps), b_ln=params["final_ln"].get("b"),
-            b_qkv=lm.get("b"),
+            eps=float(spec.norm_eps), a8=head_a8,
+            b_ln=params["final_ln"].get("b"), b_qkv=lm.get("b"),
             interpret=_ffn_fusion_impl() == "interpret")
         return y[..., :lm["w"].N]
     if params.get("final_ln") is not None:

@@ -100,6 +100,14 @@ def _quant_rows(x):
     return q, sx
 
 
+def _prep_acts(x, a8: bool):
+    """Activations for a streamed matmul: dynamic int8 (fast path) or
+    bf16 (accuracy path; bf16 x int8 codes is also a native MXU mode)."""
+    if a8:
+        return _quant_rows(x)
+    return x.astype(jnp.bfloat16), None
+
+
 def _unpack_field(w, fb, sh, K, sb):
     """Byteplane unpack of one field chunk (K//P, nc) int32 -> (K, nc) int8
     (mirrors qmatmul._unpack_fields_i8)."""
@@ -150,6 +158,9 @@ def _stream_matmul(x8, sx, whbms, scale_ref, zoff_ref, out_ref,
     g = spec.K // ng
     bcq = spec.fmt == "bcq"
 
+    int8_acts = x8.dtype == jnp.int8
+    acc_t = jnp.int32 if int8_acts else jnp.float32
+
     def get_dma(fi, slot, c):
         wbuf, sem = bufs[fi]
         if bcq:  # one (bits, K//32, N) array; DMA one plane's chunk
@@ -165,7 +176,7 @@ def _stream_matmul(x8, sx, whbms, scale_ref, zoff_ref, out_ref,
             get_dma(fi, 0, 0).start()
     # per-group input sums for the zero-offset epilogue (one (M, 1) per
     # group; static loop — ng is 1 or K/128-ish)
-    xs_g = [jnp.sum(x8[:, gi * g:(gi + 1) * g].astype(jnp.int32), axis=1,
+    xs_g = [jnp.sum(x8[:, gi * g:(gi + 1) * g].astype(acc_t), axis=1,
                     keepdims=True).astype(jnp.float32) for gi in range(ng)]
 
     def loop(c, _):
@@ -192,7 +203,7 @@ def _stream_matmul(x8, sx, whbms, scale_ref, zoff_ref, out_ref,
                         x8[:, gi * g:(gi + 1) * g],
                         c8[gi * g:(gi + 1) * g],
                         (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32)
+                        preferred_element_type=acc_t)
                     a = scale_ref[gi, b, pl.ds(c * nc, nc)][None, :]
                     tb = a * (2.0 * d.astype(jnp.float32) - xs_g[gi])
                     t = tb if t is None else t + tb
@@ -205,14 +216,15 @@ def _stream_matmul(x8, sx, whbms, scale_ref, zoff_ref, out_ref,
                         x8[:, gi * g:(gi + 1) * g],
                         c8[gi * g:(gi + 1) * g],
                         (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32)  # (M, nc)
+                        preferred_element_type=acc_t)  # (M, nc)
                     part = d if part is None else part + d
                 s = scale_ref[gi, pl.ds(c * nc, nc)][None, :]
                 z = zoff_ref[gi, pl.ds(c * nc, nc)][None, :]
                 t = (part.astype(jnp.float32) * s
                      + xs_g[gi] * (spec.code_off * s - z))
                 y = t if y is None else y + t
-        y = y * sx
+        if sx is not None:
+            y = y * sx
         if bias_ref is not None:
             y = y + bias_ref[0, pl.ds(c * nc, nc)][None, :]
         out_ref[:, pl.ds(c * nc, nc)] = y
@@ -300,7 +312,7 @@ def ffn_fusable(gu: PackedWeight, dn: PackedWeight,
     return gu.Np == dn.Kp  # OPT-style fc1 -> fc2
 
 
-def _ffn_kernel(act, spec_g: _MMSpec, spec_d: _MMSpec,
+def _ffn_kernel(act, a8, spec_g: _MMSpec, spec_d: _MMSpec,
                 m_ref, gu_scale, gu_zoff, dn_scale, dn_zoff,
                 *rest):
     nw_g = _n_words(spec_g)
@@ -315,19 +327,20 @@ def _ffn_kernel(act, spec_g: _MMSpec, spec_d: _MMSpec,
 
     _start_first_dmas(gu_words, gu_bufs, spec_g)
     _start_first_dmas(dn_words, dn_bufs, spec_d)
-    m8, sx = _quant_rows(m_ref[:].astype(jnp.float32))
+    m8, sx = _prep_acts(m_ref[:].astype(jnp.float32), a8)
     _stream_matmul(m8, sx, gu_words, gu_scale, gu_zoff, inner_ref,
                    spec_g, gu_bufs, prestarted=True)
     half = spec_g.N // 2
     inner = _apply_act(act, inner_ref[:, :half], inner_ref[:, half:])
-    i8, sx2 = _quant_rows(inner)
+    i8, sx2 = _prep_acts(inner, a8)
     _stream_matmul(i8, sx2, dn_words, dn_scale, dn_zoff, out_ref,
                    spec_d, dn_bufs, prestarted=True)
 
 
-@functools.partial(jax.jit, static_argnames=("act", "interpret"))
+@functools.partial(jax.jit, static_argnames=("act", "a8", "interpret"))
 def ffn_fused(m: jax.Array, gu: PackedWeight, dn: PackedWeight,
-              act: str = "silu", interpret: bool = False) -> jax.Array:
+              act: str = "silu", a8: bool = True,
+              interpret: bool = False) -> jax.Array:
     """y = down( act(gate(m)) * up(m) ) through one fused kernel.
 
     m: (..., hidden). gu: fused gate|up PackedWeight; dn: down. Dynamic
@@ -341,7 +354,7 @@ def ffn_fused(m: jax.Array, gu: PackedWeight, dn: PackedWeight,
     spec_g, spec_d = _mm_specs(gu), _mm_specs(dn)
     n_words = len(gu.words) + len(dn.words)
     out = pl.pallas_call(
-        functools.partial(_ffn_kernel, act, spec_g, spec_d),
+        functools.partial(_ffn_kernel, act, a8, spec_g, spec_d),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
         + [pl.BlockSpec(memory_space=pl.ANY)] * n_words,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -370,7 +383,7 @@ def attn_mlp_fusable(o: PackedWeight, gu: PackedWeight,
     return ffn_fusable(gu, dn, glu=glu)
 
 
-def _attn_mlp_kernel(act, norm, eps, glu, spec_o, spec_g, spec_d,
+def _attn_mlp_kernel(act, norm, eps, glu, a8, spec_o, spec_g, spec_d,
                      attn_ref, xres_ref, w2_ref, bln_ref,
                      bo_ref, bg_ref, bd_ref,
                      o_scale, o_zoff, gu_scale, gu_zoff, dn_scale, dn_zoff,
@@ -391,14 +404,14 @@ def _attn_mlp_kernel(act, norm, eps, glu, spec_o, spec_g, spec_d,
     _start_first_dmas(gu_words, gu_bufs, spec_g)
     _start_first_dmas(dn_words, dn_bufs, spec_d)
 
-    a8, sx0 = _quant_rows(attn_ref[:].astype(jnp.float32))
-    _stream_matmul(a8, sx0, o_words, o_scale, o_zoff, obuf_ref,
+    at0, sx0 = _prep_acts(attn_ref[:].astype(jnp.float32), a8)
+    _stream_matmul(at0, sx0, o_words, o_scale, o_zoff, obuf_ref,
                    spec_o, o_bufs, prestarted=True, bias_ref=bo_ref)
     r2 = (xres_ref[:].astype(jnp.float32) + obuf_ref[:]
           ).astype(jnp.bfloat16).astype(jnp.float32)
     m = _apply_norm(r2, w2_ref, bln_ref, norm, eps)
 
-    m8, sx = _quant_rows(m)
+    m8, sx = _prep_acts(m, a8)
     _stream_matmul(m8, sx, gu_words, gu_scale, gu_zoff, inner_ref,
                    spec_g, gu_bufs, prestarted=True, bias_ref=bg_ref)
     if glu:
@@ -406,18 +419,18 @@ def _attn_mlp_kernel(act, norm, eps, glu, spec_o, spec_g, spec_d,
         inner = _apply_act(act, inner_ref[:, :half], inner_ref[:, half:])
     else:
         inner = _apply_act(act, inner_ref[:], None)
-    i8, sx2 = _quant_rows(inner)
+    i8, sx2 = _prep_acts(inner, a8)
     _stream_matmul(i8, sx2, dn_words, dn_scale, dn_zoff, out_ref,
                    spec_d, dn_bufs, prestarted=True, bias_ref=bd_ref)
     out_ref[:] = out_ref[:] + r2
 
 
 @functools.partial(jax.jit, static_argnames=("act", "norm", "eps", "glu",
-                                             "interpret"))
+                                             "a8", "interpret"))
 def attn_mlp_fused(attn: jax.Array, xres: jax.Array, w2: jax.Array,
                    o: PackedWeight, gu: PackedWeight, dn: PackedWeight,
                    act: str = "silu", norm: str = "rmsnorm",
-                   eps: float = 1e-5, glu: bool = True,
+                   eps: float = 1e-5, glu: bool = True, a8: bool = True,
                    b_ln=None, b_o=None, b_g=None, b_d=None,
                    interpret: bool = False) -> jax.Array:
     """The whole post-attention half of a decoder block in one launch:
@@ -441,7 +454,7 @@ def attn_mlp_fused(attn: jax.Array, xres: jax.Array, w2: jax.Array,
         return v.astype(jnp.float32).reshape(1, -1)
 
     out = pl.pallas_call(
-        functools.partial(_attn_mlp_kernel, act, norm, float(eps), glu,
+        functools.partial(_attn_mlp_kernel, act, norm, float(eps), glu, a8,
                           spec_o, spec_g, spec_d),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13
         + [pl.BlockSpec(memory_space=pl.ANY)] * n_words,
@@ -470,7 +483,7 @@ def norm_qkv_fusable(pw: PackedWeight) -> bool:
     return _streamable(pw) and pw.Kp == pw.K
 
 
-def _norm_qkv_kernel(norm, eps, spec: _MMSpec, x_ref, w1_ref, bln_ref,
+def _norm_qkv_kernel(norm, eps, a8, spec: _MMSpec, x_ref, w1_ref, bln_ref,
                      bqkv_ref, scale_ref, zoff_ref, *rest):
     nw = _n_words(spec)
     words = rest[:nw]
@@ -480,15 +493,16 @@ def _norm_qkv_kernel(norm, eps, spec: _MMSpec, x_ref, w1_ref, bln_ref,
 
     _start_first_dmas(words, bufs, spec)
     h = _apply_norm(x_ref[:].astype(jnp.float32), w1_ref, bln_ref, norm, eps)
-    h8, sx = _quant_rows(h)
+    h8, sx = _prep_acts(h, a8)
     _stream_matmul(h8, sx, words, scale_ref, zoff_ref, out_ref,
                    spec, bufs, prestarted=True, bias_ref=bqkv_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("norm", "eps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("norm", "eps", "a8",
+                                             "interpret"))
 def norm_qkv_fused(x: jax.Array, w1: jax.Array, pw: PackedWeight,
                    norm: str = "rmsnorm", eps: float = 1e-5,
-                   b_ln=None, b_qkv=None,
+                   a8: bool = True, b_ln=None, b_qkv=None,
                    interpret: bool = False) -> jax.Array:
     """y = norm(x) @ dequant(pw) (+ b_qkv) in one launch (the attention-
     input half: ln1 + fused q/k/v matmul, dynamic int8 activations).
@@ -506,7 +520,7 @@ def norm_qkv_fused(x: jax.Array, w1: jax.Array, pw: PackedWeight,
         return v.astype(jnp.float32).reshape(1, -1)
 
     out = pl.pallas_call(
-        functools.partial(_norm_qkv_kernel, norm, float(eps), spec),
+        functools.partial(_norm_qkv_kernel, norm, float(eps), a8, spec),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
         + [pl.BlockSpec(memory_space=pl.ANY)] * len(pw.words),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),

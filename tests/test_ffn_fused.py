@@ -415,10 +415,11 @@ def test_head_fusion_matches_unfused(monkeypatch):
     params = init_params(spec, jax.random.PRNGKey(15))
     assert quantize_lm_head(spec, params, bits=8)
     monkeypatch.setenv("GPTQ_TPU_FFN_FUSION", "interpret")
-    # w8a16 head (no --faster-kernel): fusion must NOT engage
-    assert not _head_fusion_ok(spec, params, None, 1)
+    # w8a16 head (no --faster-kernel): fuses in EXACT a16 mode
+    assert _head_fusion_ok(spec, params, None, 1) is False
     params = fuse_serving(spec, params, a8=True)
-    assert _head_fusion_ok(spec, params, None, 1)
+    # --faster-kernel: the fused head runs dynamic int8 activations
+    assert _head_fusion_ok(spec, params, None, 1) is True
 
     def logits_of(mode):
         monkeypatch.setenv("GPTQ_TPU_FFN_FUSION", mode)
@@ -498,3 +499,61 @@ def test_model_decode_fusions_bcq_lut(monkeypatch):
     l_on = decode("interpret")
     rel = np.abs(l_on - l_off).max() / np.abs(l_off).max()
     assert rel < 1e-6, rel  # identical: both routes use the grid kernel
+
+
+def test_ffn_fused_a16_matches_unfused():
+    """bf16-activation (accuracy-mode) fused FFN must match the unfused
+    w4a16 path tightly (no activation quantization anywhere)."""
+    key = jax.random.PRNGKey(19)
+    gate, up, down, gu = make_gateup_down(key)
+    m = jax.random.normal(jax.random.fold_in(key, 9), (1, 2, 256),
+                          jnp.bfloat16)
+    g = dequant_matmul(m, gate, impl="xla")
+    u = dequant_matmul(m, up, impl="xla")
+    inner = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
+             ).astype(jnp.bfloat16)
+    want = dequant_matmul(inner, down, impl="xla")
+    got = ffn_fused(m, gu, down, act="silu", a8=False, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=0.02, atol=0.02 * float(jnp.abs(want).max()))
+
+
+def test_model_decode_fusion_a16(monkeypatch):
+    """The w4a16 accuracy config also serves through the fused kernels
+    (fuse=True without a8): logits must track the unfused route closely."""
+    from gptq_tpu.config import QuantConfig
+    from gptq_tpu.models.common import (ArchSpec, KVCache, fuse_serving,
+                                        init_params, model_forward,
+                                        _attn_mlp_ok, _norm_qkv_ok)
+    from gptq_tpu.pipeline import pack_model, quantize_model
+
+    spec = ArchSpec(arch="llama", n_layers=1, hidden=512, n_heads=4,
+                    n_kv_heads=4, ffn=512, vocab=96, max_pos=32,
+                    act="silu", pos="rope", norm_type="rmsnorm",
+                    linear_bias=False, tie_embeddings=False)
+    params = init_params(spec, jax.random.PRNGKey(20))
+    calib = jnp.asarray(
+        np.random.default_rng(20).integers(0, 96, size=(2, 16)))
+    cfg = QuantConfig(wbits=4, nsamples=2)
+    res = quantize_model(spec, params, calib, cfg, log=lambda s: None)
+    pack_model(spec, params, res.quantizers, cfg)
+    served = fuse_serving(spec, params)  # a8=False: accuracy mode
+    monkeypatch.setenv("GPTQ_TPU_FFN_FUSION", "interpret")
+    assert _norm_qkv_ok(spec, served["layers"][0], None, None, 1) is False
+    assert _attn_mlp_ok(spec, served["layers"][0], None, None, 1) is False
+
+    def decode(mode):
+        monkeypatch.setenv("GPTQ_TPU_FFN_FUSION", mode)
+        cache = KVCache.init(spec, 1, 8, jnp.float32)
+        logits_all = []
+        for t in (5, 9, 3):
+            logits, cache = model_forward(spec, served,
+                                          jnp.asarray([[t]]), cache)
+            logits_all.append(np.asarray(logits[:, -1], np.float32))
+        return np.stack(logits_all)
+
+    l_off = decode("off")
+    l_on = decode("interpret")
+    rel = np.abs(l_on - l_off).max() / np.abs(l_off).max()
+    assert rel < 0.02, rel
