@@ -218,6 +218,12 @@ def main():
         # separately in detail)
         t_kv8 = _retry(lambda: measure_decode(spec, params_q, a8=True,
                                               cache_dtype=jnp.int8))
+        # a16 serving also runs the single-launch fused kernels (and at
+        # M=1 skips the dynamic row-quant pass, so it can beat a8 — the
+        # stream is weight-bandwidth bound); measure the same fast combos
+        t_fast16 = _retry(lambda: measure_decode(spec, params_q))
+        t_kv16 = _retry(lambda: measure_decode(spec, params_q,
+                                               cache_dtype=jnp.int8))
         del params_q
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"metric": "llama7b-4bit decode", "value": 0,
@@ -242,7 +248,7 @@ def main():
         except Exception:
             t_d = None
 
-    t_best = min(t_q, t_q8, t_fast, t_kv8)
+    t_best = min(t_q, t_q8, t_fast, t_kv8, t_fast16, t_kv16)
     toks = 1.0 / t_best
     speedup = (t_d / t_best) if t_d else None
     out = {
@@ -256,6 +262,8 @@ def main():
             "median_token_s_w4a8": round(t_q8, 6),
             "median_token_s_w4a8_head8": round(t_fast, 6),
             "median_token_s_w4a8_head8_int8kv": round(t_kv8, 6),
+            "median_token_s_w4a16_head8": round(t_fast16, 6),
+            "median_token_s_w4a16_head8_int8kv": round(t_kv16, 6),
             "median_token_s_bf16": round(t_d, 6) if t_d else None,
             "speedup_vs_bf16": round(speedup, 3) if speedup else None,
         },

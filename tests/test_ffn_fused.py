@@ -557,3 +557,41 @@ def test_model_decode_fusion_a16(monkeypatch):
     l_on = decode("interpret")
     rel = np.abs(l_on - l_off).max() / np.abs(l_off).max()
     assert rel < 0.02, rel
+
+
+def test_model_decode_fusion_a16_int8kv(monkeypatch):
+    """a16 fused serving composed with the int8 KV cache + fused decode
+    attention kernel (bench.py's w4a16+int8kv leg): logits must track the
+    fully-unfused bf16-cache route."""
+    from gptq_tpu.config import QuantConfig
+    from gptq_tpu.models.common import (ArchSpec, KVCache, fuse_serving,
+                                        init_params, model_forward)
+    from gptq_tpu.pipeline import pack_model, quantize_model
+
+    spec = ArchSpec(arch="llama", n_layers=1, hidden=512, n_heads=4,
+                    n_kv_heads=4, ffn=512, vocab=96, max_pos=32,
+                    act="silu", pos="rope", norm_type="rmsnorm",
+                    linear_bias=False, tie_embeddings=False)
+    params = init_params(spec, jax.random.PRNGKey(21))
+    calib = jnp.asarray(
+        np.random.default_rng(21).integers(0, 96, size=(2, 16)))
+    cfg = QuantConfig(wbits=4, nsamples=2)
+    res = quantize_model(spec, params, calib, cfg, log=lambda s: None)
+    pack_model(spec, params, res.quantizers, cfg)
+    served = fuse_serving(spec, params)  # a16 accuracy mode
+
+    def decode(fusion, attn, cache_dtype):
+        monkeypatch.setenv("GPTQ_TPU_FFN_FUSION", fusion)
+        monkeypatch.setenv("GPTQ_TPU_ATTN_IMPL", attn)
+        cache = KVCache.init(spec, 1, 8, cache_dtype)
+        logits_all = []
+        for t in (5, 9, 3):
+            logits, cache = model_forward(spec, served,
+                                          jnp.asarray([[t]]), cache)
+            logits_all.append(np.asarray(logits[:, -1], np.float32))
+        return np.stack(logits_all)
+
+    l_ref = decode("off", "xla", jnp.float32)
+    l_fused = decode("interpret", "interpret", jnp.int8)
+    rel = np.abs(l_fused - l_ref).max() / np.abs(l_ref).max()
+    assert rel < 0.05, rel
