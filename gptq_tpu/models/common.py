@@ -563,8 +563,22 @@ def block_forward(
             k_all = ck.astype(jnp.float32) * ks[..., None]
             v_all = cv.astype(jnp.float32) * vs[..., None]
         else:
-            k_all, v_all = ck, cv
             new_kv = (ck, cv)
+            if T == 1 and spec.pos != "alibi" and _attn_int8_impl():
+                # bf16/f32 cache decode through the same flash-style
+                # kernel (no (T, S) score materialization, no repeat for
+                # GQA, length masking in-kernel)
+                from gptq_tpu.ops.attention import decode_attention
+
+                lens = (cache_len + 1 if getattr(cache_len, "ndim", 0)
+                        else cache_len + T)
+                out = decode_attention(
+                    q[:, 0], ck, cv, lens, spec.scale,
+                    interpret=_attn_int8_impl() == "interpret")
+                attn = out.reshape(B, 1, -1).astype(x.dtype)
+                return _finish_block(spec, p, residual, attn, captures,
+                                     tp_axis, new_kv)
+            k_all, v_all = ck, cv
     else:
         k_all, v_all = k, v
         new_kv = None
@@ -575,8 +589,9 @@ def block_forward(
 
 
 def _attn_int8_impl() -> str | None:
-    """Whether the fused int8-cache attention kernel serves decode:
-    'tpu' (compiled) / 'interpret' (CPU tests) / None (materialize)."""
+    """Whether the fused decode-attention kernel (ops/attention.py; int8
+    and bf16/f32 caches) serves decode: 'tpu' (compiled) / 'interpret'
+    (CPU tests) / None (XLA einsum path)."""
     import os
 
     mode = os.environ.get("GPTQ_TPU_ATTN_IMPL", "auto")

@@ -1,5 +1,6 @@
-"""Decode attention over the int8 KV cache — fused dequant, no
-materialization.
+"""Single-token decode attention straight off the KV-cache slabs — int8
+(fused dequant) or bf16/f32 — with online softmax; no (T, S) score
+materialization and no dequantized cache copy.
 
 The int8 cache halves HBM footprint and stream bandwidth, but the win is
 only real if attention CONSUMES int8 + scales directly: the previous path
@@ -36,14 +37,20 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def _attn_kernel(sm_scale, G, Sb, n_sb, Hkv, hd, len_ref, q_ref, k_ref,
-                 v_ref, ks_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref):
+def _attn_kernel(sm_scale, G, Sb, n_sb, Hkv, hd, has_scales, len_ref,
+                 q_ref, k_ref, v_ref, *rest):
     """One (batch, S-block) program; online softmax across S blocks.
 
     Everything stays 2-D inside the kernel (Mosaic restriction: >2-D
     gathers are unimplemented): the caller passes caches reshaped to
     (B, S, Hkv*hd) so per-head slabs are static LANE slices, and the
-    per-head work is a static loop of (G, hd) x (Sb, hd) MXU dots."""
+    per-head work is a static loop of (G, hd) x (Sb, hd) MXU dots.
+    has_scales: int8 cache with per-token-head scale planes; otherwise
+    the slabs are consumed as-is (bf16/f32 cache)."""
+    if has_scales:
+        ks_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        out_ref, acc_ref, m_ref, l_ref = rest
     sb = pl.program_id(1)
     length = len_ref[0, 0]
 
@@ -54,10 +61,11 @@ def _attn_kernel(sm_scale, G, Sb, n_sb, Hkv, hd, len_ref, q_ref, k_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
 
     q = q_ref[0].astype(jnp.float32)  # (H, hd)
-    k2 = k_ref[0]  # (Sb, Hkv*hd) int8
+    k2 = k_ref[0]  # (Sb, Hkv*hd) int8 / bf16
     v2 = v_ref[0]
-    ks = ks_ref[0]  # (Sb, Hkv) f32
-    vs = vs_ref[0]
+    if has_scales:
+        ks = ks_ref[0]  # (Sb, Hkv) f32
+        vs = vs_ref[0]
 
     pos = sb * Sb + jax.lax.broadcasted_iota(jnp.int32, (G, Sb), 1)
     valid = pos < length  # (G, Sb)
@@ -66,8 +74,9 @@ def _attn_kernel(sm_scale, G, Sb, n_sb, Hkv, hd, len_ref, q_ref, k_ref,
         qh = q[h * G:(h + 1) * G]  # (G, hd)
         # fold the per-token k scale into the slab before the dot (keeps
         # every operand 2-D; a (1, Sb) broadcast would need a relayout)
-        kh = (k2[:, h * hd:(h + 1) * hd].astype(jnp.float32)
-              * (ks[:, h:h + 1] * sm_scale))  # (Sb, hd)
+        kh = k2[:, h * hd:(h + 1) * hd].astype(jnp.float32)
+        kh = kh * (ks[:, h:h + 1] * sm_scale) if has_scales \
+            else kh * sm_scale  # (Sb, hd)
         sc = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (G, Sb)
@@ -82,8 +91,9 @@ def _attn_kernel(sm_scale, G, Sb, n_sb, Hkv, hd, len_ref, q_ref, k_ref,
         p = jnp.where(valid, p, 0.0)  # fully-masked blocks -> 0
         l_new = l_old * alpha + jnp.sum(p, axis=1, keepdims=True)
 
-        vh = (v2[:, h * hd:(h + 1) * hd].astype(jnp.float32)
-              * vs[:, h:h + 1])  # (Sb, hd), v scale folded in
+        vh = v2[:, h * hd:(h + 1) * hd].astype(jnp.float32)  # (Sb, hd)
+        if has_scales:
+            vh = vh * vs[:, h:h + 1]  # v scale folded in
         pv = jax.lax.dot_general(
             p, vh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (G, hd)
@@ -96,7 +106,13 @@ def _attn_kernel(sm_scale, G, Sb, n_sb, Hkv, hd, len_ref, q_ref, k_ref,
         out_ref[0] = acc_ref[:] / l_ref[:, 0:1]
 
 
-def _pick_sb(S: int, prefer: int = 512) -> int:
+def _pick_sb(S: int, row_bytes: int) -> int:
+    """S-block size: largest power-of-two divisor of S whose k+v slabs
+    (double-buffered by the pipeline) fit a ~2 MB VMEM budget per slab —
+    512 rows for int8 llama-7B shapes, 256 for bf16."""
+    prefer = 512
+    while prefer > 128 and prefer * row_bytes > 2 * 1024 * 1024:
+        prefer //= 2
     sb = min(prefer, S)
     while S % sb:
         sb //= 2
@@ -104,46 +120,47 @@ def _pick_sb(S: int, prefer: int = 512) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
-def decode_attention_int8(
+def decode_attention(
     q: jax.Array,  # (B, H, hd) queries for ONE token, any float dtype
-    k: jax.Array,  # (B, S, Hkv, hd) int8 cache
+    k: jax.Array,  # (B, S, Hkv, hd) cache: int8 (with scales) or bf16/f32
     v: jax.Array,
-    k_scale: jax.Array,  # (B, S, Hkv) f32 per-token-head scales
-    v_scale: jax.Array,
     length: jax.Array,  # scalar or (B,): attend to positions < length
     sm_scale: float,
+    k_scale: jax.Array | None = None,  # (B, S, Hkv) f32 per-token-head
+    v_scale: jax.Array | None = None,  # scales (int8 cache only)
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns (B, H, hd) f32 attention output."""
+    """Single-token flash-style decode attention straight off the cache
+    slabs (no (T, S) score materialization, no cache dequant copy).
+    Returns (B, H, hd) f32 attention output."""
     B, H, hd = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     G = H // Hkv
+    has_scales = k_scale is not None
     lens = jnp.broadcast_to(jnp.asarray(length, jnp.int32), (B,)).reshape(B, 1)
-    Sb = _pick_sb(S)
+    Sb = _pick_sb(S, Hkv * hd * k.dtype.itemsize)
     n_sb = S // Sb
 
     k2 = k.reshape(B, S, Hkv * hd)  # free reshape: lane-merge of (Hkv, hd)
     v2 = v.reshape(B, S, Hkv * hd)
 
+    slab = [pl.BlockSpec((1, Sb, Hkv * hd), lambda b, s: (b, s, 0),
+                         memory_space=pltpu.VMEM)] * 2
+    scales = [pl.BlockSpec((1, Sb, Hkv), lambda b, s: (b, s, 0),
+                           memory_space=pltpu.VMEM)] * 2 if has_scales else []
+    operands = ([lens, q.astype(jnp.float32), k2, v2]
+                + ([k_scale, v_scale] if has_scales else []))
     grid = (B, n_sb)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, float(sm_scale), G, Sb, n_sb,
-                          Hkv, hd),
+                          Hkv, hd, has_scales),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda b, s: (b, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, H, hd), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sb, Hkv * hd), lambda b, s: (b, s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sb, Hkv * hd), lambda b, s: (b, s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sb, Hkv), lambda b, s: (b, s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sb, Hkv), lambda b, s: (b, s, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + slab + scales,
         out_specs=pl.BlockSpec((1, H, hd), lambda b, s: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, hd), jnp.float32),
@@ -156,5 +173,21 @@ def decode_attention_int8(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lens, q.astype(jnp.float32), k2, v2, k_scale, v_scale)
+    )(*operands)
     return out
+
+
+def decode_attention_int8(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    k_scale: jax.Array,
+    v_scale: jax.Array,
+    length: jax.Array,
+    sm_scale: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """int8-cache decode attention (see decode_attention)."""
+    return decode_attention(q, k, v, length, sm_scale,
+                            k_scale=k_scale, v_scale=v_scale,
+                            interpret=interpret)
