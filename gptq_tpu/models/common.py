@@ -459,6 +459,25 @@ def block_forward(
     B, T, _ = x.shape
 
     residual = x
+    layer_a8 = _layer_fusion_ok(spec, p, tp_axis, captures, B, T,
+                                cache, cache_len)
+    if layer_a8 is not None:
+        # the whole decoder layer in ONE launch (ln1 + qkv + rope +
+        # attention + o + ln2 + mlp + residuals; ops/layer_fused.py);
+        # the kernel emits the roped fresh k/v rows, placed here
+        from gptq_tpu.ops.layer_fused import decode_layer_fused
+
+        cos, sin = rope if rope is not None else rope_tables(spec, positions)
+        y, ck, cv = decode_layer_fused(
+            x, cache[0], cache[1], cache_len, cos, sin,
+            p["ln1"]["w"], p["ln2"]["w"],
+            p["qkv_fused"]["w"], p["o"]["w"],
+            p["gateup_fused"]["w"], p["down"]["w"],
+            n_heads=spec.n_heads, n_kv_heads=spec.n_kv_heads,
+            head_dim=spec.hd, act=spec.act, norm=spec.norm_type,
+            eps=float(spec.norm_eps), sm_scale=float(spec.scale),
+            a8=layer_a8, interpret=_layer_fusion_impl() == "interpret")
+        return y.astype(x.dtype), (ck, cv), captures
     qkv_a8 = _norm_qkv_ok(spec, p, tp_axis, captures, B * T)
     if qkv_a8 is not None:
         # attention-input half in one launch: ln1 + fused q/k/v matmul
@@ -616,6 +635,71 @@ def _ffn_fusion_impl() -> str | None:
     if mode == "off":
         return None
     return "tpu" if jax.default_backend() == "tpu" else None
+
+
+def _layer_fusion_impl() -> str | None:
+    """Single-launch whole-decoder-layer kernel mode (ops/layer_fused.py):
+    'tpu' / 'interpret' / None (off). auto = on when running on TPU and
+    FFN fusion is not explicitly off."""
+    import os
+
+    mode = os.environ.get("GPTQ_TPU_LAYER_FUSION", "auto")
+    if mode in ("on", "kernel"):
+        return "tpu"
+    if mode == "interpret":
+        return "interpret"
+    if mode == "off":
+        return None
+    if _ffn_fusion_impl() is None:
+        return None  # a global fusion off switch disables this tier too
+    return "tpu" if jax.default_backend() == "tpu" else None
+
+
+def _layer_fusion_ok(spec, p, tp_axis, captures, B, T, cache, cache_len):
+    """Activation mode (True = a8, False = a16) when decode_layer_fused
+    can serve this whole block, else None. Decode only: B == T == 1,
+    rope + pre-norm rms + GLU + bias-free (llama/gemma families),
+    bf16/f32 cache with a scalar offset."""
+    if (_layer_fusion_impl() is None or tp_axis is not None
+            or captures is not None or B != 1 or T != 1):
+        return None
+    if cache is None or cache_len is None:
+        return None
+    if getattr(cache_len, "ndim", 0):
+        return None  # per-slot offsets (continuous batching): 3-launch path
+    if len(cache) == 4 and cache[2] is not None:
+        return None  # int8 cache keeps the dedicated int8 attention kernel
+    if cache[0].dtype == jnp.int8:
+        return None
+    if (spec.pos != "rope" or not spec.do_layer_norm_before
+            or spec.norm_type not in ("rmsnorm", "rmsnorm1p")):
+        return None
+    qkv = p.get("qkv_fused")
+    o = p.get("o")
+    gu = p.get("gateup_fused")
+    dn = p.get("down")
+    if any(e is None for e in (qkv, o, gu, dn)):
+        return None
+    entries = (qkv, o, gu, dn)
+    for e in entries:
+        if not isinstance(e.get("w"), PackedWeight) or e.get("act_q"):
+            return None
+    if any(b is not None for b in qkv["b_parts"]):
+        return None
+    if any(b is not None for b in gu["b_parts"]):
+        return None
+    if o.get("b") is not None or dn.get("b") is not None:
+        return None
+    a8 = _a8_mode(*entries)
+    if a8 is None:
+        return None
+    from gptq_tpu.ops.layer_fused import layer_fusable
+
+    if not layer_fusable(qkv["w"], qkv["splits"], o["w"], gu["w"], dn["w"],
+                         spec.hidden, spec.n_heads, spec.n_kv_heads,
+                         head_dim=spec.hd):
+        return None
+    return a8
 
 
 def _stream_preferred(w) -> bool:
