@@ -639,20 +639,19 @@ def _ffn_fusion_impl() -> str | None:
 
 def _layer_fusion_impl() -> str | None:
     """Single-launch whole-decoder-layer kernel mode (ops/layer_fused.py):
-    'tpu' / 'interpret' / None (off). auto = on when running on TPU and
-    FFN fusion is not explicitly off."""
+    'tpu' / 'interpret' / None. DEFAULT OFF: chip-measured SLOWER than
+    the two-launch + XLA-glue path at llama-7B decode (5.75 vs 5.47
+    ms/token — the serialized mega-kernel loses the cross-layer overlap
+    XLA finds between separate launches; DESIGN.md). Opt in with
+    GPTQ_TPU_LAYER_FUSION=on to re-measure on other topologies."""
     import os
 
-    mode = os.environ.get("GPTQ_TPU_LAYER_FUSION", "auto")
-    if mode in ("on", "kernel"):
+    mode = os.environ.get("GPTQ_TPU_LAYER_FUSION", "off")
+    if mode in ("on", "kernel", "auto"):
         return "tpu"
     if mode == "interpret":
         return "interpret"
-    if mode == "off":
-        return None
-    if _ffn_fusion_impl() is None:
-        return None  # a global fusion off switch disables this tier too
-    return "tpu" if jax.default_backend() == "tpu" else None
+    return None
 
 
 def _layer_fusion_ok(spec, p, tp_axis, captures, B, T, cache, cache_len):
