@@ -583,17 +583,21 @@ def block_forward(
             v_all = cv.astype(jnp.float32) * vs[..., None]
         else:
             new_kv = (ck, cv)
-            if T == 1 and spec.pos != "alibi" and _attn_int8_impl():
+            if T == 1 and spec.pos != "alibi" and _attn_bf16_impl():
                 # bf16/f32 cache decode through the same flash-style
-                # kernel (no (T, S) score materialization, no repeat for
-                # GQA, length masking in-kernel)
+                # kernel. OPT-IN ONLY (GPTQ_TPU_ATTN_IMPL=kernel): the
+                # kernel wins standalone (18 vs 24.5 us at S=256, 77 vs
+                # 104 at S=2048) but LOSES at model level (5.48 vs 5.37
+                # and 10.84 vs 9.92 ms/token) — XLA overlaps the einsum
+                # attention with the surrounding streams better than it
+                # schedules around an opaque custom call.
                 from gptq_tpu.ops.attention import decode_attention
 
                 lens = (cache_len + 1 if getattr(cache_len, "ndim", 0)
                         else cache_len + T)
                 out = decode_attention(
                     q[:, 0], ck, cv, lens, spec.scale,
-                    interpret=_attn_int8_impl() == "interpret")
+                    interpret=_attn_bf16_impl() == "interpret")
                 attn = out.reshape(B, 1, -1).astype(x.dtype)
                 return _finish_block(spec, p, residual, attn, captures,
                                      tp_axis, new_kv)
@@ -608,9 +612,10 @@ def block_forward(
 
 
 def _attn_int8_impl() -> str | None:
-    """Whether the fused decode-attention kernel (ops/attention.py; int8
-    and bf16/f32 caches) serves decode: 'tpu' (compiled) / 'interpret'
-    (CPU tests) / None (XLA einsum path)."""
+    """Whether the fused int8-cache decode-attention kernel serves decode:
+    'tpu' (compiled) / 'interpret' (CPU tests) / None (materialized
+    dequant + XLA einsum). auto = on when running on TPU (the kernel is
+    what realizes the int8 cache's bandwidth halving)."""
     import os
 
     mode = os.environ.get("GPTQ_TPU_ATTN_IMPL", "auto")
@@ -621,6 +626,22 @@ def _attn_int8_impl() -> str | None:
     if mode == "xla":
         return None
     return "tpu" if jax.default_backend() == "tpu" else None
+
+
+def _attn_bf16_impl() -> str | None:
+    """Whether the decode-attention kernel also serves bf16/f32 caches.
+    OPT-IN only ('kernel'/'interpret'); chip A/B measured the XLA einsum
+    path faster at model level at S=256 AND S=2048 (DESIGN.md) — XLA
+    overlaps it with the weight streams better than it schedules around
+    an opaque custom call."""
+    import os
+
+    mode = os.environ.get("GPTQ_TPU_ATTN_IMPL", "auto")
+    if mode == "kernel":
+        return "tpu"
+    if mode == "interpret":
+        return "interpret"
+    return None
 
 
 def _ffn_fusion_impl() -> str | None:
