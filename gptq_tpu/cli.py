@@ -210,17 +210,23 @@ def main(argv=None) -> int:
     # tokenizer only matters for calibration/eval; a --load --benchmark run
     # (packed decode on random ids, reference: opt.py:661-702) must work
     # offline without tokenizer files
-    try:
-        from transformers import AutoTokenizer
+    from transformers import AutoTokenizer
 
-        tokenizer = AutoTokenizer.from_pretrained(args.model, use_fast=False)
+    try:
+        # local/cached first: skips hf-hub's ~30s retry backoff when the
+        # hub is unreachable (offline serving hosts)
+        tokenizer = AutoTokenizer.from_pretrained(
+            args.model, use_fast=False, local_files_only=True)
     except Exception as e:  # noqa: BLE001
         if args.benchmark and args.load:
+            # packed decode on random ids needs no tokenizer; never wait
+            # on the hub for it (reference: opt.py:661-702)
             tokenizer = None
-            print(f"tokenizer unavailable ({type(e).__name__}); "
+            print(f"tokenizer not cached ({type(e).__name__}); "
                   f"benchmark-only run continues")
         else:
-            raise
+            tokenizer = AutoTokenizer.from_pretrained(args.model,
+                                                      use_fast=False)
     seqlen = spec.max_pos
 
     if args.tp > 1:
