@@ -84,7 +84,22 @@ def params_from_hf_torch(model, dtype=jnp.float32) -> tuple[ArchSpec, dict]:
 def params_from_dir(path: str, dtype=jnp.float32,
                     host: bool = False) -> tuple[ArchSpec, dict]:
     """host=True keeps per-block linear weights as numpy so multi-GB models
-    can be quantized layer-streamed on a single chip (pipeline offload)."""
+    can be quantized layer-streamed on a single chip (pipeline offload).
+
+    Raw Meta-format checkpoints are detected and converted in place
+    (replacing the reference's separate converter scripts,
+    script/convert_llama_weights_to_hf.py / convert_gemma_weights_to_hf.py):
+    a directory with params.json + consolidated.*.pth is a Meta LLaMa
+    checkpoint; a single *.ckpt file is a raw Gemma checkpoint."""
+    if os.path.isfile(path) and path.endswith(".ckpt"):
+        from gptq_tpu.models.convert_meta import params_from_gemma_ckpt
+
+        return params_from_gemma_ckpt(path, dtype)
+    if (os.path.isdir(path) and os.path.exists(os.path.join(path, "params.json"))
+            and glob.glob(os.path.join(path, "consolidated.*.pth"))):
+        from gptq_tpu.models.convert_meta import params_from_meta_llama
+
+        return params_from_meta_llama(path, dtype)
     from transformers import AutoConfig
 
     config = AutoConfig.from_pretrained(path)

@@ -69,3 +69,13 @@ def test_meta_llama_roundtrip(tmp_path):
         want = model(torch.from_numpy(ids)).logits.numpy()
     got, _ = model_forward(spec, params, jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
+
+    # the generic checkpoint loader must detect the Meta format, so the CLI
+    # accepts a raw Meta dir directly (no separate converter invocation)
+    from gptq_tpu.models.convert import params_from_dir
+
+    spec2, params2 = params_from_dir(str(tmp_path))
+    assert spec2.arch == "llama" and spec2.ffn == 96
+    np.testing.assert_array_equal(
+        np.asarray(params2["layers"][0]["q"]["w"]),
+        np.asarray(params["layers"][0]["q"]["w"]))
