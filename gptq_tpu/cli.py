@@ -218,13 +218,21 @@ def main(argv=None) -> int:
         tokenizer = AutoTokenizer.from_pretrained(
             args.model, use_fast=False, local_files_only=True)
     except Exception as e:  # noqa: BLE001
-        if args.benchmark and args.load:
-            # packed decode on random ids needs no tokenizer; never wait
-            # on the hub for it (reference: opt.py:661-702)
-            tokenizer = None
-            print(f"tokenizer not cached ({type(e).__name__}); "
-                  f"benchmark-only run continues")
+        if args.benchmark and args.load and not args.task:
+            # packed decode on random ids needs no tokenizer
+            # (reference: opt.py:661-702); still try the hub once so an
+            # ONLINE host without a populated cache keeps its post-
+            # benchmark PPL evals, but don't fail the benchmark over it
+            try:
+                tokenizer = AutoTokenizer.from_pretrained(args.model,
+                                                          use_fast=False)
+            except Exception:  # noqa: BLE001
+                tokenizer = None
+                print(f"tokenizer unavailable ({type(e).__name__}); "
+                      f"benchmark-only run continues, PPL evals skipped")
         else:
+            # calibration/eval/--task genuinely need it: let hub errors
+            # propagate
             tokenizer = AutoTokenizer.from_pretrained(args.model,
                                                       use_fast=False)
     seqlen = spec.max_pos

@@ -80,6 +80,34 @@ def make_optimizer(name: str = "adafactor", lr: float = 2e-5,
     return opt
 
 
+def save_opt_state(path: str, opt_state) -> None:
+    """Persist an optax state pytree as a flat npz (leaves in tree order).
+    Resume parity with the reference Trainer's optimizer.pt
+    (finetune/train.py:601-607): without this, LR schedules and moment
+    estimates restart from zero on resume."""
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    np.savez(path, **{f"l{i}": np.asarray(l) for i, l in enumerate(leaves)})
+
+
+def load_opt_state(path: str, opt_state):
+    """Restore leaves saved by save_opt_state into the structure of a
+    freshly-initialized opt_state. Returns the restored state, or the
+    input unchanged (with a warning) on structure mismatch."""
+    import numpy as np
+
+    leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+    with np.load(path) as z:
+        saved = [z[f"l{i}"] for i in range(len(z.files))]
+    if len(saved) != len(leaves):
+        print("opt_state structure mismatch; optimizer state not restored")
+        return opt_state
+    restored = [jnp.asarray(s, l.dtype) if hasattr(l, "dtype") else type(l)(s)
+                for s, l in zip(saved, leaves)]
+    return jax.tree_util.tree_unflatten(treedef, restored)
+
+
 def make_train_step(spec: ArchSpec, optimizer: optax.GradientTransformation,
                     mesh: Mesh | None = None):
     """Returns (init_state, train_step). With a mesh, params follow the TP

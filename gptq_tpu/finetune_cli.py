@@ -62,8 +62,9 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
-    from gptq_tpu.finetune import (clm_accuracy, clm_loss, make_optimizer,
-                                   make_train_step)
+    from gptq_tpu.finetune import (clm_accuracy, clm_loss, load_opt_state,
+                                   make_optimizer, make_train_step,
+                                   save_opt_state)
     from gptq_tpu.io import load_checkpoint, save_checkpoint
     from gptq_tpu.models.convert import params_from_dir
 
@@ -108,6 +109,18 @@ def main(argv=None) -> int:
         spec, params, _ = load_checkpoint(os.path.join(resume, "model"))
         with open(os.path.join(resume, "state.json")) as f:
             start_step = json.load(f)["step"]
+        # restore optimizer state (schedule count, adafactor/adam moments,
+        # grad-accum counter) so LR schedules CONTINUE instead of
+        # restarting warmup (reference Trainer restores optimizer.pt)
+        opt_path = os.path.join(resume, "opt_state.npz")
+        if os.path.exists(opt_path):
+            opt_state = load_opt_state(opt_path, opt_state)
+        else:
+            print("checkpoint has no opt_state.npz; optimizer restarts")
+        # replay the data-index stream so resumed runs see the same batch
+        # sequence an uninterrupted run would
+        for _ in range(start_step):
+            rng.integers(0, len(train_blocks), size=args.batch_size)
         print(f"resumed from {resume} at step {start_step}")
 
     eval_fn = jax.jit(lambda p, b: clm_loss(spec, p, b))
@@ -136,6 +149,7 @@ def main(argv=None) -> int:
             ck = os.path.join(args.output_dir, f"checkpoint-{s+1}")
             os.makedirs(ck, exist_ok=True)
             save_checkpoint(os.path.join(ck, "model"), spec, params)
+            save_opt_state(os.path.join(ck, "opt_state.npz"), opt_state)
             with open(os.path.join(ck, "state.json"), "w") as f:
                 json.dump({"step": s + 1}, f)
             print(f"saved {ck}")

@@ -625,6 +625,9 @@ def _attn_int8_impl() -> str | None:
         return "interpret"
     if mode == "xla":
         return None
+    if mode != "auto":
+        raise ValueError(
+            f"GPTQ_TPU_ATTN_IMPL={mode!r}: expected auto/kernel/interpret/xla")
     return "tpu" if jax.default_backend() == "tpu" else None
 
 
@@ -641,6 +644,9 @@ def _attn_bf16_impl() -> str | None:
         return "tpu"
     if mode == "interpret":
         return "interpret"
+    if mode not in ("auto", "xla"):
+        raise ValueError(
+            f"GPTQ_TPU_ATTN_IMPL={mode!r}: expected auto/kernel/interpret/xla")
     return None
 
 
@@ -655,6 +661,9 @@ def _ffn_fusion_impl() -> str | None:
         return "interpret"
     if mode == "off":
         return None
+    if mode != "auto":
+        raise ValueError(
+            f"GPTQ_TPU_FFN_FUSION={mode!r}: expected auto/on/off/interpret")
     return "tpu" if jax.default_backend() == "tpu" else None
 
 
@@ -672,6 +681,9 @@ def _layer_fusion_impl() -> str | None:
         return "tpu"
     if mode == "interpret":
         return "interpret"
+    if mode != "off":
+        raise ValueError(
+            f"GPTQ_TPU_LAYER_FUSION={mode!r}: expected off/on/interpret")
     return None
 
 

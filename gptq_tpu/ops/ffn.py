@@ -93,18 +93,15 @@ def _pick_chunk(N: int, prefer: int) -> int | None:
     return None
 
 
-def _quant_rows(x):
-    """(M, K) f32 -> int8 codes + (M, 1) scale (matches quantize_acts_int8)."""
-    sx = jnp.max(jnp.abs(x), axis=1, keepdims=True) / 127.0 + 1e-12
-    q = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
-    return q, sx
-
-
 def _prep_acts(x, a8: bool):
     """Activations for a streamed matmul: dynamic int8 (fast path) or
-    bf16 (accuracy path; bf16 x int8 codes is also a native MXU mode)."""
+    bf16 (accuracy path; bf16 x int8 codes is also a native MXU mode).
+    The a8 branch reuses qmatmul.quantize_acts_int8 (pure jnp, safe in a
+    kernel body) so the in-kernel and XLA-path quantizers can't diverge."""
     if a8:
-        return _quant_rows(x)
+        from gptq_tpu.ops.qmatmul import quantize_acts_int8
+
+        return quantize_acts_int8(x)
     return x.astype(jnp.bfloat16), None
 
 

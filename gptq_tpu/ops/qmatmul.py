@@ -428,6 +428,9 @@ def dequant_matmul(
         impl = os.environ.get(
             "GPTQ_TPU_MATMUL_IMPL",
             "pallas" if jax.default_backend() == "tpu" else "xla")
+        if impl not in ("pallas", "streamed", "xla"):
+            raise ValueError(f"GPTQ_TPU_MATMUL_IMPL={impl!r}: "
+                             f"expected pallas/streamed/xla")
     sx = None
     if a8:
         x2, sx = quantize_acts_int8(x2)

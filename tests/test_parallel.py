@@ -269,6 +269,38 @@ def test_lr_schedule_and_grad_accum():
     assert d1 > 0.0
 
 
+def test_opt_state_checkpoint_roundtrip(tmp_path):
+    """Resume must restore the optax state (schedule count, moments,
+    accumulation counter) — a fresh init would restart LR warmup from 0
+    (reference Trainer restores optimizer.pt, finetune/train.py:601-607)."""
+    import jax.numpy as jnp
+    from gptq_tpu.finetune import (load_opt_state, make_optimizer,
+                                   make_train_step, save_opt_state)
+
+    params = init_params(SPEC, jax.random.PRNGKey(3))
+    batch = jnp.asarray(np.random.default_rng(3).integers(0, 97, size=(2, 16)))
+    opt = make_optimizer("adafactor", lr=1e-3, schedule="linear",
+                         total_steps=50, warmup_steps=10, grad_accum=2)
+    init, step = make_train_step(SPEC, opt)
+    st = init(params)
+    p, st, _ = step(params, st, batch)
+    p, st, _ = step(p, st, batch)
+    p, st, _ = step(p, st, batch)
+
+    path = str(tmp_path / "opt_state.npz")
+    save_opt_state(path, st)
+    restored = load_opt_state(path, init(params))
+    for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # continuing from the restored state matches continuing from the live
+    # state exactly (schedule step included)
+    p1, _, _ = step(p, st, batch)
+    p2, _, _ = step(p, restored, batch)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_clm_accuracy_metric():
     import jax.numpy as jnp
     from gptq_tpu.finetune import clm_accuracy
