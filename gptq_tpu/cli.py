@@ -312,7 +312,13 @@ def main(argv=None) -> int:
 
         lm = JaxLM(spec, params, tokenizer, max_length=seqlen)
         tasks = [t.strip() for t in args.task.split(",") if t.strip()]
-        tk = ({t: {"data_dir": args.data_dir} for t in tasks}
+        # data_dir only goes to tasks whose download() reads local files
+        # (lambada jsonl / storycloze CSV); hub-backed tasks would pass it
+        # to datasets.load_dataset as a data-files dir and break
+        from gptq_tpu.eval.zeroshot.tasks import TASK_REGISTRY
+
+        tk = ({t: {"data_dir": args.data_dir} for t in tasks
+               if getattr(TASK_REGISTRY.get(t), "LOCAL_DATA_DIR", False)}
               if args.data_dir else None)
         res = simple_evaluate(lm, tasks, task_kwargs=tk)
         print(json.dumps(res["results"], indent=2))

@@ -24,6 +24,19 @@ from gptq_tpu.models.common import (ArchSpec, KVCache, fuse_serving,
                                     model_forward)
 
 
+def sample_token(logits, key, temperature: float = 0.0, top_k: int = 0):
+    """Next-token rule shared by the on-device chunk loop and the
+    first-token pick after prefill: greedy at temperature 0, else
+    temperature-scaled (optionally top-k-filtered) categorical sampling."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1)
+    lg = logits.astype(jnp.float32) / temperature
+    if top_k > 0:
+        thresh = jax.lax.top_k(lg, top_k)[0][..., -1:]
+        lg = jnp.where(lg < thresh, -jnp.inf, lg)
+    return jax.random.categorical(key, lg, axis=-1)
+
+
 class DecodeEngine:
     def __init__(self, spec: ArchSpec, params: dict, max_len: int = 2048,
                  batch: int = 1, cache_dtype=jnp.bfloat16, fuse: bool = True,
@@ -55,13 +68,7 @@ class DecodeEngine:
             restricts sampling to the k most likely tokens."""
 
             def pick(logits, k):
-                if temperature <= 0.0:
-                    return jnp.argmax(logits, axis=-1)
-                lg = logits.astype(jnp.float32) / temperature
-                if top_k > 0:
-                    thresh = jax.lax.top_k(lg, top_k)[0][..., -1:]
-                    lg = jnp.where(lg < thresh, -jnp.inf, lg)
-                return jax.random.categorical(k, lg, axis=-1)
+                return sample_token(logits, k, temperature, top_k)
 
             def body(carry, k):
                 tok, cache = carry
@@ -123,16 +130,12 @@ class DecodeEngine:
             key = jax.random.PRNGKey(0)
         logits, cache = self.prefill(ids)
         if temperature > 0.0:
-            # sample the first token with the same pick() logic the chunk
-            # uses for every subsequent token (greedy-first was a bias)
+            # same sampling rule the chunk loop applies to every
+            # subsequent token (greedy-first was a bias)
             key, sub = jax.random.split(key)
-            lg = logits.astype(jnp.float32) / temperature
-            if top_k > 0:
-                thresh = jax.lax.top_k(lg, top_k)[0][..., -1:]
-                lg = jnp.where(lg < thresh, -jnp.inf, lg)
-            first = jax.random.categorical(sub, lg, axis=-1)
         else:
-            first = jnp.argmax(logits, axis=-1)
+            sub = None
+        first = sample_token(logits, sub, temperature, top_k)
         out = [first[:, None]]
         tok = first[:, None]
         remaining = max_new_tokens - 1
@@ -174,6 +177,18 @@ class DecodeEngine:
         return np.asarray(jnp.concatenate(out, axis=1)[:, :max_new_tokens])
 
 
+def _round_len(n: int, cache_dtype) -> int:
+    """Benchmark KV-cache length. The int8 cache feeds the Pallas
+    decode-attention kernel, whose S blocks and slab DMAs must be
+    tile-aligned (int8 sublane tile = 32) — round up to a 128-multiple
+    (extra rows are masked by cache.length). The bf16 default serves
+    through the XLA einsum, where n+1 is fine and rounding would only
+    inflate the attention-read bytes."""
+    if cache_dtype == jnp.int8:
+        return ((n + 127) // 128) * 128
+    return n
+
+
 def benchmark_decode(
     spec: ArchSpec,
     params: dict,
@@ -190,8 +205,11 @@ def benchmark_decode(
     `--benchmark --check` (opt.py:499-507)."""
     n = int(np.prod(input_ids.shape))
     ids = np.asarray(input_ids).reshape(1, n)
-    engine = DecodeEngine(spec, params, max_len=n + 1, batch=1,
-                          cache_dtype=cache_dtype)
+    # cache length rounds up to a tile-friendly multiple: n+1 would give
+    # the int8 attention kernel a non-sublane-aligned S block (e.g. 129
+    # for --benchmark 128); extra rows are masked by the cache length
+    engine = DecodeEngine(spec, params, max_len=_round_len(n + 1, cache_dtype),
+                          batch=1, cache_dtype=cache_dtype)
     params = engine.params  # fused serving weights
     cache = engine.new_cache()
 
@@ -275,7 +293,8 @@ def benchmark_decode_chained(
     def make_run(length: int):
         @jax.jit
         def run(params, ids_slice):
-            cache = KVCache.init(spec, 1, n + 1, cache_dtype)
+            cache = KVCache.init(spec, 1, _round_len(n + 1, cache_dtype),
+                                 cache_dtype)
             nxt = jnp.concatenate([ids_slice[1:], ids_slice[-1:]])
             valid = jnp.arange(length) < length - 1
 

@@ -36,6 +36,10 @@ class Task(abc.ABC):
     VERSION = 0
     DATASET_PATH: str | None = None
     DATASET_NAME: str | None = None
+    # True when download() reads local files from data_dir (offline tasks);
+    # hub-backed tasks must NOT receive a data_dir (HF datasets would treat
+    # it as the builder's data-files location)
+    LOCAL_DATA_DIR = False
 
     def __init__(self, data_dir=None, cache_dir=None, dataset=None):
         """`dataset` may inject a pre-loaded/dict-of-splits dataset (offline

@@ -458,6 +458,7 @@ class Lambada(Task):
 
     DATASET_PATH = "EleutherAI/lambada_openai"
     DATASET_NAME = "en"
+    LOCAL_DATA_DIR = True  # download() consumes data_dir (offline files)
 
     def download(self, data_dir=None, cache_dir=None):
         import glob
@@ -516,6 +517,7 @@ class StoryCloze(MultipleChoiceTask):
 
     DATASET_PATH = "story_cloze"
     DATASET_NAME = "2018"
+    LOCAL_DATA_DIR = True  # download() consumes data_dir (offline CSV)
 
     def download(self, data_dir=None, cache_dir=None):
         import csv

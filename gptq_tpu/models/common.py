@@ -291,6 +291,18 @@ class FusedSplits:
     parts: tuple
 
 
+def same_actq(a, b) -> bool:
+    """Elementwise equality of two activation-quantizer param dicts (both
+    None counts as equal). Fusion paths (fuse_serving here, try_fuse_tp in
+    parallel/tp.py) apply part 0's quantizer to the whole fused entry, so
+    they must verify the parts' quantizers genuinely coincide first."""
+    if a is None or b is None:
+        return a is None and b is None
+    return (a["maxq"] == b["maxq"]
+            and bool(jnp.all(a["scale"] == b["scale"]))
+            and bool(jnp.all(a["zero"] == b["zero"])))
+
+
 def fuse_serving(spec: ArchSpec, params: dict, a8: bool = False) -> dict:
     """Serving-time weight fusion: merge q/k/v (and llama-family gate/up)
     PackedWeights that share one input into single wider weights — one
@@ -303,12 +315,7 @@ def fuse_serving(spec: ArchSpec, params: dict, a8: bool = False) -> dict:
     --faster-kernel counterpart)."""
     from gptq_tpu.ops.pack import fuse_packed
 
-    def _same_actq(a, b):
-        if a is None or b is None:
-            return a is None and b is None
-        return (a["maxq"] == b["maxq"]
-                and bool(jnp.all(a["scale"] == b["scale"]))
-                and bool(jnp.all(a["zero"] == b["zero"])))
+    _same_actq = same_actq
 
     def try_fuse(lp, names, key):
         lins = [lp.get(n) for n in names]

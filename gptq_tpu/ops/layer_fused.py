@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gptq_tpu.ops.attention import _pick_sb
 from gptq_tpu.ops.pack import PackedWeight
 from gptq_tpu.ops.ffn import (_apply_act, _apply_norm, _mm_specs, _n_words,
                               _phase_scratch, _prep_acts, _start_first_dmas,
@@ -115,6 +116,7 @@ def _layer_kernel(act, norm, eps, sm_scale, a8, H, Hkv, hd, S, Sb,
     length = len_ref[0, 0]
     kvw = Hkv * hd
     n_sb = S // Sb
+    n_slab = min(n_sb, 3)
     G = H // Hkv
 
     def slab_dma(b, slot):
@@ -169,13 +171,16 @@ def _layer_kernel(act, norm, eps, sm_scale, a8, H, Hkv, hd, S, Sb,
     slab_dma_dyn = slab_dma  # dynamic b/slot: same .at[...] indexing
 
     def attn_block(b, _):
-        slot = jax.lax.rem(b, 2)
+        # prefetch distance 2 (slabs 0 and 1 are both in flight at kernel
+        # entry) needs THREE slots: slab b+2 must not land in the slot the
+        # head loop below is still reading slab b from
+        slot = jax.lax.rem(b, n_slab)
         for c in slab_dma_dyn(b, slot):
             c.wait()
 
         @pl.when(b + 2 < n_sb)
         def _():
-            for c in slab_dma_dyn(b + 2, slot):
+            for c in slab_dma_dyn(b + 2, jax.lax.rem(b + 2, n_slab)):
                 c.start()
 
         pos = b * Sb + jax.lax.broadcasted_iota(jnp.int32, (1, Sb), 1)
@@ -239,16 +244,6 @@ def _layer_kernel(act, norm, eps, sm_scale, a8, H, Hkv, hd, S, Sb,
     y_ref[:] = y_ref[:] + r2
 
 
-def _pick_sb(S: int, row_bytes: int) -> int:
-    sb = 512
-    while sb > 128 and sb * row_bytes > 2 * 1024 * 1024:
-        sb //= 2
-    sb = min(sb, S)
-    while S % sb:
-        sb //= 2
-    return max(sb, 1)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("n_heads", "n_kv_heads", "head_dim", "act", "norm",
@@ -293,7 +288,7 @@ def decode_layer_fused(
     for p in (qkv, o, gu, dn):
         grids += [p.scale, p.zoff]
 
-    n_slab_buf = 2 if S // Sb > 1 else 1
+    n_slab_buf = min(S // Sb, 3)
     y, k_fresh, v_fresh = pl.pallas_call(
         functools.partial(
             _layer_kernel, act, norm, float(eps), float(sm_scale), a8,

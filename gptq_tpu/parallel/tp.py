@@ -176,10 +176,15 @@ def tp_local_view(spec: ArchSpec, params: dict, tp: int, axis: str = "tp",
         ws = [l["w"] for l in lins]
         aqs = [l.get("act_q") for l in lins]
         if any(aq is not None for aq in aqs):
-            # q/k/v share one input, so act_q params coincide; verify
+            # q/k/v share one input, so act_q params normally coincide;
+            # verify VALUES (not just presence) — fusing applies aqs[0]
+            # to every part, so a mixed-precision model with differing
+            # per-linear act quantizers must stay unfused
+            from gptq_tpu.models.common import same_actq
+
             a0 = aqs[0]
             for aq in aqs[1:]:
-                if (aq is None) != (a0 is None):
+                if not same_actq(a0, aq):
                     return None
         if any(w.Np != w.N for w in ws):
             # pad columns would be emitted as logical head outputs after

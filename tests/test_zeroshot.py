@@ -164,3 +164,14 @@ def test_storycloze_local_csv(tmp_path):
     assert docs[0]["choices"] == ["Good end.", "Bad end."]
     assert docs[0]["gold"] == 0
     assert docs[1]["gold"] == 1
+
+
+def test_local_data_dir_flags():
+    """Only the local-file tasks may receive data_dir (the CLI filters on
+    LOCAL_DATA_DIR; hub-backed tasks would pass it to load_dataset as a
+    data-files dir and break)."""
+    from gptq_tpu.eval.zeroshot.tasks import TASK_REGISTRY
+
+    local = {n for n, c in TASK_REGISTRY.items()
+             if getattr(c, "LOCAL_DATA_DIR", False)}
+    assert local == {"lambada", "storycloze"}
