@@ -79,10 +79,8 @@ def _oracle(x, L, ck, cv, length, cos, sin, w1, w2, H, Hkv, hd, a8):
     return y, ck, cv
 
 
-@pytest.mark.parametrize("a8", [False, True])
-@pytest.mark.parametrize("gqa", [1, 2])
-def test_layer_fused_matches_oracle(a8, gqa):
-    hidden, H, ffn, S = 256, 4, 512, 32
+def _check_oracle(a8, gqa, S, length):
+    hidden, H, ffn = 256, 4, 512
     Hkv = H // gqa
     hd = hidden // H
     kvw = Hkv * hd
@@ -94,7 +92,6 @@ def test_layer_fused_matches_oracle(a8, gqa):
 
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.normal(size=(1, 1, hidden)) * 0.5, jnp.bfloat16)
-    length = 5
     ck = jnp.asarray(rng.normal(size=(1, S, Hkv, hd)), jnp.bfloat16)
     cv = jnp.asarray(rng.normal(size=(1, S, Hkv, hd)), jnp.bfloat16)
     # rows beyond `length` must not influence the result: poison them
@@ -134,6 +131,19 @@ def test_layer_fused_matches_oracle(a8, gqa):
                                   np.asarray(ck[0, :length]))
     np.testing.assert_array_equal(np.asarray(got_cv[0, :length]),
                                   np.asarray(cv[0, :length]))
+
+
+@pytest.mark.parametrize("a8", [False, True])
+@pytest.mark.parametrize("gqa", [1, 2])
+def test_layer_fused_matches_oracle(a8, gqa):
+    _check_oracle(a8, gqa, S=32, length=5)
+
+
+def test_layer_fused_multislab():
+    """S=2048 -> Sb=512 -> 4 S-blocks: exercises the 3-slot slab rotation
+    (slab b+2 prefetch must not land in the slot slab b is read from) and
+    masking across block boundaries."""
+    _check_oracle(a8=True, gqa=2, S=2048, length=1100)
 
 
 @pytest.mark.parametrize("a8", [False, True])
