@@ -409,6 +409,80 @@ def test_tiny_opt_end_to_end_parity(ref, tmp_path, monkeypatch):
     assert abs(ppl_jax - ppl_ref) / ppl_ref < 0.01, (ppl_jax, ppl_ref)
 
 
+def test_tiny_bloom_end_to_end_parity(ref, tmp_path, monkeypatch):
+    """BLOOM differential (the alibi path + the FUSED query_key_value
+    linear): reference bloom_sequential + bloom_eval (torch, CPU) vs
+    gptq_tpu quantize_model + eval_ppl on an identical tiny BLOOM with
+    identical calibration tokens (reference: bloom.py:26-188,190-280)."""
+    import types
+
+    from transformers import BloomConfig, BloomForCausalLM
+
+    sys.path.insert(0, REF)
+    import importlib
+
+    bloom_mod = importlib.import_module("bloom")
+
+    torch.manual_seed(0)
+    cfgm = BloomConfig(vocab_size=99, hidden_size=32, n_layer=2, n_head=4)
+    model = BloomForCausalLM(cfgm).eval()
+    model.seqlen = 32
+
+    rng = np.random.default_rng(1)
+    calib = rng.integers(0, 99, size=(4, 32))
+    test_ids = rng.integers(0, 99, size=(1, 4 * 32))
+
+    args = types.SimpleNamespace(
+        model="tiny-bloom", nsamples=4, wbits=4, groupsize=-1, sym=False,
+        trits=False, act_order=False, static_groups=False, percdamp=0.01,
+        lut_eval=False, non_linear=False, columnwise=False, bcq_round=5,
+        use_bst=True, apot_nums=2, nearest=False, hyperbits=5,
+        exploreBits=1, exploreSplit=20, layermix=False, linearmix=False,
+        quant_config=None)
+    bloom_mod.args = args
+
+    import copy
+
+    ref_model = copy.deepcopy(model)
+    dataloader = [(torch.from_numpy(calib[i:i+1]).long(), None)
+                  for i in range(4)]
+    bloom_mod.bloom_sequential(ref_model, dataloader, torch.device("cpu"))
+
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "quant_bit").mkdir()
+    testenc = types.SimpleNamespace(
+        input_ids=torch.from_numpy(test_ids).long())
+    bloom_mod.bloom_eval(ref_model, testenc, torch.device("cpu"))
+    line = (tmp_path / "quant_bit" / "bloom_ppl.txt").read_text().strip()
+    ppl_ref = float(line.split(":")[-1].split("||")[0].strip())
+
+    # --- gptq_tpu side, same model weights + calib tokens
+    from gptq_tpu.config import QuantConfig
+    from gptq_tpu.eval.ppl import eval_ppl
+    from gptq_tpu.models.convert import params_from_hf_torch
+    from gptq_tpu.pipeline import quantize_model
+
+    spec, params = params_from_hf_torch(model)
+    cfg = QuantConfig(wbits=4, nsamples=4)
+    quantize_model(spec, params, jnp.asarray(calib), cfg, log=lambda s: None)
+
+    keymap = {"qkv": "self_attention.query_key_value",
+              "o": "self_attention.dense",
+              "fc1": "mlp.dense_h_to_4h", "fc2": "mlp.dense_4h_to_h"}
+    sd = ref_model.state_dict()
+    for li in range(2):
+        for jk, hk in keymap.items():
+            W_ref = sd[f"transformer.h.{li}.{hk}.weight"].numpy()
+            W_jax = np.asarray(params["layers"][li][jk]["w"])
+            exact = np.isclose(W_ref, W_jax, atol=1e-5, rtol=1e-4)
+            assert exact.mean() >= 0.98, (
+                f"layer{li}.{jk}: {exact.mean():.4%} match")
+
+    ppl_jax = eval_ppl(spec, params, jnp.asarray(test_ids), 32,
+                       log=lambda s: None)
+    assert abs(ppl_jax - ppl_ref) / ppl_ref < 0.01, (ppl_jax, ppl_ref)
+
+
 def test_trueobs_sparse_outliers_parity(ref):
     """TrueOBS sparse-outlier mode (reference:
     zeroShot/models/fast_trueobs.py:108,135): weights whose quantization
