@@ -516,3 +516,29 @@ def test_trueobs_sparse_outliers_parity(ref):
                                      sparse_outliers=True), st[2])
     assert_parity(Q_ref, np.asarray(out["Q"]), bits=3)
     assert float(out["outlier_frac"]) > 0  # some weights stayed dense
+
+
+def test_zeroshot_stderr_parity():
+    """Aggregation-layer differential vs the reference harness
+    (reference: zeroShot/metrics.py:10-25,192-252): analytic mean stderr
+    matches exactly; the bootstrap stderr (different RNG streams by
+    construction) agrees statistically on identical data."""
+    import importlib
+
+    sys.path.insert(0, REF + "/zeroShot")
+    ref_metrics = importlib.import_module("metrics")
+
+    from gptq_tpu.eval.zeroshot import metrics as jm
+
+    rng = np.random.default_rng(5)
+    accs = list((rng.random(400) > 0.4).astype(float))
+
+    want = ref_metrics.mean_stderr(accs)
+    got = jm.stderr_for_metric(jm.mean, accs)
+    assert abs(got - want) < 1e-12
+
+    # bootstrap: median of a continuous sample, 2000 resamples each side
+    vals = list(rng.normal(size=300))
+    ours = jm.bootstrap_stderr(ref_metrics.median, vals, iters=2000)
+    theirs = ref_metrics.bootstrap_stderr(ref_metrics.median, vals, 2000)
+    assert abs(ours - theirs) / theirs < 0.2, (ours, theirs)
