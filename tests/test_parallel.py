@@ -114,6 +114,31 @@ def test_shardmap_tp_decode_matches_single():
                                np.asarray(want2[:, -1]), rtol=2e-3, atol=2e-3)
 
 
+def test_shardmap_tp_int8_cache_matches_single():
+    """int8 KV cache composed with shard_map TP: the per-token-head scale
+    planes shard on the head axis (cache_pspec(int8=True)); two decode
+    steps must match the single-device int8-cache forward."""
+    from gptq_tpu.models.common import KVCache
+    from gptq_tpu.parallel.tp import make_tp_decode_step
+
+    params = init_params(SPEC, jax.random.PRNGKey(11))
+    mesh = make_mesh(tp=2, dp=1)
+    local, step = make_tp_decode_step(SPEC, params, mesh, int8_cache=True)
+
+    cache = KVCache.init(SPEC, 1, 8, jnp.int8)
+    tok, tok2 = jnp.asarray([[3]]), jnp.asarray([[7]])
+    logits_tp, cache_tp = step(local, cache, tok)
+    logits2_tp, _ = step(local, cache_tp, tok2)
+
+    c1 = KVCache.init(SPEC, 1, 8, jnp.int8)
+    want, c1 = model_forward(SPEC, params, tok, c1)
+    want2, _ = model_forward(SPEC, params, tok2, c1)
+    np.testing.assert_allclose(np.asarray(logits_tp),
+                               np.asarray(want[:, -1]), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(logits2_tp),
+                               np.asarray(want2[:, -1]), rtol=2e-3, atol=2e-3)
+
+
 def test_shardmap_tp_alibi_bloom():
     """BLOOM path: alibi slopes must slice per shard's heads."""
     from gptq_tpu.parallel.tp import make_tp_forward
