@@ -154,3 +154,40 @@ def plot_distribution2d(W, out_png: str) -> bool:
     fig.savefig(out_png, dpi=120)
     plt.close(fig)
     return True
+
+
+def plot_distribution3d(W, out_png: str, max_cells: int = 64) -> bool:
+    """3-D magnitude surface of a weight/activation matrix (reference:
+    plot_activation.py:6-41 bar3d). Large matrices are block-max
+    downsampled to at most max_cells per axis so the plot stays legible
+    (the reference plots raw cells, feasible only for tiny slices)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:  # noqa: BLE001
+        return False
+    W = np.abs(np.asarray(W, dtype=np.float32))
+    for axis in (0, 1):
+        n = W.shape[axis]
+        if n > max_cells:
+            step = -(-n // max_cells)
+            pad = (-n) % step
+            Wp = np.pad(W, [(0, pad), (0, 0)] if axis == 0 else
+                        [(0, 0), (0, pad)])
+            if axis == 0:
+                W = Wp.reshape(-1, step, Wp.shape[1]).max(axis=1)
+            else:
+                W = Wp.reshape(Wp.shape[0], -1, step).max(axis=2)
+    x, y = np.meshgrid(np.arange(W.shape[1]), np.arange(W.shape[0]))
+    fig = plt.figure(figsize=(7, 5))
+    ax = fig.add_subplot(111, projection="3d")
+    ax.plot_surface(x, y, W, cmap="viridis")
+    ax.set_xlabel("in features")
+    ax.set_ylabel("out features")
+    ax.set_zlabel("|w|")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=120)
+    plt.close(fig)
+    return True

@@ -177,9 +177,13 @@ class ContinuousBatcher:
 
     def submit(self, prompt: np.ndarray, max_new_tokens: int = 64,
                eos_id: int | None = None) -> int:
+        prompt = np.asarray(prompt).reshape(-1)
+        if len(prompt) + max_new_tokens > self.S:
+            raise ValueError(
+                f"prompt ({len(prompt)} tokens) + max_new_tokens "
+                f"({max_new_tokens}) exceeds the cache max_len ({self.S})")
         self._uid += 1
-        self.queue.append(Request(self._uid, np.asarray(prompt).reshape(-1),
-                                  max_new_tokens, eos_id))
+        self.queue.append(Request(self._uid, prompt, max_new_tokens, eos_id))
         return self._uid
 
     def _bucket(self, n: int) -> int:

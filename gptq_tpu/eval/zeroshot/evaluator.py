@@ -98,3 +98,24 @@ def make_table(result_dict: dict) -> str:
             se_s = f"± {se:.4f}" if se is not None else ""
             lines.append(f"|{task}|{version}|{k}|{v:.4f}||{se_s}|")
     return "\n".join(lines)
+
+
+def make_latex_table(result_dict: dict) -> str:
+    """LaTeX (booktabs) results table — the reference emits both markdown
+    and latex writers (reference: evaluator.py:217-240)."""
+    lines = [r"\begin{tabular}{lllrlr}", r"\toprule",
+             r"Task & Version & Metric & Value &  & Stderr \\",
+             r"\midrule"]
+    for task, metrics in result_dict["results"].items():
+        version = result_dict["versions"].get(task, "")
+        for k, v in metrics.items():
+            if k.endswith("_stderr"):
+                continue
+            se = metrics.get(f"{k}_stderr")
+            se_s = rf"$\pm$ {se:.4f}" if se is not None else ""
+            tex_task = str(task).replace("_", r"\_")
+            tex_k = str(k).replace("_", r"\_")
+            lines.append(
+                rf"{tex_task} & {version} & {tex_k} & {v:.4f} &  & {se_s} \\")
+    lines += [r"\bottomrule", r"\end{tabular}"]
+    return "\n".join(lines)

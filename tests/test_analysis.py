@@ -43,3 +43,15 @@ def test_logs_and_plots(tmp_path):
         assert (tmp_path / "s.png").exists()
     if ok2:
         assert (tmp_path / "d.png").exists()
+
+
+def test_distribution_plots(tmp_path):
+    from gptq_tpu.analysis import plot_distribution2d, plot_distribution3d
+
+    W = np.random.default_rng(0).normal(size=(130, 200))
+    ok2d = plot_distribution2d(W, str(tmp_path / "w2.png"))
+    ok3d = plot_distribution3d(W, str(tmp_path / "w3.png"), max_cells=32)
+    if ok2d:
+        assert (tmp_path / "w2.png").exists()
+    if ok3d:
+        assert (tmp_path / "w3.png").exists()

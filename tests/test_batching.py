@@ -113,3 +113,16 @@ def test_batched_refill_one_dispatch_per_bucket():
     res2 = cb2.run()
     assert len(res2) == 4
     assert cb2.prefill_calls == 2, cb2.prefill_calls
+
+
+def test_submit_rejects_overlong_request():
+    """prompt + max_new_tokens beyond the cache max_len must fail loudly at
+    submit time, not scribble past the KV buffer during prefill."""
+    import pytest
+
+    params = init_params(SPEC, jax.random.PRNGKey(4))
+    cb = ContinuousBatcher(SPEC, params, batch_slots=2, max_len=16,
+                           cache_dtype=jnp.float32, prefill_buckets=(8,))
+    with pytest.raises(ValueError, match="max_len"):
+        cb.submit(np.arange(1, 15), max_new_tokens=8)
+    cb.submit(np.arange(1, 9), max_new_tokens=4)  # fits: 8 + 4 <= 16

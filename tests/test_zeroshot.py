@@ -129,6 +129,17 @@ def test_make_table():
     assert "|piqa|" in table
 
 
+def test_make_latex_table():
+    from gptq_tpu.eval.zeroshot.evaluator import make_latex_table
+
+    tex = make_latex_table(
+        {"results": {"arc_easy": {"acc_norm": 0.25,
+                                  "acc_norm_stderr": 0.02}},
+         "versions": {"arc_easy": 0}})
+    assert r"\begin{tabular}" in tex and r"\bottomrule" in tex
+    assert r"arc\_easy" in tex and "0.2500" in tex
+
+
 def test_lambada_local_jsonl(tmp_path):
     """Offline scoring: a local lambada jsonl (the reference ships a zenodo
     loader, zeroShot/tasks/local_datasets/lambada) loads via data_dir."""
