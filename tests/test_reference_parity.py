@@ -332,11 +332,14 @@ def test_conv2d_solver_parity(ref):
                   bits=4)
 
 
-def test_tiny_opt_end_to_end_parity(ref, tmp_path, monkeypatch):
+@pytest.mark.parametrize("variant", ["plain", "actorder_groups"])
+def test_tiny_opt_end_to_end_parity(ref, tmp_path, monkeypatch, variant):
     """Whole-pipeline differential: reference opt_sequential + opt_eval
     (torch, CPU) vs gptq_tpu quantize_model + eval_ppl on an identical
     tiny OPT with identical calibration tokens. Quantized weights must
-    match per-linear and the PPLs must agree."""
+    match per-linear and the PPLs must agree. actorder_groups exercises
+    the July-2023-recommended flags (--act-order --static-groups
+    --groupsize) through BOTH whole pipelines, not just the solver."""
     import types
 
     from transformers import OPTConfig, OPTForCausalLM
@@ -357,11 +360,12 @@ def test_tiny_opt_end_to_end_parity(ref, tmp_path, monkeypatch):
     calib = rng.integers(0, 99, size=(4, 32))
     test_ids = rng.integers(0, 99, size=(1, 4 * 32))
 
+    ao = variant == "actorder_groups"
     args = types.SimpleNamespace(
-        model="tiny-opt", nsamples=4, wbits=4, groupsize=-1, sym=False,
-        trits=False, act_order=False, static_groups=False, percdamp=0.01,
-        lut_eval=False, non_linear=False, columnwise=False, bcq_round=5,
-        use_bst=True, apot_nums=2, nearest=False, hyperbits=5,
+        model="tiny-opt", nsamples=4, wbits=4, groupsize=16 if ao else -1,
+        sym=False, trits=False, act_order=ao, static_groups=ao,
+        percdamp=0.01, lut_eval=False, non_linear=False, columnwise=False,
+        bcq_round=5, use_bst=True, apot_nums=2, nearest=False, hyperbits=5,
         exploreBits=1, exploreSplit=20, layermix=False, linearmix=False,
         quant_config=None)
     opt_mod.args = args
@@ -388,7 +392,8 @@ def test_tiny_opt_end_to_end_parity(ref, tmp_path, monkeypatch):
     from gptq_tpu.pipeline import quantize_model
 
     spec, params = params_from_hf_torch(model)
-    cfg = QuantConfig(wbits=4, nsamples=4)
+    cfg = QuantConfig(wbits=4, nsamples=4, groupsize=16 if ao else -1,
+                      act_order=ao, static_groups=ao)
     quantize_model(spec, params, jnp.asarray(calib), cfg, log=lambda s: None)
 
     # per-linear quantized-weight parity (jax layer key -> HF module name)
