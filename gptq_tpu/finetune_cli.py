@@ -56,6 +56,12 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline stages (GPipe microbatch schedule; "
+                        "layers shard by stage — exclusive with --tp/--dp)")
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="micro-batches per step under --pp "
+                        "(default: batch_size, i.e. micro size 1)")
     p.add_argument("--overwrite_output_dir", action="store_true")
     args = p.parse_args(argv)
 
@@ -90,6 +96,24 @@ def main(argv=None) -> int:
         mesh = make_mesh(tp=args.tp, dp=args.dp)
         params = shard_params(spec, params, mesh)
 
+    # pipeline parallelism: layers shard by stage over a "pp" mesh axis and
+    # train through the GPipe microbatch schedule (parallel/pp.py) —
+    # capacity scaling for models too large for one device's HBM (the
+    # reference's multi-GPU layer-placement use case, opt.py:404-438)
+    pp_mesh = None
+    to_flat = lambda p: p  # noqa: E731 — identity outside --pp
+    if args.pp > 1:
+        if mesh is not None:
+            raise SystemExit("--pp is exclusive with --tp/--dp")
+        from gptq_tpu.parallel.pp import (make_pp_mesh, make_pp_train_step,
+                                          stack_stage_params,
+                                          unstack_stage_params)
+
+        pp_mesh = make_pp_mesh(args.pp)
+        n_micro = args.pp_microbatches or args.batch_size
+        params = stack_stage_params(spec, params, args.pp, pp_mesh)
+        to_flat = lambda p: unstack_stage_params(spec, p)  # noqa: E731
+
     rng = np.random.default_rng(args.seed)
     steps_per_epoch = len(train_blocks) // args.batch_size
     total_steps = (args.max_steps if args.max_steps > 0
@@ -100,13 +124,18 @@ def main(argv=None) -> int:
                          total_steps=total_steps,
                          warmup_steps=args.warmup_steps,
                          grad_accum=args.gradient_accumulation_steps)
-    init, step = make_train_step(spec, opt, mesh=mesh)
+    if pp_mesh is not None:
+        init, step = make_pp_train_step(spec, opt, pp_mesh, n_micro)
+    else:
+        init, step = make_train_step(spec, opt, mesh=mesh)
     opt_state = init(params)
 
     start_step = 0
     resume = latest_checkpoint(args.output_dir)
     if resume and not args.overwrite_output_dir:
         spec, params, _ = load_checkpoint(os.path.join(resume, "model"))
+        if pp_mesh is not None:  # checkpoints store the flat layout
+            params = stack_stage_params(spec, params, args.pp, pp_mesh)
         with open(os.path.join(resume, "state.json")) as f:
             start_step = json.load(f)["step"]
         # restore optimizer state (schedule count, adafactor/adam moments,
@@ -128,10 +157,11 @@ def main(argv=None) -> int:
 
     def evaluate() -> tuple[float, float]:
         losses, accs = [], []
+        fp = to_flat(params)  # pp: one unstack, then the flat eval path
         for i in range(0, min(len(eval_blocks), 16), args.batch_size):
             b = jnp.asarray(eval_blocks[i : i + args.batch_size])
-            losses.append(float(eval_fn(params, b)))
-            accs.append(float(acc_fn(params, b)))
+            losses.append(float(eval_fn(fp, b)))
+            accs.append(float(acc_fn(fp, b)))
         return float(np.exp(np.mean(losses))), float(np.mean(accs))
 
     t0 = time.time()
@@ -148,7 +178,7 @@ def main(argv=None) -> int:
         if (s + 1) % args.save_steps == 0 or s + 1 == total_steps:
             ck = os.path.join(args.output_dir, f"checkpoint-{s+1}")
             os.makedirs(ck, exist_ok=True)
-            save_checkpoint(os.path.join(ck, "model"), spec, params)
+            save_checkpoint(os.path.join(ck, "model"), spec, to_flat(params))
             save_opt_state(os.path.join(ck, "opt_state.npz"), opt_state)
             with open(os.path.join(ck, "state.json"), "w") as f:
                 json.dump({"step": s + 1}, f)

@@ -114,9 +114,13 @@ def _expand(tk: int, tn: int, pw) -> tuple[int, int] | None:
 
 
 def tune_packed(pw, M: int = 8, log=lambda s: None,
-                act: str = "bf16") -> tuple[int, int]:
+                act: str = "bf16",
+                deadline: float | None = None) -> tuple[int, int]:
     """Measure CANDIDATES for one PackedWeight shape; persist and return
-    the winner."""
+    the winner. With `deadline` (absolute perf_counter time), stop
+    measuring further candidates once past it — each candidate costs ~2
+    kernel compiles, which on a cold relayed chip is minutes, so a
+    single shape's sweep could otherwise eat the whole model budget."""
     import jax
     import jax.numpy as jnp
 
@@ -144,6 +148,11 @@ def tune_packed(pw, M: int = 8, log=lambda s: None,
     nbytes = (pw.Kp * pw.Np * pw.bits) / 8
     results: dict[tuple[int, int], float] = {}
     for cand in dict.fromkeys([default] + CANDIDATES):
+        if (deadline is not None and results
+                and time.perf_counter() > deadline):
+            log(f"  {pw.K}x{pw.N}: budget deadline, "
+                f"{len(results)} candidates measured")
+            break
         c = _expand(*cand, pw)
         if c is None:
             continue
@@ -216,4 +225,4 @@ def tune_model(params: dict, M: int = 8, log=print, act: str = "bf16",
         if time.perf_counter() - t0 > budget_s:
             log(f"autotune budget exhausted; {sig} keeps defaults")
             continue
-        tune_packed(leaf, M=M, log=log, act=act)
+        tune_packed(leaf, M=M, log=log, act=act, deadline=t0 + budget_s)

@@ -1,0 +1,229 @@
+"""Pipeline parallelism: GPipe-style microbatch pipelining over a "pp"
+mesh axis with shard_map + ppermute.
+
+The reference's only way to span devices is naive layer placement with
+host-driven activation movement (reference: opt.py:404-438 `opt_multigpu` +
+`MoveModule`; its FP16 OPT-175B benchmark runs that way across 5 GPUs,
+README.md:101-102). The TPU-native equivalent keeps the same
+layer-partitioning idea but runs it as ONE jitted SPMD program: decoder
+layers split into `pp` contiguous stages (one per device along the axis),
+a batch is split into `n_micro` micro-batches, and every pipeline tick each
+stage processes one micro-batch then hands its activations to the next
+stage with `jax.lax.ppermute` over ICI/DCN — no host in the loop, and XLA
+overlaps the permute with the next tick's compute. Autodiff runs straight
+through the schedule (the transpose of ppermute is the reverse permute), so
+the same machinery trains.
+
+Scope: dense (training / recovery-finetune / eval) parameters. Serving uses
+tensor parallelism (parallel/tp.py) — at decode the per-token latency of a
+pipeline is the SUM of stage latencies, so PP buys capacity (a model too
+big for one chip's HBM), not speed; that trade is exactly the reference's
+multi-GPU benchmark configuration.
+
+Composition: the mesh here is pp-only. dp composes by vmapping/outer-pjit
+over a leading batch axis as in finetune.make_train_step; pp x tp meshes
+are left out until a pod target needs them.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gptq_tpu.models.common import (ArchSpec, block_forward, build_mask,
+                                    embed_forward, head_forward, rope_tables)
+
+
+def make_pp_mesh(pp: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if len(devices) < pp:
+        raise ValueError(f"need {pp} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:pp]), ("pp",))
+
+
+def _stack_trees(trees: list):
+    """Stack a list of identically-structured pytrees leaf-wise (None
+    leaves stay None)."""
+    return jax.tree_util.tree_map(
+        lambda *xs: None if xs[0] is None else jnp.stack(xs),
+        *trees, is_leaf=lambda x: x is None)
+
+
+def stack_stage_params(spec: ArchSpec, params: dict, pp: int,
+                       mesh: Mesh | None = None) -> dict:
+    """Standard params -> pipeline layout.
+
+    `layers` (list of n_layers block dicts) becomes one pytree whose leaves
+    carry leading (pp, layers_per_stage) axes; with a mesh, the stage axis
+    is sharded over "pp" (each device holds only its stage's layers — the
+    HBM-capacity win) and embed/final_ln/lm_head replicate.
+    """
+    n_layers = len(params["layers"])
+    if n_layers % pp:
+        raise ValueError(f"n_layers={n_layers} must divide by pp={pp}")
+    lps = n_layers // pp
+    stages = _stack_trees([
+        _stack_trees(params["layers"][s * lps:(s + 1) * lps])
+        for s in range(pp)
+    ])
+    out = {"embed": params["embed"], "stages": stages,
+           "final_ln": params.get("final_ln"),
+           "lm_head": params.get("lm_head")}
+    if mesh is not None:
+        stage_sh = NamedSharding(mesh, P("pp"))
+        rep_sh = NamedSharding(mesh, P())
+
+        def place(x, sh):
+            return None if x is None else jax.device_put(x, sh)
+
+        out["stages"] = jax.tree_util.tree_map(
+            lambda x: place(x, stage_sh), out["stages"],
+            is_leaf=lambda x: x is None)
+        for k in ("embed", "final_ln", "lm_head"):
+            out[k] = jax.tree_util.tree_map(
+                lambda x: place(x, rep_sh), out[k],
+                is_leaf=lambda x: x is None)
+    return out
+
+
+def unstack_stage_params(spec: ArchSpec, stacked: dict) -> dict:
+    """Inverse of stack_stage_params (for checkpoints / single-device
+    eval)."""
+    leaves = [x for x in jax.tree_util.tree_leaves(stacked["stages"])
+              if x is not None]
+    pp, lps = leaves[0].shape[:2]
+    layers = []
+    for s in range(pp):
+        for i in range(lps):
+            layers.append(jax.tree_util.tree_map(
+                lambda x, s=s, i=i: None if x is None else x[s, i],
+                stacked["stages"], is_leaf=lambda x: x is None))
+    return {"embed": stacked["embed"], "layers": layers,
+            "final_ln": stacked["final_ln"], "lm_head": stacked["lm_head"]}
+
+
+def _micro_ce(spec: ArchSpec, hparams: dict, h: jax.Array,
+              ids: jax.Array) -> jax.Array:
+    """Mean next-token cross-entropy of one micro-batch's final hidden
+    state (mirrors finetune.clm_loss)."""
+    logits = head_forward(spec, hparams, h).astype(jnp.float32)
+    logits = logits[:, :-1]
+    targets = ids[:, 1:]
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    tok = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(logz - tok)
+
+
+def make_pp_loss(spec: ArchSpec, mesh: Mesh, n_micro: int, axis: str = "pp"):
+    """loss(stacked_params, batch) with the GPipe schedule inside one
+    shard_map: n_micro + pp - 1 ticks; at tick t stage s processes
+    micro-batch t - s (stage 0 embeds micro t; the last stage scores micro
+    t - (pp-1)); activations ppermute one stage forward between ticks.
+    Warmup/drain ticks run on zero activations (their results are masked
+    out of the loss) — the standard bubble, n_micro >> pp amortizes it."""
+    pp = mesh.shape[axis]
+    fwd_perm = [(i, i + 1) for i in range(pp - 1)]
+
+    def loss_fn(stacked: dict, batch: jax.Array) -> jax.Array:
+        B, T = batch.shape
+        if B % n_micro:
+            raise ValueError(f"batch {B} must divide by n_micro={n_micro}")
+        mb = B // n_micro
+        x = batch.reshape(n_micro, mb, T)
+        hparams = {"embed": stacked["embed"],
+                   "final_ln": stacked["final_ln"],
+                   "lm_head": stacked["lm_head"]}
+        emb_dtype = stacked["embed"]["tokens"].dtype
+
+        def shmap_body(stages, embed, final_ln, lm_head, xm):
+            s = jax.lax.axis_index(axis)
+            hp = {"embed": embed, "final_ln": final_ln, "lm_head": lm_head}
+            positions = jnp.broadcast_to(jnp.arange(T), (mb, T))
+            mask = build_mask(spec, T, T)
+            rope = rope_tables(spec, positions) if spec.pos == "rope" else None
+            # this device's (lps, ...) stage slice (leading pp axis is 1)
+            local = jax.tree_util.tree_map(
+                lambda v: None if v is None else v[0], stages,
+                is_leaf=lambda v: v is None)
+
+            def stage_apply(h):
+                def body(hc, lp):
+                    out, _, _ = block_forward(spec, lp, hc,
+                                              positions=positions,
+                                              mask=mask, rope=rope)
+                    return out.astype(hc.dtype), None
+
+                h, _ = jax.lax.scan(body, h, local)
+                return h
+
+            def tick(carry, t):
+                recv, loss_sum = carry
+                ids_in = xm[jnp.clip(t, 0, n_micro - 1)]
+                emb = embed_forward(spec, hp, ids_in, positions)
+                inp = jnp.where(s == 0, emb.astype(emb_dtype), recv)
+                h = stage_apply(inp)
+                m_out = t - (pp - 1)
+                ids_out = xm[jnp.clip(m_out, 0, n_micro - 1)]
+                lm = _micro_ce(spec, hp, h, ids_out)
+                use = jnp.logical_and(s == pp - 1, m_out >= 0)
+                loss_sum = loss_sum + jnp.where(use, lm, 0.0)
+                sent = (jax.lax.ppermute(h, axis, fwd_perm) if pp > 1 else h)
+                return (sent, loss_sum), None
+
+            # the carry is device-varying (each stage holds different
+            # activations); mark the zero init as such for the VMA checker
+            init = jax.lax.pcast(
+                (jnp.zeros((mb, T, spec.hidden), emb_dtype),
+                 jnp.zeros((), jnp.float32)), (axis,), to="varying")
+            (_, loss_sum), _ = jax.lax.scan(
+                tick, init, jnp.arange(n_micro + pp - 1))
+            # only the last stage accumulated; psum replicates the total
+            return jax.lax.psum(loss_sum, axis) / n_micro
+
+        stage_specs = jax.tree_util.tree_map(
+            lambda v: None if v is None else P(axis), stacked["stages"],
+            is_leaf=lambda v: v is None)
+        rep = jax.tree_util.tree_map(
+            lambda v: None if v is None else P(),
+            (stacked["embed"], stacked["final_ln"], stacked["lm_head"]),
+            is_leaf=lambda v: v is None)
+        return shard_map(
+            shmap_body, mesh=mesh,
+            in_specs=(stage_specs, *rep, P()),
+            out_specs=P(),
+        )(stacked["stages"], stacked["embed"], stacked["final_ln"],
+          stacked["lm_head"], x)
+
+    return loss_fn
+
+
+def make_pp_train_step(spec: ArchSpec,
+                       optimizer: optax.GradientTransformation,
+                       mesh: Mesh, n_micro: int, axis: str = "pp"):
+    """(init_state, step) over pipeline-layout params: step(stacked,
+    opt_state, batch) -> (stacked, opt_state, loss). Grads flow backward
+    through the ppermute schedule (reverse permutes); optimizer state
+    inherits each leaf's stage sharding."""
+    loss_fn = make_pp_loss(spec, mesh, n_micro, axis)
+
+    def init_state(stacked):
+        return optimizer.init(stacked)
+
+    @jax.jit
+    def step(stacked, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(stacked, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, stacked)
+        stacked = optax.apply_updates(stacked, updates)
+        return stacked, opt_state, loss
+
+    return init_state, step

@@ -64,6 +64,34 @@ def test_table_schema_with_bandwidth(tmp_path, monkeypatch):
     assert autotune.best_tiles(64, 64, 4, -1, "uniform", 8) == (-1, -1)
 
 
+def test_deadline_caps_candidate_sweep(tmp_path, monkeypatch):
+    """An already-expired deadline must stop the sweep after the first
+    measured candidate (one shape's full sweep is ~9 candidates x 2
+    compiles — minutes on a cold relayed chip — and previously could eat
+    the whole tune_model budget inside one shape)."""
+    import time
+
+    monkeypatch.setattr(autotune, "_PATH", str(tmp_path / "at.json"))
+    monkeypatch.setattr(autotune, "_TABLE", {})
+    monkeypatch.setattr(autotune, "_LOADED", True)
+    calls = []
+
+    def fake_time(fn, x, iters=64, reps=3):
+        calls.append(1)
+        return 1e-4
+
+    monkeypatch.setattr(autotune, "_time_eager", fake_time)
+    pw = _pw(K=4096, N=2048)  # shape where the static default divides
+    best = autotune.tune_packed(pw, M=8, deadline=time.perf_counter() - 1)
+    assert len(calls) == 1  # default measured, sweep then stopped
+    assert best == (2048, 1024)  # the static decode default
+    # and without a deadline the sweep measures multiple candidates
+    autotune._TABLE.clear()
+    calls.clear()
+    autotune.tune_packed(pw, M=8)
+    assert len(calls) > 3
+
+
 def test_expand_candidates():
     from gptq_tpu.ops.kernel_bench import make_random_packed
     import jax
