@@ -133,9 +133,19 @@ def main(argv=None) -> int:
     start_step = 0
     resume = latest_checkpoint(args.output_dir)
     if resume and not args.overwrite_output_dir:
-        spec, params, _ = load_checkpoint(os.path.join(resume, "model"))
+        from gptq_tpu.io import conform_params
+
+        spec, loaded, _ = load_checkpoint(os.path.join(resume, "model"))
+        # the optimizer state above was built on the LIVE params tree;
+        # conform the reloaded arrays to that exact structure (npz drops
+        # None leaves and bias normalization can add keys)
+        params = conform_params(to_flat(params), loaded)
         if pp_mesh is not None:  # checkpoints store the flat layout
             params = stack_stage_params(spec, params, args.pp, pp_mesh)
+        elif mesh is not None:
+            from gptq_tpu.parallel.mesh import shard_params as _shard
+
+            params = _shard(spec, params, mesh)
         with open(os.path.join(resume, "state.json")) as f:
             start_step = json.load(f)["step"]
         # restore optimizer state (schedule count, adafactor/adam moments,

@@ -196,3 +196,26 @@ def load_checkpoint(path: str):
     if params.get("lm_head") == {}:
         params["lm_head"] = None
     return spec, params, cfg
+
+
+def conform_params(template, loaded):
+    """Rearrange `loaded` into `template`'s exact pytree structure.
+
+    npz checkpoints cannot represent None leaves, and load_checkpoint's
+    bias normalization can introduce keys the live tree lacks (e.g.
+    "b": None on norm dicts) — either way a reloaded tree may differ
+    STRUCTURALLY from the live params it replaces, and optimizer state
+    built on the live tree then rejects it (finetune resume). Array
+    leaves come from `loaded` (by matching dict keys / list positions);
+    entries missing there fall back to the template's value."""
+    if template is None:
+        return None
+    if isinstance(template, dict):
+        ld = loaded if isinstance(loaded, dict) else {}
+        return {k: conform_params(v, ld.get(k)) for k, v in template.items()}
+    if isinstance(template, (list, tuple)):
+        lt = loaded if isinstance(loaded, (list, tuple)) else []
+        out = [conform_params(v, lt[i] if i < len(lt) else None)
+               for i, v in enumerate(template)]
+        return type(template)(out)
+    return template if loaded is None else loaded

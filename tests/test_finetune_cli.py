@@ -1,0 +1,91 @@
+"""Offline end-to-end test of the finetune driver loop (finetune_cli.main):
+dataset/tokenizer/model loading are stubbed (HF hub unreachable in CI), so
+what's exercised is the real training loop — schedule, train steps, eval,
+checkpoint save, resume with optimizer state, and the --pp pipeline path."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import jax
+
+import gptq_tpu.finetune_cli as ft_cli
+from gptq_tpu.models.common import ArchSpec, init_params
+
+
+SPEC = ArchSpec(arch="llama", n_layers=2, hidden=32, n_heads=4, n_kv_heads=4,
+                ffn=64, vocab=61, max_pos=64, norm_eps=1e-5, act="silu",
+                pos="rope", norm_type="rmsnorm", linear_bias=False,
+                tie_embeddings=False)
+
+
+class _StubTokenizer:
+    def __call__(self, text):
+        class R:
+            input_ids = list(np.random.default_rng(0).integers(
+                1, 61, size=4000))
+
+        return R()
+
+
+def _install_stubs(monkeypatch):
+    import types
+
+    monkeypatch.setattr(
+        "gptq_tpu.models.convert.params_from_dir",
+        lambda path, *a, **k: (SPEC, init_params(SPEC, jax.random.PRNGKey(0))))
+    import transformers
+
+    monkeypatch.setattr(transformers.AutoTokenizer, "from_pretrained",
+                        classmethod(lambda cls, *a, **k: _StubTokenizer()))
+
+    def fake_load_dataset(*a, **k):
+        rows = {"text": ["hello world"] * 4}
+        ds = types.SimpleNamespace(column_names=["text"])
+        return {"train": type("D", (), {"column_names": ["text"],
+                                        "__getitem__": lambda s, c: rows[c]})(),
+                "validation": type("D", (), {
+                    "column_names": ["text"],
+                    "__getitem__": lambda s, c: rows[c]})()}
+
+    import datasets
+
+    monkeypatch.setattr(datasets, "load_dataset", fake_load_dataset)
+
+
+@pytest.mark.parametrize("extra", [[], ["--pp", "2", "--pp_microbatches", "2"]])
+def test_finetune_cli_end_to_end(tmp_path, monkeypatch, extra):
+    _install_stubs(monkeypatch)
+    out = str(tmp_path / "run")
+    argv = ["--model_name_or_path", "stub", "--block_size", "16",
+            "--batch_size", "2", "--max_steps", "3", "--save_steps", "2",
+            "--eval_steps", "2", "--learning_rate", "1e-3",
+            "--lr_scheduler_type", "linear", "--warmup_steps", "1",
+            "--output_dir", out] + extra
+    assert ft_cli.main(argv) == 0
+    cks = sorted(os.listdir(out))
+    assert cks == ["checkpoint-2", "checkpoint-3"]
+    for ck in cks:
+        assert os.path.exists(os.path.join(out, ck, "model.npz")) or \
+            os.path.exists(os.path.join(out, ck, "model"))
+        assert os.path.exists(os.path.join(out, ck, "opt_state.npz"))
+        with open(os.path.join(out, ck, "state.json")) as f:
+            assert json.load(f)["step"] in (2, 3)
+
+
+def test_finetune_cli_resume(tmp_path, monkeypatch, capsys):
+    """A second invocation resumes from the saved step (and restores the
+    optimizer state) instead of restarting."""
+    _install_stubs(monkeypatch)
+    out = str(tmp_path / "run")
+    argv = ["--model_name_or_path", "stub", "--block_size", "16",
+            "--batch_size", "2", "--max_steps", "2", "--save_steps", "2",
+            "--eval_steps", "100", "--output_dir", out]
+    assert ft_cli.main(argv) == 0
+    argv2 = [a for a in argv]
+    argv2[argv2.index("--max_steps") + 1] = "4"
+    assert ft_cli.main(argv2) == 0
+    text = capsys.readouterr().out
+    assert "resumed from" in text and "at step 2" in text
+    assert "checkpoint-4" in os.listdir(out)
