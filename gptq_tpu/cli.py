@@ -163,6 +163,19 @@ def main(argv=None) -> int:
 
     import jax
 
+    # persistent compilation cache: quantize/serve/benchmark all build large
+    # programs (20-40 s compiles on a relayed chip); repeat invocations on
+    # the same model skip them. Best-effort — harmless when the backend
+    # can't serialize executables.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("GPTQ_TPU_CACHE_DIR",
+                           os.path.expanduser("~/.cache/gptq_tpu_jax")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
+
     from gptq_tpu.data import get_loaders
     from gptq_tpu.eval.ppl import eval_ppl
     from gptq_tpu.io import load_checkpoint, save_checkpoint
@@ -212,6 +225,19 @@ def main(argv=None) -> int:
     # offline without tokenizer files
     from transformers import AutoTokenizer
 
+    def _hub_reachable(timeout: float = 3.0) -> bool:
+        # cheap connectivity probe: without it, an offline host pays
+        # hf-hub's full retry backoff (~25 s per file, two files) before
+        # the tokenizer fallback kicks in
+        import socket
+
+        try:
+            socket.create_connection(("huggingface.co", 443),
+                                     timeout=timeout).close()
+            return True
+        except OSError:
+            return False
+
     try:
         # local/cached first: skips hf-hub's ~30s retry backoff when the
         # hub is unreachable (offline serving hosts)
@@ -223,16 +249,22 @@ def main(argv=None) -> int:
             # (reference: opt.py:661-702); still try the hub once so an
             # ONLINE host without a populated cache keeps its post-
             # benchmark PPL evals, but don't fail the benchmark over it
-            try:
-                tokenizer = AutoTokenizer.from_pretrained(args.model,
-                                                          use_fast=False)
-            except Exception:  # noqa: BLE001
-                tokenizer = None
+            tokenizer = None
+            if _hub_reachable():
+                try:
+                    tokenizer = AutoTokenizer.from_pretrained(args.model,
+                                                              use_fast=False)
+                except Exception:  # noqa: BLE001
+                    pass
+            if tokenizer is None:
                 print(f"tokenizer unavailable ({type(e).__name__}); "
                       f"benchmark-only run continues, PPL evals skipped")
         else:
             # calibration/eval/--task genuinely need it: let hub errors
-            # propagate
+            # propagate — but fail fast with the local-cache error when
+            # the hub is unreachable instead of retrying for a minute
+            if not _hub_reachable():
+                raise
             tokenizer = AutoTokenizer.from_pretrained(args.model,
                                                       use_fast=False)
     seqlen = spec.max_pos
