@@ -29,6 +29,10 @@ from typing import Iterable
 import numpy as np
 
 _TABLE: dict[str, tuple] = {}
+# keys whose sweep was deadline-truncated: usable for THIS process but
+# never persisted, so the next run (with fresh budget) retunes them
+# instead of being locked to a partial winner forever
+_EPHEMERAL: set[str] = set()
 _LOADED = False
 _PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "results", "autotune.json")
@@ -73,7 +77,8 @@ def _save() -> None:
     try:
         os.makedirs(os.path.dirname(_PATH), exist_ok=True)
         with open(_PATH, "w") as f:
-            json.dump({k: list(v) for k, v in _TABLE.items()}, f, indent=1)
+            json.dump({k: list(v) for k, v in _TABLE.items()
+                       if k not in _EPHEMERAL}, f, indent=1)
     except OSError:
         pass
 
@@ -147,11 +152,13 @@ def tune_packed(pw, M: int = 8, log=lambda s: None,
         default = (2048, 1024) if M <= 64 else (512, 256)
     nbytes = (pw.Kp * pw.Np * pw.bits) / 8
     results: dict[tuple[int, int], float] = {}
+    truncated = False
     for cand in dict.fromkeys([default] + CANDIDATES):
         if (deadline is not None and results
                 and time.perf_counter() > deadline):
             log(f"  {pw.K}x{pw.N}: budget deadline, "
                 f"{len(results)} candidates measured")
+            truncated = True
             break
         c = _expand(*cand, pw)
         if c is None:
@@ -196,7 +203,11 @@ def tune_packed(pw, M: int = 8, log=lambda s: None,
             best = default
     gbps = round(nbytes / results[best] / 1e9, 1)
     _TABLE[key] = (*best, gbps)
-    _save()
+    if truncated:
+        _EPHEMERAL.add(key)
+    else:
+        _EPHEMERAL.discard(key)
+        _save()
     log(f"autotune {key}: tk{best[0]} tn{best[1]} "
         f"({results[best]*1e6:.1f} us, {gbps} GB/s)")
     return best

@@ -103,3 +103,36 @@ def test_expand_candidates():
     assert autotune._expand(768, 512, pw) is None  # doesn't divide
     # VMEM budget: 4-bit words block 2*(tk/8)*tn*4 bytes
     assert autotune._expand(1024, autotune.FULL_N, pw) is not None
+
+
+def test_truncated_sweep_not_persisted(tmp_path, monkeypatch):
+    """A deadline-truncated sweep serves its partial winner to THIS
+    process but must not reach the on-disk table — otherwise a cold
+    first run locks the shape to a 1-candidate 'winner' forever."""
+    import json
+    import time
+
+    path = tmp_path / "at.json"
+    monkeypatch.setattr(autotune, "_PATH", str(path))
+    monkeypatch.setattr(autotune, "_TABLE", {})
+    monkeypatch.setattr(autotune, "_EPHEMERAL", set())
+    monkeypatch.setattr(autotune, "_LOADED", True)
+    monkeypatch.setattr(autotune, "_time_eager",
+                        lambda fn, x, iters=64, reps=3: 1e-4)
+
+    pw = _pw(K=4096, N=2048)
+    autotune.tune_packed(pw, M=8, deadline=time.perf_counter() - 1)
+    key = autotune._key(pw.K, pw.N, pw.bits, pw.groupsize, pw.fmt, 8)
+    assert key in autotune._TABLE  # in-process cache serves the winner
+    # a later full sweep on ANOTHER shape persists the table: the
+    # truncated entry must be filtered out of what lands on disk
+    pw2 = _pw(K=2048, N=1024)
+    autotune.tune_packed(pw2, M=8)
+    saved = json.loads(path.read_text())
+    assert key not in saved
+    key2 = autotune._key(pw2.K, pw2.N, pw2.bits, pw2.groupsize, pw2.fmt, 8)
+    assert key2 in saved
+    # a fresh full sweep of the truncated shape upgrades it to persistent
+    del autotune._TABLE[key]
+    autotune.tune_packed(pw, M=8)
+    assert key in json.loads(path.read_text())
