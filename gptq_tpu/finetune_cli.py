@@ -162,16 +162,33 @@ def main(argv=None) -> int:
             rng.integers(0, len(train_blocks), size=args.batch_size)
         print(f"resumed from {resume} at step {start_step}")
 
-    eval_fn = jax.jit(lambda p, b: clm_loss(spec, p, b))
-    acc_fn = jax.jit(lambda p, b: clm_accuracy(spec, p, b))
+    if pp_mesh is not None:
+        # evaluate through the stage-sharded pipeline schedule: unstacking
+        # to the flat path would gather the whole model onto one device —
+        # the exact HBM footprint --pp exists to avoid
+        from gptq_tpu.parallel.pp import make_pp_eval
+
+        pp_eval = jax.jit(make_pp_eval(spec, pp_mesh, n_micro))
+
+        def eval_pair(p, b):
+            loss, acc = pp_eval(p, b)
+            return float(loss), float(acc)
+    else:
+        eval_fn = jax.jit(lambda p, b: clm_loss(spec, p, b))
+        acc_fn = jax.jit(lambda p, b: clm_accuracy(spec, p, b))
+
+        def eval_pair(p, b):
+            return float(eval_fn(p, b)), float(acc_fn(p, b))
 
     def evaluate() -> tuple[float, float]:
         losses, accs = [], []
-        fp = to_flat(params)  # pp: one unstack, then the flat eval path
         for i in range(0, min(len(eval_blocks), 16), args.batch_size):
-            b = jnp.asarray(eval_blocks[i : i + args.batch_size])
-            losses.append(float(eval_fn(fp, b)))
-            accs.append(float(acc_fn(fp, b)))
+            b = eval_blocks[i : i + args.batch_size]
+            if pp_mesh is not None and len(b) % n_micro:
+                break  # GPipe schedule needs B % n_micro == 0; drop tail
+            loss, acc = eval_pair(params, jnp.asarray(b))
+            losses.append(loss)
+            accs.append(acc)
         return float(np.exp(np.mean(losses))), float(np.mean(accs))
 
     t0 = time.time()

@@ -124,17 +124,26 @@ def _micro_ce(spec: ArchSpec, hparams: dict, h: jax.Array,
     return jnp.mean(logz - tok)
 
 
-def make_pp_loss(spec: ArchSpec, mesh: Mesh, n_micro: int, axis: str = "pp"):
-    """loss(stacked_params, batch) with the GPipe schedule inside one
-    shard_map: n_micro + pp - 1 ticks; at tick t stage s processes
-    micro-batch t - s (stage 0 embeds micro t; the last stage scores micro
-    t - (pp-1)); activations ppermute one stage forward between ticks.
-    Warmup/drain ticks run on zero activations (their results are masked
-    out of the loss) — the standard bubble, n_micro >> pp amortizes it."""
+def _micro_acc(spec: ArchSpec, hparams: dict, h: jax.Array,
+               ids: jax.Array) -> jax.Array:
+    """Mean next-token top-1 accuracy of one micro-batch (mirrors
+    finetune.clm_accuracy)."""
+    logits = head_forward(spec, hparams, h)
+    pred = jnp.argmax(logits[:, :-1], axis=-1)
+    return jnp.mean((pred == ids[:, 1:]).astype(jnp.float32))
+
+
+def _make_pp_metrics(spec: ArchSpec, mesh: Mesh, n_micro: int, axis: str,
+                     micro_fns):
+    """Shared GPipe scheduler: fn(stacked_params, batch) -> one mean per
+    micro_fn, each micro_fn(spec, hparams, h, ids) scoring one micro-batch
+    on the last stage. make_pp_loss grads flow through this; make_pp_eval
+    reuses it with loss + accuracy."""
     pp = mesh.shape[axis]
     fwd_perm = [(i, i + 1) for i in range(pp - 1)]
+    n_out = len(micro_fns)
 
-    def loss_fn(stacked: dict, batch: jax.Array) -> jax.Array:
+    def metrics_fn(stacked: dict, batch: jax.Array) -> jax.Array:
         B, T = batch.shape
         if B % n_micro:
             raise ValueError(f"batch {B} must divide by n_micro={n_micro}")
@@ -167,28 +176,29 @@ def make_pp_loss(spec: ArchSpec, mesh: Mesh, n_micro: int, axis: str = "pp"):
                 return h
 
             def tick(carry, t):
-                recv, loss_sum = carry
+                recv, sums = carry
                 ids_in = xm[jnp.clip(t, 0, n_micro - 1)]
                 emb = embed_forward(spec, hp, ids_in, positions)
                 inp = jnp.where(s == 0, emb.astype(emb_dtype), recv)
                 h = stage_apply(inp)
                 m_out = t - (pp - 1)
                 ids_out = xm[jnp.clip(m_out, 0, n_micro - 1)]
-                lm = _micro_ce(spec, hp, h, ids_out)
+                vals = jnp.stack([fn(spec, hp, h, ids_out)
+                                  for fn in micro_fns])
                 use = jnp.logical_and(s == pp - 1, m_out >= 0)
-                loss_sum = loss_sum + jnp.where(use, lm, 0.0)
+                sums = sums + jnp.where(use, vals, 0.0)
                 sent = (jax.lax.ppermute(h, axis, fwd_perm) if pp > 1 else h)
-                return (sent, loss_sum), None
+                return (sent, sums), None
 
             # the carry is device-varying (each stage holds different
             # activations); mark the zero init as such for the VMA checker
             init = jax.lax.pcast(
                 (jnp.zeros((mb, T, spec.hidden), emb_dtype),
-                 jnp.zeros((), jnp.float32)), (axis,), to="varying")
-            (_, loss_sum), _ = jax.lax.scan(
+                 jnp.zeros((n_out,), jnp.float32)), (axis,), to="varying")
+            (_, sums), _ = jax.lax.scan(
                 tick, init, jnp.arange(n_micro + pp - 1))
             # only the last stage accumulated; psum replicates the total
-            return jax.lax.psum(loss_sum, axis) / n_micro
+            return jax.lax.psum(sums, axis) / n_micro
 
         stage_specs = jax.tree_util.tree_map(
             lambda v: None if v is None else P(axis), stacked["stages"],
@@ -204,7 +214,38 @@ def make_pp_loss(spec: ArchSpec, mesh: Mesh, n_micro: int, axis: str = "pp"):
         )(stacked["stages"], stacked["embed"], stacked["final_ln"],
           stacked["lm_head"], x)
 
+    return metrics_fn
+
+
+def make_pp_loss(spec: ArchSpec, mesh: Mesh, n_micro: int, axis: str = "pp"):
+    """loss(stacked_params, batch) with the GPipe schedule inside one
+    shard_map: n_micro + pp - 1 ticks; at tick t stage s processes
+    micro-batch t - s (stage 0 embeds micro t; the last stage scores micro
+    t - (pp-1)); activations ppermute one stage forward between ticks.
+    Warmup/drain ticks run on zero activations (their results are masked
+    out of the loss) — the standard bubble, n_micro >> pp amortizes it."""
+    metrics = _make_pp_metrics(spec, mesh, n_micro, axis, (_micro_ce,))
+
+    def loss_fn(stacked: dict, batch: jax.Array) -> jax.Array:
+        return metrics(stacked, batch)[0]
+
     return loss_fn
+
+
+def make_pp_eval(spec: ArchSpec, mesh: Mesh, n_micro: int, axis: str = "pp"):
+    """eval(stacked_params, batch) -> (mean CE loss, mean top-1 accuracy)
+    through the same stage-sharded GPipe schedule as training — each device
+    only ever holds its own stage's layers, so evaluation fits in the same
+    HBM budget the pipeline was chosen for (never gathers the full model
+    onto one device)."""
+    metrics = _make_pp_metrics(spec, mesh, n_micro, axis,
+                               (_micro_ce, _micro_acc))
+
+    def eval_fn(stacked: dict, batch: jax.Array):
+        out = metrics(stacked, batch)
+        return out[0], out[1]
+
+    return eval_fn
 
 
 def make_pp_train_step(spec: ArchSpec,

@@ -142,3 +142,21 @@ def test_pp_eval_logits_via_unstack():
     got, _ = model_forward(SPEC, flat, ids)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pp_eval_matches_flat():
+    """make_pp_eval (stage-sharded loss + accuracy, never gathering the
+    full model onto one device) matches the flat clm_loss/clm_accuracy."""
+    from gptq_tpu.finetune import clm_accuracy
+    from gptq_tpu.parallel.pp import make_pp_eval
+
+    params = init_params(SPEC, jax.random.PRNGKey(9))
+    batch = _batch(SPEC, B=4, T=16, seed=11)
+    want_loss = float(clm_loss(SPEC, params, batch))
+    want_acc = float(clm_accuracy(SPEC, params, batch))
+
+    mesh = make_pp_mesh(2)
+    stacked = stack_stage_params(SPEC, params, 2, mesh)
+    loss, acc = jax.jit(make_pp_eval(SPEC, mesh, n_micro=2))(stacked, batch)
+    assert abs(float(loss) - want_loss) < 5e-5, (float(loss), want_loss)
+    assert abs(float(acc) - want_acc) < 1e-6, (float(acc), want_acc)
