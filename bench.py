@@ -182,21 +182,14 @@ def _retry(fn, attempts: int = 2):
 def main():
     spec = llama7b_spec()
     try:
-        import jax
-
         # persistent compilation cache: the benchmark builds ~14 large
         # programs (6 serving configs x 2 chain lengths + baseline + tuner
-        # candidates); on a cold machine the compiles dominate the run.
-        # Executables round-trip through the cache across processes, so a
+        # candidates); on a cold machine the compiles dominate the run, a
         # re-run (or the driver's round-end run after a warmup run) skips
-        # them. Best-effort: harmless when the backend can't serialize.
-        try:
-            jax.config.update("jax_compilation_cache_dir",
-                              "/root/.cache/gptq_tpu_jax")
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              1.0)
-        except Exception:  # noqa: BLE001
-            pass
+        # them
+        from gptq_tpu.io import enable_compilation_cache
+
+        enable_compilation_cache()
         import jax.numpy as jnp
 
         params_q = synth_packed_params(spec, bits=4)

@@ -163,22 +163,12 @@ def main(argv=None) -> int:
 
     import jax
 
-    # persistent compilation cache: quantize/serve/benchmark all build large
-    # programs (20-40 s compiles on a relayed chip); repeat invocations on
-    # the same model skip them. Best-effort — harmless when the backend
-    # can't serialize executables.
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("GPTQ_TPU_CACHE_DIR",
-                           os.path.expanduser("~/.cache/gptq_tpu_jax")))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:  # noqa: BLE001
-        pass
-
     from gptq_tpu.data import get_loaders
     from gptq_tpu.eval.ppl import eval_ppl
-    from gptq_tpu.io import load_checkpoint, save_checkpoint
+    from gptq_tpu.io import (enable_compilation_cache, load_checkpoint,
+                             save_checkpoint)
+
+    enable_compilation_cache()
     from gptq_tpu.models.convert import params_from_dir
 
     cfg = config_from_args(args)
@@ -228,12 +218,20 @@ def main(argv=None) -> int:
     def _hub_reachable(timeout: float = 3.0) -> bool:
         # cheap connectivity probe: without it, an offline host pays
         # hf-hub's full retry backoff (~25 s per file, two files) before
-        # the tokenizer fallback kicks in
+        # the tokenizer fallback kicks in. A raw socket doesn't see
+        # proxies, so when a proxy or hub mirror is configured trust it
+        # and let hf-hub try (requests honors HTTPS_PROXY; we can't).
         import socket
+        from urllib.parse import urlparse
 
+        for var in ("HTTPS_PROXY", "https_proxy", "ALL_PROXY", "all_proxy"):
+            if os.environ.get(var):
+                return True
+        host = urlparse(
+            os.environ.get("HF_ENDPOINT") or "https://huggingface.co"
+        ).hostname or "huggingface.co"
         try:
-            socket.create_connection(("huggingface.co", 443),
-                                     timeout=timeout).close()
+            socket.create_connection((host, 443), timeout=timeout).close()
             return True
         except OSError:
             return False

@@ -26,6 +26,27 @@ from gptq_tpu.models.common import ArchSpec
 from gptq_tpu.ops.pack import PackedWeight
 
 
+def enable_compilation_cache() -> None:
+    """Opt into jax's persistent compilation cache.
+
+    The CLI, bench.py and finetune driver all build large programs (20-40 s
+    compiles each on a relayed chip); executables round-trip through the
+    cache across processes, so repeat invocations on the same model/shapes
+    skip them. Directory comes from GPTQ_TPU_CACHE_DIR (default
+    ~/.cache/gptq_tpu_jax). Best-effort: harmless when the backend cannot
+    serialize executables."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("GPTQ_TPU_CACHE_DIR",
+                           os.path.expanduser("~/.cache/gptq_tpu_jax")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def _flatten(tree, prefix="", out=None, meta=None):
     out = {} if out is None else out
     meta = {} if meta is None else meta
@@ -198,7 +219,7 @@ def load_checkpoint(path: str):
     return spec, params, cfg
 
 
-def conform_params(template, loaded):
+def conform_params(template, loaded, strict: bool = True):
     """Rearrange `loaded` into `template`'s exact pytree structure.
 
     npz checkpoints cannot represent None leaves, and load_checkpoint's
@@ -207,15 +228,65 @@ def conform_params(template, loaded):
     STRUCTURALLY from the live params it replaces, and optimizer state
     built on the live tree then rejects it (finetune resume). Array
     leaves come from `loaded` (by matching dict keys / list positions);
-    entries missing there fall back to the template's value."""
-    if template is None:
-        return None
-    if isinstance(template, dict):
-        ld = loaded if isinstance(loaded, dict) else {}
-        return {k: conform_params(v, ld.get(k)) for k, v in template.items()}
-    if isinstance(template, (list, tuple)):
-        lt = loaded if isinstance(loaded, (list, tuple)) else []
-        out = [conform_params(v, lt[i] if i < len(lt) else None)
-               for i, v in enumerate(template)]
-        return type(template)(out)
-    return template if loaded is None else loaded
+    None/absent entries fall back to the template's value.
+
+    Substituting a REAL array leaf from the template means the checkpoint
+    is missing trained weights (wrong config for this --output_dir,
+    truncated file): resuming from such a chimera of trained and random
+    weights silently corrupts training, so with strict=True (default)
+    that raises; strict=False downgrades it to a one-line warning listing
+    the substituted paths."""
+    subs: list[str] = []
+    dropped: list[str] = []
+
+    def count_leaves(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                count_leaves(v, f"{path}.{k}")
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                count_leaves(v, f"{path}[{i}]")
+        elif node is not None:
+            dropped.append(path.lstrip("."))
+
+    def go(template, loaded, path):
+        if template is None:
+            count_leaves(loaded, path)
+            return None
+        if isinstance(template, dict):
+            ld = loaded if isinstance(loaded, dict) else {}
+            for k in ld:
+                if k not in template:
+                    count_leaves(ld[k], f"{path}.{k}")
+            return {k: go(v, ld.get(k), f"{path}.{k}")
+                    for k, v in template.items()}
+        if isinstance(template, (list, tuple)):
+            lt = loaded if isinstance(loaded, (list, tuple)) else []
+            for i in range(len(template), len(lt)):
+                count_leaves(lt[i], f"{path}[{i}]")
+            return type(template)(
+                [go(v, lt[i] if i < len(lt) else None, f"{path}[{i}]")
+                 for i, v in enumerate(template)])
+        if loaded is None:
+            subs.append(path.lstrip("."))
+            return template
+        return loaded
+
+    out = go(template, loaded, "")
+    problems = []
+    if subs:
+        head = ", ".join(subs[:5]) + (" …" if len(subs) > 5 else "")
+        problems.append(f"missing {len(subs)} weight leaves the live model "
+                        f"has ({head})")
+    if dropped:
+        head = ", ".join(dropped[:5]) + (" …" if len(dropped) > 5 else "")
+        problems.append(f"carries {len(dropped)} weight leaves the live "
+                        f"model lacks ({head})")
+    if problems:
+        msg = ("checkpoint " + " and ".join(problems)
+               + " — structure mismatch (different model config, or a "
+                 "truncated file)")
+        if strict:
+            raise ValueError(msg)
+        print(f"WARNING: {msg}")
+    return out

@@ -87,3 +87,49 @@ def test_dense_checkpoint_roundtrip(tmp_path):
     spec2, params2, _ = load_checkpoint(path)
     got, _ = model_forward(spec2, params2, ids)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+
+def test_conform_params_fills_none_leaves_silently():
+    """The legitimate conform case: npz checkpoints drop None leaves (no
+    linear biases), so the loaded tree lacks keys whose template value is
+    None — that must pass without complaint."""
+    from gptq_tpu.io import conform_params
+
+    template = {"layers": [{"w": np.ones((2, 2)), "b": None}],
+                "final_ln": None}
+    loaded = {"layers": [{"w": np.zeros((2, 2))}]}
+    out = conform_params(template, loaded)
+    np.testing.assert_array_equal(out["layers"][0]["w"], np.zeros((2, 2)))
+    assert out["layers"][0]["b"] is None
+    assert out["final_ln"] is None
+
+
+def test_conform_params_missing_weights_raise():
+    """A checkpoint missing REAL array leaves (wrong config for this
+    output_dir, truncated file) must fail loudly instead of silently
+    resuming from a chimera of trained and random weights."""
+    import pytest
+
+    from gptq_tpu.io import conform_params
+
+    template = {"layers": [{"w": np.ones(2)}, {"w": np.ones(2)}]}
+    loaded = {"layers": [{"w": np.zeros(2)}]}  # one layer short
+    with pytest.raises(ValueError, match="missing 1 weight"):
+        conform_params(template, loaded)
+    # strict=False downgrades to a warning and substitutes live values
+    out = conform_params(template, loaded, strict=False)
+    np.testing.assert_array_equal(out["layers"][1]["w"], np.ones(2))
+
+
+def test_conform_params_extra_weights_raise():
+    """The reverse mismatch — the checkpoint carries weights the live
+    model lacks (e.g. more layers) — is equally a wrong-config resume."""
+    import pytest
+
+    from gptq_tpu.io import conform_params
+
+    template = {"layers": [{"w": np.ones(2)}]}
+    loaded = {"layers": [{"w": np.zeros(2)}, {"w": np.zeros(2)}],
+              "extra_head": np.zeros(3)}
+    with pytest.raises(ValueError, match="lacks"):
+        conform_params(template, loaded)
