@@ -450,6 +450,7 @@ def block_forward(
     capture: bool = False,
     tp_axis: str | None = None,
     rope: tuple[jax.Array, jax.Array] | None = None,  # hoisted (cos, sin)
+    attn_fn=None,  # replaces attention() (sequence-parallel ring attention)
 ):
     """One decoder block. Returns (out, new_kv, captures).
 
@@ -466,8 +467,9 @@ def block_forward(
     B, T, _ = x.shape
 
     residual = x
-    layer_a8 = _layer_fusion_ok(spec, p, tp_axis, captures, B, T,
-                                cache, cache_len)
+    layer_a8 = (None if attn_fn is not None else
+                _layer_fusion_ok(spec, p, tp_axis, captures, B, T,
+                                 cache, cache_len))
     if layer_a8 is not None:
         # the whole decoder layer in ONE launch (ln1 + qkv + rope +
         # attention + o + ln2 + mlp + residuals; ops/layer_fused.py);
@@ -572,7 +574,8 @@ def block_forward(
                 cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
         if ks is not None:
             new_kv = (ck, cv, ks, vs)
-            if T == 1 and spec.pos != "alibi" and _attn_int8_impl():
+            if (T == 1 and spec.pos != "alibi" and attn_fn is None
+                    and _attn_int8_impl()):
                 # fused int8-cache decode attention: the kernel consumes
                 # int8 slabs + scales directly — half the cache read
                 # bandwidth of the materialized path below
@@ -590,7 +593,8 @@ def block_forward(
             v_all = cv.astype(jnp.float32) * vs[..., None]
         else:
             new_kv = (ck, cv)
-            if T == 1 and spec.pos != "alibi" and _attn_bf16_impl():
+            if (T == 1 and spec.pos != "alibi" and attn_fn is None
+                    and _attn_bf16_impl()):
                 # bf16/f32 cache decode through the same flash-style
                 # kernel. OPT-IN ONLY (GPTQ_TPU_ATTN_IMPL=kernel): the
                 # kernel wins standalone (18 vs 24.5 us at S=256, 77 vs
@@ -613,8 +617,9 @@ def block_forward(
         k_all, v_all = k, v
         new_kv = None
 
-    attn = attention(spec, q, k_all, v_all, mask,
-                     plain_causal=cache is None and spec.pos != "alibi")
+    attn = (attn_fn or attention)(
+        spec, q, k_all, v_all, mask,
+        plain_causal=cache is None and spec.pos != "alibi")
     return _finish_block(spec, p, residual, attn, captures, tp_axis, new_kv)
 
 

@@ -1,0 +1,182 @@
+"""Sequence (context) parallelism: long-prompt prefill with the sequence
+dimension sharded over an "sp" mesh axis and ring attention over ICI.
+
+The reference has no answer to prompts whose activations exceed one
+device's HBM — its multi-GPU path moves whole LAYERS between GPUs
+(reference: opt.py:404-438 `opt_multigpu`), which caps sequence length at
+what one device can hold. Here each device holds a contiguous 1/sp slice
+of the prompt: every positionwise stage (norms, qkv/o projections, FFN —
+all weights replicated) runs on the local slice directly, and attention
+runs as a ring — each device computes online-softmax partial attention of
+its query chunk against the key/value chunk it currently holds, then
+passes that chunk to its neighbour with `jax.lax.ppermute`, sp hops total
+(Liu et al., "Ring Attention with Blockwise Transformers", 2023). XLA
+overlaps each hop's collective with the next partial-attention compute.
+
+Activation memory per device drops by sp (the (H, Tc, T) score blocks
+never materialize globally), so max prompt length scales linearly with
+devices — the TPU-native capacity story for prefill, complementing
+parallel/tp.py (weights) and parallel/pp.py (layers).
+
+Output: full logits plus a KVCache holding the prompt's keys/values
+(chunks gathered over the axis), ready for token-by-token decode.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gptq_tpu.models.common import (ArchSpec, KVCache, alibi_slopes,
+                                    block_forward, embed_forward,
+                                    head_forward, rope_tables)
+from gptq_tpu.parallel.pp import _stack_trees
+
+
+def make_sp_mesh(sp: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if len(devices) < sp:
+        raise ValueError(f"need {sp} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:sp]), ("sp",))
+
+
+def _ring_attention(spec: ArchSpec, q, k, v, my_chunk, sp: int, axis: str):
+    """Online-softmax attention of the local query chunk against all sp
+    key/value chunks, visited in ring order (device d holds chunk
+    (my_chunk - r) mod sp at hop r). Fully-future chunks are computed but
+    masked to zero probability — uniform compute keeps the ring in one
+    lax.scan. Returns (B, Tc, H*hd) like attention()."""
+    B, Tc, H, hd = q.shape
+    kvh = k.shape[2]
+    if kvh != H:  # GQA: replicate kv heads before the ring
+        rep = H // kvh
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    qf = q.astype(jnp.float32) * spec.scale
+    q_pos = (my_chunk * Tc + jnp.arange(Tc))[:, None]  # (Tc, 1) global
+    slopes = (jnp.asarray(alibi_slopes(spec.n_heads), jnp.float32)
+              if spec.pos == "alibi" else None)
+    perm = [(d, (d + 1) % sp) for d in range(sp)]
+
+    def hop(carry, r):
+        kc, vc, m, l, acc = carry
+        j = (my_chunk - r) % sp  # chunk id currently held
+        scores = jnp.einsum("bthd,bshd->bhts", qf, kc.astype(jnp.float32))
+        k_pos = (j * Tc + jnp.arange(Tc))[None, :]  # (1, Tc) global
+        allowed = k_pos <= q_pos  # (Tc, Tc) causal on global positions
+        if slopes is not None:  # HF BLOOM convention: slope * (kpos - qpos)
+            scores = scores + (slopes[:, None, None]
+                               * (k_pos - q_pos).astype(jnp.float32)[None])
+        # explicit zeroing of masked probabilities: additive -inf under a
+        # running max would let fully-masked chunks contribute exp(0)=1
+        scores = jnp.where(allowed[None, None], scores, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(scores, axis=-1))  # (B, H, Tc)
+        # rows with nothing allowed yet keep m = -1e30; shift scores by a
+        # FINITE max so exp never sees inf - inf
+        shift = jnp.maximum(m_new, -1e30)
+        p = jnp.where(allowed[None, None],
+                      jnp.exp(scores - shift[..., None]), 0.0)
+        alpha = jnp.exp(jnp.maximum(m, -1e30) - shift)  # (B, H, Tc)
+        l = l * alpha + jnp.sum(p, axis=-1)
+        acc = acc * alpha[..., None] + jnp.einsum("bhts,bshd->bhtd", p,
+                                                  vc.astype(jnp.float32))
+        if sp > 1:
+            kc = jax.lax.ppermute(kc, axis, perm)
+            vc = jax.lax.ppermute(vc, axis, perm)
+        return (kc, vc, m_new, l, acc), None
+
+    init = (k, v,
+            jnp.full((B, H, Tc), -jnp.inf, jnp.float32),
+            jnp.zeros((B, H, Tc), jnp.float32),
+            jnp.zeros((B, H, Tc, hd), jnp.float32))
+    (_, _, _, l, acc), _ = jax.lax.scan(hop, init, jnp.arange(sp))
+    out = acc / l[..., None]  # every row has >= 1 allowed key (itself)
+    return out.transpose(0, 2, 1, 3).reshape(B, Tc, H * hd).astype(q.dtype)
+
+
+def make_sp_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
+                    axis: str = "sp", cache_dtype=jnp.bfloat16,
+                    max_len: int | None = None):
+    """prefill(ids) -> (logits (B, T, vocab), KVCache filled to length T).
+
+    `ids` is the full (B, T) prompt with T divisible by sp; weights
+    replicate, activations shard over `axis` along T. The returned cache's
+    planes are (L, B, max_len or T, kvh, hd) — size max_len above T to
+    leave room for decode appends; pass the cache to model_forward (or
+    device_put to parallel.tp.cache_pspec) to continue decoding.
+    """
+    sp = mesh.shape[axis]
+    stacked = _stack_trees(params["layers"])
+    hp = {"embed": params["embed"], "final_ln": params.get("final_ln"),
+          "lm_head": params.get("lm_head")}
+    rep_sh = NamedSharding(mesh, P())
+
+    def shmap_body(layers, embed, final_ln, lm_head, ids_local):
+        my_chunk = jax.lax.axis_index(axis)
+        B, Tc = ids_local.shape
+        positions = (my_chunk * Tc
+                     + jnp.broadcast_to(jnp.arange(Tc), (B, Tc)))
+        hparams = {"embed": embed, "final_ln": final_ln, "lm_head": lm_head}
+        rope = rope_tables(spec, positions) if spec.pos == "rope" else None
+
+        cell = {}
+
+        def ring_attn(spec_, q, k, v, mask, plain_causal=False):
+            cell["kv"] = (k, v)  # pre-GQA-replication chunk for the cache
+            return _ring_attention(spec_, q, k, v, my_chunk, sp, axis)
+
+        h = embed_forward(spec, hparams, ids_local, positions)
+
+        def body(hc, lp):
+            out, _, _ = block_forward(spec, lp, hc, positions=positions,
+                                      mask=None, rope=rope,
+                                      attn_fn=ring_attn)
+            return out.astype(hc.dtype), cell.pop("kv")
+
+        h, (ks, vs) = jax.lax.scan(body, h, layers)
+        logits = head_forward(spec, hparams, h)
+        return logits, ks, vs  # ks/vs: (L, B, Tc, kvh, hd) local chunks
+
+    layer_specs = jax.tree_util.tree_map(
+        lambda v: None if v is None else P(), stacked,
+        is_leaf=lambda v: v is None)
+    rep = jax.tree_util.tree_map(
+        lambda v: None if v is None else P(),
+        (hp["embed"], hp["final_ln"], hp["lm_head"]),
+        is_leaf=lambda v: v is None)
+    fwd = shard_map(
+        shmap_body, mesh=mesh,
+        in_specs=(layer_specs, *rep, P(None, axis)),
+        out_specs=(P(None, axis), P(None, None, axis), P(None, None, axis)),
+        check_vma=False,
+    )
+    stacked = jax.tree_util.tree_map(
+        lambda v: None if v is None else jax.device_put(v, rep_sh),
+        stacked, is_leaf=lambda v: v is None)
+
+    def prefill(ids: jax.Array):
+        B, T = ids.shape
+        if T % sp:
+            raise ValueError(f"prompt length {T} must divide by sp={sp}")
+        if T > spec.max_pos:
+            raise ValueError(f"prompt length {T} > max_pos={spec.max_pos}")
+        logits, ks, vs = fwd(stacked, hp["embed"], hp["final_ln"],
+                             hp["lm_head"], ids)
+        ks, vs = ks.astype(cache_dtype), vs.astype(cache_dtype)
+        if max_len is not None:  # room for decode appends
+            if max_len < T:
+                raise ValueError(f"max_len={max_len} < prompt length {T}")
+            pad = [(0, 0), (0, 0), (0, max_len - T), (0, 0), (0, 0)]
+            ks, vs = jnp.pad(ks, pad), jnp.pad(vs, pad)
+        cache = KVCache(k=ks, v=vs, length=jnp.asarray(T, jnp.int32),
+                        k_scale=None, v_scale=None)
+        return logits, cache
+
+    return jax.jit(prefill), fwd

@@ -334,3 +334,29 @@ def test_clm_accuracy_metric():
     batch = jnp.asarray(np.random.default_rng(10).integers(0, 97, size=(2, 16)))
     acc = float(clm_accuracy(SPEC, params, batch))
     assert 0.0 <= acc <= 1.0
+
+
+def test_shardmap_tp_prefill_then_decode_matches_single():
+    """Serving under TP: one multi-token PREFILL dispatch fills the
+    sharded cache (model_forward appends T tokens at cache.length), then
+    single-token decode continues — no token-by-token prompt loop."""
+    from gptq_tpu.models.common import KVCache
+    from gptq_tpu.parallel.tp import make_tp_decode_step
+
+    params = init_params(SPEC, jax.random.PRNGKey(21))
+    mesh = make_mesh(tp=2, dp=1)
+    local, step = make_tp_decode_step(SPEC, params, mesh)
+
+    prompt = jnp.asarray([[3, 1, 4, 1, 5, 9]])
+    tok = jnp.asarray([[2]])
+    cache = KVCache.init(SPEC, 1, 16, jnp.float32)
+    logits_tp, cache_tp = step(local, cache, prompt)
+    logits2_tp, _ = step(local, cache_tp, tok)
+
+    c1 = KVCache.init(SPEC, 1, 16, jnp.float32)
+    want, c1 = model_forward(SPEC, params, prompt, c1)
+    want2, _ = model_forward(SPEC, params, tok, c1)
+    np.testing.assert_allclose(np.asarray(logits_tp),
+                               np.asarray(want[:, -1]), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(logits2_tp),
+                               np.asarray(want2[:, -1]), rtol=2e-3, atol=2e-3)
