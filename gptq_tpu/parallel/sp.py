@@ -34,9 +34,9 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from gptq_tpu.models.common import (ArchSpec, KVCache, alibi_slopes,
-                                    block_forward, embed_forward,
-                                    head_forward, rope_tables)
+from gptq_tpu.models.common import (ArchSpec, KVCache, _local_slopes,
+                                    alibi_slopes, block_forward,
+                                    embed_forward, head_forward, rope_tables)
 from gptq_tpu.parallel.pp import _stack_trees
 
 
@@ -47,12 +47,15 @@ def make_sp_mesh(sp: int, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:sp]), ("sp",))
 
 
-def _ring_attention(spec: ArchSpec, q, k, v, my_chunk, sp: int, axis: str):
+def _ring_attention(spec: ArchSpec, q, k, v, my_chunk, sp: int, axis: str,
+                    slopes=None):
     """Online-softmax attention of the local query chunk against all sp
     key/value chunks, visited in ring order (device d holds chunk
     (my_chunk - r) mod sp at hop r). Fully-future chunks are computed but
     masked to zero probability — uniform compute keeps the ring in one
-    lax.scan. Returns (B, Tc, H*hd) like attention()."""
+    lax.scan. `slopes` carries this shard's alibi slopes (length = local
+    head count; required when spec.pos == "alibi"). Returns (B, Tc, H*hd)
+    like attention()."""
     B, Tc, H, hd = q.shape
     kvh = k.shape[2]
     if kvh != H:  # GQA: replicate kv heads before the ring
@@ -61,8 +64,6 @@ def _ring_attention(spec: ArchSpec, q, k, v, my_chunk, sp: int, axis: str):
         v = jnp.repeat(v, rep, axis=2)
     qf = q.astype(jnp.float32) * spec.scale
     q_pos = (my_chunk * Tc + jnp.arange(Tc))[:, None]  # (Tc, 1) global
-    slopes = (jnp.asarray(alibi_slopes(spec.n_heads), jnp.float32)
-              if spec.pos == "alibi" else None)
     perm = [(d, (d + 1) % sp) for d in range(sp)]
 
     def hop(carry, r):
@@ -127,10 +128,13 @@ def make_sp_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
         rope = rope_tables(spec, positions) if spec.pos == "rope" else None
 
         cell = {}
+        slopes = (jnp.asarray(alibi_slopes(spec.n_heads), jnp.float32)
+                  if spec.pos == "alibi" else None)
 
         def ring_attn(spec_, q, k, v, mask, plain_causal=False):
             cell["kv"] = (k, v)  # pre-GQA-replication chunk for the cache
-            return _ring_attention(spec_, q, k, v, my_chunk, sp, axis)
+            return _ring_attention(spec_, q, k, v, my_chunk, sp, axis,
+                                   slopes=slopes)
 
         h = embed_forward(spec, hparams, ids_local, positions)
 
@@ -180,3 +184,90 @@ def make_sp_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
         return logits, cache
 
     return jax.jit(prefill), fwd
+
+
+def make_sp_tp_mesh(sp: int, tp: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if len(devices) < sp * tp:
+        raise ValueError(f"need {sp * tp} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:sp * tp]).reshape(sp, tp), ("sp", "tp"))
+
+
+def make_sp_tp_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
+                       sp_axis: str = "sp", tp_axis: str = "tp",
+                       cache_dtype=jnp.bfloat16, max_len: int | None = None,
+                       fuse: bool = False, a8: bool = False):
+    """prefill(ids) -> (logits, KVCache) on a 2-D (sp, tp) mesh: the prompt
+    shards over `sp_axis` (ring attention between chunks) AND the weights
+    shard over `tp_axis` (Megatron column/row shards via
+    parallel.tp.tp_local_view, one psum per residual projection) — long
+    prompts and weights too large per device compose in one program.
+    Activation memory per device drops by sp and weight memory by tp; the
+    tp axis rides the inner (fastest) ICI dimension by construction of
+    make_sp_tp_mesh. Packed weights, serve-time q/k/v + gate/up fusion
+    (fuse=True) and dynamic int8 activations (a8=True) follow the same
+    rules as make_tp_decode_step. The returned cache is global (gathered
+    over both axes) — device_put it to parallel.tp.cache_pspec to continue
+    decoding under shard_map TP."""
+    from gptq_tpu.parallel.tp import tp_local_view
+
+    sp = mesh.shape[sp_axis]
+    tp = mesh.shape[tp_axis]
+    local, pspecs = tp_local_view(spec, params, tp, tp_axis,
+                                  fuse=fuse, a8=a8)
+
+    def shmap_body(p, ids_local):
+        my_chunk = jax.lax.axis_index(sp_axis)
+        B, Tc = ids_local.shape
+        positions = (my_chunk * Tc
+                     + jnp.broadcast_to(jnp.arange(Tc), (B, Tc)))
+        rope = rope_tables(spec, positions) if spec.pos == "rope" else None
+        slopes = (_local_slopes(spec, tp_axis, tp)
+                  if spec.pos == "alibi" else None)
+
+        cell = {}
+
+        def ring_attn(spec_, q, k, v, mask, plain_causal=False):
+            cell["kv"] = (k, v)  # local kv heads, pre-GQA-replication
+            return _ring_attention(spec_, q, k, v, my_chunk, sp, sp_axis,
+                                   slopes=slopes)
+
+        h = embed_forward(spec, p, ids_local, positions)
+        ks, vs = [], []
+        for bp in p["layers"]:
+            h, _, _ = block_forward(spec, bp, h, positions=positions,
+                                    mask=None, rope=rope, tp_axis=tp_axis,
+                                    attn_fn=ring_attn)
+            kc, vc = cell.pop("kv")
+            ks.append(kc)
+            vs.append(vc)
+        logits = head_forward(spec, p, h, tp_axis=tp_axis)
+        # (L, B, Tc, kvh/tp, hd) local chunks
+        return logits, jnp.stack(ks), jnp.stack(vs)
+
+    fwd = shard_map(
+        shmap_body, mesh=mesh,
+        in_specs=(pspecs, P(None, sp_axis)),
+        out_specs=(P(None, sp_axis),
+                   P(None, None, sp_axis, tp_axis),
+                   P(None, None, sp_axis, tp_axis)),
+        check_vma=False,
+    )
+
+    def prefill(ids: jax.Array):
+        B, T = ids.shape
+        if T % sp:
+            raise ValueError(f"prompt length {T} must divide by sp={sp}")
+        if T > spec.max_pos:
+            raise ValueError(f"prompt length {T} > max_pos={spec.max_pos}")
+        logits, ks, vs = fwd(local, ids)
+        ks, vs = ks.astype(cache_dtype), vs.astype(cache_dtype)
+        if max_len is not None:
+            if max_len < T:
+                raise ValueError(f"max_len={max_len} < prompt length {T}")
+            pad = [(0, 0), (0, 0), (0, max_len - T), (0, 0), (0, 0)]
+            ks, vs = jnp.pad(ks, pad), jnp.pad(vs, pad)
+        return logits, KVCache(k=ks, v=vs, length=jnp.asarray(T, jnp.int32),
+                               k_scale=None, v_scale=None)
+
+    return jax.jit(prefill), local

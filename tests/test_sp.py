@@ -88,3 +88,76 @@ def test_sp_prefill_rejects_bad_lengths():
         prefill(_ids(SPEC, T=9))
     with pytest.raises(ValueError, match="max_pos"):
         prefill(_ids(SPEC, T=128))
+
+
+@pytest.mark.parametrize("spec", [SPEC, BLOOM_SPEC])
+def test_sp_tp_prefill_matches_flat(spec):
+    """2-D composition: prompt sharded over sp AND weights over tp in one
+    program (ring attention between chunks, Megatron col/row shards with
+    psum epilogues inside them). Logits and the gathered cache must match
+    the flat forward; BLOOM checks the per-tp-shard alibi slope slice."""
+    from gptq_tpu.parallel.sp import make_sp_tp_mesh, make_sp_tp_prefill
+
+    params = init_params(spec, jax.random.PRNGKey(6))
+    ids = _ids(spec, B=2, T=16, seed=7)
+    want, ref_cache = model_forward(
+        spec, params, ids, KVCache.init(spec, 2, 16, jnp.float32))
+
+    mesh = make_sp_tp_mesh(sp=2, tp=2)
+    prefill, _ = make_sp_tp_prefill(spec, params, mesh,
+                                    cache_dtype=jnp.float32)
+    got, cache = prefill(ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(cache.k), np.asarray(ref_cache.k),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(cache.v), np.asarray(ref_cache.v),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_sp_tp_packed_fused_prefill_then_tp_decode():
+    """The full long-context serving flow on one 2-D mesh family: packed
+    act-order weights with q/k/v + gate/up fusion and dynamic int8
+    activations prefill under sp x tp, then shard_map TP decode continues
+    from the sp-built cache. Tokens must match the single-device stream."""
+    from gptq_tpu.models.common import fuse_serving
+    from gptq_tpu.parallel.sp import make_sp_tp_mesh, make_sp_tp_prefill
+    from gptq_tpu.parallel.tp import make_tp_decode_step
+    from test_parallel import _packed_serving_model
+
+    spec, params = _packed_serving_model(act_order=True)
+    ids = _ids(spec, B=1, T=8, seed=9)
+    tok = jnp.asarray([[5]])
+
+    single = fuse_serving(spec, params, a8=True)
+    c_ref = KVCache.init(spec, 1, 16, jnp.float32)
+    ref_pre, c_ref = model_forward(spec, single, ids, c_ref)
+    want, _ = model_forward(spec, single, tok, c_ref)
+
+    mesh = make_sp_tp_mesh(sp=2, tp=2)
+    prefill, _ = make_sp_tp_prefill(spec, params, mesh, fuse=True, a8=True,
+                                    cache_dtype=jnp.float32, max_len=16)
+    got_pre, cache = prefill(ids)
+    # per-shard int8 activation scales differ from the full-row grid at
+    # rounding level; tokens must agree
+    rel = (np.abs(np.asarray(got_pre) - np.asarray(ref_pre)).max()
+           / np.abs(np.asarray(ref_pre)).max())
+    assert rel < 0.05, rel
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(got_pre[:, -1], -1)),
+        np.asarray(jnp.argmax(ref_pre[:, -1], -1)))
+
+    tp_mesh = make_mesh_tp2()
+    local, step = make_tp_decode_step(spec, params, tp_mesh,
+                                      fuse=True, a8=True)
+    # the prefill cache lives on the 4-device sp x tp mesh; reshard onto
+    # the decode mesh (on a pod this is the prefill->decode handoff)
+    cache = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), cache)
+    logits, _ = step(local, cache, tok)
+    assert int(jnp.argmax(logits)) == int(jnp.argmax(want[:, -1]))
+
+
+def make_mesh_tp2():
+    from gptq_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(tp=2, dp=1)
