@@ -53,6 +53,11 @@ class ArchSpec:
     linear_bias: bool = True  # per-block linears have bias terms
     # projections between embed dim and hidden (OPT project_in/out)
     word_embed_dim: int = -1  # -1 -> = hidden
+    # mixture-of-experts (Mixtral-style routed GLU FFN; llama-family only).
+    # 0 = dense FFN. See models/moe.py for the dispatch formulation.
+    n_experts: int = 0
+    expert_top_k: int = 2
+    expert_capacity: float = 1.25  # capacity factor (static per-expert slots)
 
     @property
     def kv_heads(self) -> int:
@@ -451,6 +456,8 @@ def block_forward(
     tp_axis: str | None = None,
     rope: tuple[jax.Array, jax.Array] | None = None,  # hoisted (cos, sin)
     attn_fn=None,  # replaces attention() (sequence-parallel ring attention)
+    ep_axis: str | None = None,  # expert-parallel axis (MoE layers)
+    ep_size: int = 1,
 ):
     """One decoder block. Returns (out, new_kv, captures).
 
@@ -588,7 +595,7 @@ def block_forward(
                     interpret=_attn_int8_impl() == "interpret")
                 attn = out.reshape(B, 1, -1).astype(x.dtype)
                 return _finish_block(spec, p, x, attn, captures, tp_axis,
-                                     new_kv)
+                                     new_kv, ep_axis, ep_size)
             k_all = ck.astype(jnp.float32) * ks[..., None]
             v_all = cv.astype(jnp.float32) * vs[..., None]
         else:
@@ -611,7 +618,7 @@ def block_forward(
                     interpret=_attn_bf16_impl() == "interpret")
                 attn = out.reshape(B, 1, -1).astype(x.dtype)
                 return _finish_block(spec, p, residual, attn, captures,
-                                     tp_axis, new_kv)
+                                     tp_axis, new_kv, ep_axis, ep_size)
             k_all, v_all = ck, cv
     else:
         k_all, v_all = k, v
@@ -620,7 +627,8 @@ def block_forward(
     attn = (attn_fn or attention)(
         spec, q, k_all, v_all, mask,
         plain_causal=cache is None and spec.pos != "alibi")
-    return _finish_block(spec, p, residual, attn, captures, tp_axis, new_kv)
+    return _finish_block(spec, p, residual, attn, captures, tp_axis, new_kv,
+                         ep_axis, ep_size)
 
 
 def _attn_int8_impl() -> str | None:
@@ -883,12 +891,14 @@ def _attn_mlp_ok(spec, p, tp_axis, captures, n_rows):
     return a8
 
 
-def _finish_block(spec, p, residual, attn, captures, tp_axis, new_kv):
+def _finish_block(spec, p, residual, attn, captures, tp_axis, new_kv,
+                  ep_axis=None, ep_size=1):
     """Post-attention half of a decoder block (o projection + MLP)."""
     n_rows = 1
     for d in attn.shape[:-1]:
         n_rows *= d
-    mlp_a8 = _attn_mlp_ok(spec, p, tp_axis, captures, n_rows)
+    mlp_a8 = (None if "router" in p else
+              _attn_mlp_ok(spec, p, tp_axis, captures, n_rows))
     if mlp_a8 is not None:
         from gptq_tpu.ops.ffn import attn_mlp_fused
 
@@ -915,7 +925,14 @@ def _finish_block(spec, p, residual, attn, captures, tp_axis, new_kv):
 
     residual = h
     m = norm_apply(spec, p["ln2"], h) if spec.do_layer_norm_before else h
-    if spec.arch in ("llama", "gemma"):
+    if "router" in p:
+        # routed mixture-of-experts FFN (models/moe.py); experts serve
+        # dense and may shard over an "ep" mesh axis
+        from gptq_tpu.models.moe import moe_ffn
+
+        mlp_out = moe_ffn(spec, p, m, ep_axis=ep_axis, ep_size=ep_size,
+                          activation=lambda g: activation(spec, g))
+    elif spec.arch in ("llama", "gemma"):
         if captures is not None:
             captures["mlp.gate_proj"] = m
             captures["mlp.up_proj"] = m
@@ -1053,6 +1070,8 @@ def model_forward(
     cache: KVCache | None = None,
     tp_axis: str | None = None,
     tp_size: int = 1,
+    ep_axis: str | None = None,
+    ep_size: int = 1,
 ) -> tuple[jax.Array, KVCache | None]:
     """Full forward -> logits (B, T, vocab). With a cache, runs the decode
     path appending T tokens at cache.length. With `tp_axis` (inside
@@ -1093,6 +1112,7 @@ def model_forward(
         h, new_kv, _ = block_forward(
             spec, bp, h, positions=positions, mask=mask,
             cache=layer_cache, cache_len=clen, tp_axis=tp_axis, rope=rope,
+            ep_axis=ep_axis, ep_size=ep_size,
         )
         if new_kv is not None:
             # write the updated layer slice back in place (a donated cache
@@ -1153,9 +1173,14 @@ def init_params(spec: ArchSpec, key: jax.Array, dtype=jnp.float32) -> dict:
             p["k"] = _lin(lk[1], kvd, h, bias, dtype)
             p["v"] = _lin(lk[2], kvd, h, bias, dtype)
             p["o"] = _lin(lk[3], h, qd, bias, dtype)
-            p["gate"] = _lin(lk[4], f, h, bias, dtype)
-            p["up"] = _lin(lk[5], f, h, bias, dtype)
-            p["down"] = _lin(lk[6], h, f, bias, dtype)
+            if spec.n_experts:
+                from gptq_tpu.models.moe import init_moe_params
+
+                p.update(init_moe_params(spec, lk[4], dtype))
+            else:
+                p["gate"] = _lin(lk[4], f, h, bias, dtype)
+                p["up"] = _lin(lk[5], f, h, bias, dtype)
+                p["down"] = _lin(lk[6], h, f, bias, dtype)
         else:  # opt
             p["q"] = _lin(lk[0], h, h, bias, dtype)
             p["k"] = _lin(lk[1], h, h, bias, dtype)

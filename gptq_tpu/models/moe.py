@@ -1,0 +1,121 @@
+"""Mixture-of-experts FFN (Mixtral-style routed GLU experts) with a
+GShard-style static-capacity dispatch, built for expert parallelism.
+
+The reference has no MoE (its four model families are dense); this module
+extends the llama-family decoder with the routed-FFN variant those models'
+descendants use. The design is TPU-first throughout:
+
+* Static shapes: routing uses the GShard dispatch formulation — every
+  expert processes exactly C = ceil(top_k * tokens * capacity_factor / E)
+  token slots, so the whole MoE layer is three einsums between two
+  one-hot projections and XLA sees fixed-shape MXU work regardless of the
+  routing pattern. Tokens past an expert's capacity are dropped for that
+  expert (their combine weight is zero), the standard GShard/Switch
+  overflow semantics.
+* Slot-major priority: all tokens' first choice is placed before any
+  token's second choice, so capacity pressure drops k=2 assignments
+  before k=1 assignments.
+* Expert parallelism (parallel/ep.py): activations are replicated (the
+  same regime as shard_map TP), experts shard over an "ep" mesh axis.
+  Each device computes the full router but dispatches only into its local
+  expert slice, then one psum over the axis merges the combined outputs —
+  no all_to_all needed in the replicated-activation regime; on a pod the
+  psum rides ICI.
+
+Quantization note: expert weights serve dense (bf16/f32). The GPTQ
+pipeline quantizes the attention linears of MoE layers and leaves
+router/experts untouched (the reference's capability surface has no MoE
+to quantize; per-expert packed serving is future work).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def expert_capacity(spec, n_tokens: int) -> int:
+    """Static per-expert token slots for a batch of n_tokens rows."""
+    c = int(-(-spec.expert_top_k * n_tokens * spec.expert_capacity
+              // spec.n_experts))
+    return max(1, min(c, n_tokens))
+
+
+def route(spec, router_w: jax.Array, x: jax.Array):
+    """(dispatch, combine) for x of shape (N, D).
+
+    dispatch: (N, E, C) 0/1 — token n occupies slot c of expert e.
+    combine: (N, E, C) f32 — dispatch scaled by the (renormalized) top-k
+    router probability, zero for dropped assignments.
+    """
+    N = x.shape[0]
+    E = spec.n_experts
+    k = spec.expert_top_k
+    C = expert_capacity(spec, N)
+    logits = x.astype(jnp.float32) @ router_w.astype(jnp.float32).T  # (N, E)
+    probs = jax.nn.softmax(logits, axis=-1)
+    topv, topi = jax.lax.top_k(probs, k)  # (N, k)
+    # Mixtral convention: the k selected probabilities renormalize to 1
+    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    onehot = jax.nn.one_hot(topi, E, dtype=jnp.float32)  # (N, k, E)
+    # slot-major order: row-major over (k, N) places every token's first
+    # choice before any second choice
+    flat = onehot.transpose(1, 0, 2).reshape(k * N, E)
+    pos = jnp.cumsum(flat, axis=0) - flat  # position within the expert
+    kept = flat * (pos < C)
+    slot = jax.nn.one_hot(pos.astype(jnp.int32), C, dtype=jnp.float32)
+    dc = kept[..., None] * slot  # (kN, E, C)
+    dc = dc.reshape(k, N, E, C)
+    dispatch = jnp.sum(dc, axis=0)
+    combine = jnp.sum(dc * topv.T[..., None, None], axis=0)
+    return dispatch, combine
+
+
+def moe_ffn(spec, p: dict, x: jax.Array, ep_axis: str | None = None,
+            ep_size: int = 1, activation=None) -> jax.Array:
+    """Routed GLU expert FFN of x (B, T, D) -> (B, T, D).
+
+    p carries {"router": {"w": (E, D)}, "experts": {"gate": (E, F, D),
+    "up": (E, F, D), "down": (E, D, F)}}. With `ep_axis` (inside
+    shard_map) the expert arrays are the LOCAL (E/ep, ...) slice; the
+    router weight stays replicated and the partial outputs psum over the
+    axis."""
+    B, T, D = x.shape
+    xt = x.reshape(B * T, D)
+    dispatch, combine = route(spec, p["router"]["w"], xt)
+    if ep_axis is not None and ep_size > 1:
+        el = spec.n_experts // ep_size
+        e0 = jax.lax.axis_index(ep_axis) * el
+        dispatch = jax.lax.dynamic_slice_in_dim(dispatch, e0, el, axis=1)
+        combine = jnp.asarray(
+            jax.lax.dynamic_slice_in_dim(combine, e0, el, axis=1))
+    ex = p["experts"]
+    f32 = jnp.float32
+    xe = jnp.einsum("nec,nd->ecd", dispatch, xt.astype(f32))
+    g = jnp.einsum("ecd,efd->ecf", xe, ex["gate"].astype(f32))
+    u = jnp.einsum("ecd,efd->ecf", xe, ex["up"].astype(f32))
+    inner = (activation(g) if activation is not None
+             else jax.nn.silu(g)) * u
+    ye = jnp.einsum("ecf,edf->ecd", inner, ex["down"].astype(f32))
+    y = jnp.einsum("nec,ecd->nd", combine, ye)
+    if ep_axis is not None and ep_size > 1:
+        y = jax.lax.psum(y, ep_axis)
+    return y.reshape(B, T, D).astype(x.dtype)
+
+
+def init_moe_params(spec, key: jax.Array, dtype=jnp.float32) -> dict:
+    """Router + stacked expert weights for one decoder layer."""
+    import numpy as np
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    E, D, F = spec.n_experts, spec.hidden, spec.ffn
+    s = 0.4 / float(np.sqrt(D))
+    sf = 0.4 / float(np.sqrt(F))
+    return {
+        "router": {"w": jax.random.normal(k1, (E, D), dtype) * s},
+        "experts": {
+            "gate": jax.random.normal(k2, (E, F, D), dtype) * s,
+            "up": jax.random.normal(k3, (E, F, D), dtype) * s,
+            "down": jax.random.normal(k4, (E, D, F), dtype) * sf,
+        },
+    }

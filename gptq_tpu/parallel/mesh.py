@@ -118,6 +118,12 @@ def param_specs(spec: ArchSpec, params: dict) -> dict:
         for key, val in bp.items():
             if key in rules:
                 ls[key] = lin_spec(val, rules[key])
+            elif key == "experts":
+                # MoE expert stacks shard their expert dim over the tensor
+                # axis (GSPMD expert parallelism: XLA partitions the
+                # dispatch/combine einsums and inserts the collectives);
+                # _fit_spec drops it back to replication if E % tp != 0
+                ls[key] = {k: P("tp", None, None) for k in val}
             else:
                 ls[key] = norm_spec(val)
         layers.append(ls)

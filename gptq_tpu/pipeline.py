@@ -167,6 +167,12 @@ def quantize_model(
         bp = jax.tree.map(jnp.asarray, host_bp) if offload else host_bp
         t_layer = time.time()
         for gi, names in enumerate(groups):
+            # keep only linears this layer actually has: MoE layers carry
+            # router/experts instead of gate/up/down (those serve dense,
+            # models/moe.py) — quantize the attention linears around them
+            names = tuple(n for n in names if arch.linears[n] in bp)
+            if not names:
+                continue
             if cfg.nearest or cfg.bcq:
                 # Hessian-free paths: no capture needed
                 hstates = {}

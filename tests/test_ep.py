@@ -1,0 +1,181 @@
+"""Mixture-of-experts + expert parallelism tests on the virtual CPU mesh:
+the GShard-style capacity dispatch (models/moe.py), the shard_map EP paths
+(parallel/ep.py — experts sharded, one psum), the GSPMD training path, and
+GPTQ quantization of MoE models' attention linears."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gptq_tpu.models.common import (ArchSpec, KVCache, init_params,
+                                    model_forward)
+
+MOE_SPEC = ArchSpec(arch="llama", n_layers=2, hidden=48, n_heads=4,
+                    n_kv_heads=2, ffn=64, vocab=89, max_pos=64,
+                    norm_eps=1e-5, act="silu", pos="rope",
+                    norm_type="rmsnorm", linear_bias=False,
+                    tie_embeddings=False, n_experts=4, expert_top_k=2,
+                    expert_capacity=2.0)
+
+
+def _ids(spec, B=2, T=16, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).integers(0, spec.vocab, size=(B, T)))
+
+
+def test_route_capacity_and_slot_priority():
+    """Every expert receives at most C tokens; when capacity binds, all
+    tokens' first choices are placed before any second choice."""
+    from gptq_tpu.models.moe import expert_capacity, route
+
+    spec = MOE_SPEC
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(12, spec.hidden)), jnp.float32)
+    rw = jnp.asarray(rng.normal(size=(spec.n_experts, spec.hidden)),
+                     jnp.float32)
+    dispatch, combine = route(spec, rw, x)
+    C = expert_capacity(spec, 12)
+    d = np.asarray(dispatch)
+    assert d.shape == (12, spec.n_experts, C)
+    # one token per (expert, slot)
+    assert (d.sum(axis=0) <= 1.0 + 1e-6).all()
+    # each token occupies at most top_k slots
+    assert (d.sum(axis=(1, 2)) <= spec.expert_top_k + 1e-6).all()
+    # combine weights live only where dispatch does, and are positive there
+    c = np.asarray(combine)
+    assert ((c > 0) <= (d > 0)).all()
+
+    # force capacity pressure: identical tokens all route identically, so
+    # with C < N only C first choices fit and no second choice may evict a
+    # first choice
+    tight = ArchSpec(**{**MOE_SPEC.__dict__, "expert_capacity": 0.5})
+    x1 = jnp.broadcast_to(x[:1], (8, spec.hidden))
+    d1, c1 = route(tight, rw, x1)
+    from gptq_tpu.models.moe import expert_capacity as cap
+
+    C1 = cap(tight, 8)
+    d1 = np.asarray(d1)
+    top1 = int(np.argmax(np.asarray(c1).sum(axis=2).sum(axis=0)))
+    # the top-1 expert is filled to capacity with first choices
+    assert d1[:, top1].sum() == C1
+
+
+def test_moe_forward_runs_and_differs_from_uniform_routing():
+    """MoE model forward produces finite logits, and the router actually
+    differentiates tokens (different tokens select different experts)."""
+    from gptq_tpu.models.moe import route
+
+    params = init_params(MOE_SPEC, jax.random.PRNGKey(0))
+    ids = _ids(MOE_SPEC)
+    logits, _ = model_forward(MOE_SPEC, params, ids)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(16, MOE_SPEC.hidden)), jnp.float32)
+    dispatch, _ = route(MOE_SPEC, params["layers"][0]["router"]["w"], x)
+    used = (np.asarray(dispatch).sum(axis=(0, 2)) > 0).sum()
+    assert used >= 2  # more than one expert in play
+
+
+def test_ep_forward_matches_dense():
+    """shard_map EP (experts sharded over "ep", one psum) == the dense
+    single-device forward."""
+    from gptq_tpu.parallel.ep import make_ep_forward, make_ep_mesh
+
+    params = init_params(MOE_SPEC, jax.random.PRNGKey(1))
+    ids = _ids(MOE_SPEC, seed=2)
+    want, _ = model_forward(MOE_SPEC, params, ids)
+
+    for ep in (2, 4):
+        mesh = make_ep_mesh(ep)
+        fwd = make_ep_forward(MOE_SPEC, params, mesh)
+        got = fwd(params, ids)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_ep_decode_matches_dense():
+    """Prefill + decode through the EP step: logits match the dense
+    cache path token for token."""
+    from gptq_tpu.parallel.ep import make_ep_decode_step, make_ep_mesh
+
+    params = init_params(MOE_SPEC, jax.random.PRNGKey(2))
+    prompt = _ids(MOE_SPEC, B=1, T=6, seed=4)
+    tok = jnp.asarray([[3]])
+
+    c_ref = KVCache.init(MOE_SPEC, 1, 16, jnp.float32)
+    want1, c_ref = model_forward(MOE_SPEC, params, prompt, c_ref)
+    want2, _ = model_forward(MOE_SPEC, params, tok, c_ref)
+
+    mesh = make_ep_mesh(2)
+    step = make_ep_decode_step(MOE_SPEC, params, mesh)
+    cache = KVCache.init(MOE_SPEC, 1, 16, jnp.float32)
+    got1, cache = step(params, cache, prompt)
+    got2, _ = step(params, cache, tok)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want1[:, -1]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2[:, -1]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_ep_tp_forward_matches_dense():
+    """2-D composition: attention sharded over tp, experts over ep."""
+    from gptq_tpu.parallel.ep import make_ep_tp_forward
+
+    params = init_params(MOE_SPEC, jax.random.PRNGKey(3))
+    ids = _ids(MOE_SPEC, seed=6)
+    want, _ = model_forward(MOE_SPEC, params, ids)
+
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("ep", "tp"))
+    local, fwd = make_ep_tp_forward(MOE_SPEC, params, mesh)
+    got = fwd(local, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_moe_gspmd_train_step_decreases_loss():
+    """The standard GSPMD train step handles MoE params (expert stacks
+    shard over "tp" via param_specs; grads flow through the routed FFN)."""
+    from gptq_tpu.finetune import make_optimizer, make_train_step
+    from gptq_tpu.parallel.mesh import make_mesh, shard_params
+
+    params = init_params(MOE_SPEC, jax.random.PRNGKey(4))
+    mesh = make_mesh(tp=4, dp=2)
+    params = shard_params(MOE_SPEC, params, mesh)
+    opt = make_optimizer("adafactor", lr=3e-3)
+    init, step = make_train_step(MOE_SPEC, opt, mesh=mesh)
+    st = init(params)
+    batch = _ids(MOE_SPEC, B=4, T=16, seed=7)
+    losses = []
+    for _ in range(5):
+        params, st, loss = step(params, st, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_moe_model_quantizes_attention_linears():
+    """GPTQ pipeline on an MoE model: attention linears quantize/pack,
+    router + experts stay dense, and the packed model still serves."""
+    from gptq_tpu.config import QuantConfig
+    from gptq_tpu.ops.pack import PackedWeight
+    from gptq_tpu.pipeline import pack_model, quantize_model
+
+    spec = ArchSpec(**{**MOE_SPEC.__dict__, "hidden": 64, "ffn": 64})
+    params = init_params(spec, jax.random.PRNGKey(5))
+    calib = _ids(spec, B=2, T=16, seed=8)
+    cfg = QuantConfig(wbits=4, nsamples=2)
+    res = quantize_model(spec, params, calib, cfg, log=lambda s: None)
+    assert any(".q_proj" in k for k in res.quantizers)
+    assert not any("gate" in k or "expert" in k or "router" in k
+                   for k in res.quantizers)
+    pack_model(spec, params, res.quantizers, cfg)
+    bp = params["layers"][0]
+    assert isinstance(bp["q"]["w"], PackedWeight)
+    assert isinstance(bp["experts"]["gate"], jax.Array)  # untouched
+    logits, _ = model_forward(spec, params, _ids(spec, seed=9))
+    assert np.isfinite(np.asarray(logits)).all()
