@@ -21,14 +21,23 @@ from gptq_tpu.models.common import ArchSpec, model_forward
 from gptq_tpu.parallel.mesh import param_specs
 
 
-def clm_loss(spec: ArchSpec, params: dict, batch: jax.Array) -> jax.Array:
-    """Mean next-token cross-entropy over a (B, T) id batch."""
-    logits, _ = model_forward(spec, params, batch)
+def clm_loss(spec: ArchSpec, params: dict, batch: jax.Array,
+             moe_aux_weight: float = 0.0) -> jax.Array:
+    """Mean next-token cross-entropy over a (B, T) id batch.
+
+    moe_aux_weight > 0 (training MoE models) adds the Switch
+    load-balancing loss averaged over the routed layers so the router
+    keeps experts balanced; eval keeps the pure cross-entropy (0.0)."""
+    aux: list | None = [] if (moe_aux_weight and spec.n_experts) else None
+    logits, _ = model_forward(spec, params, batch, moe_aux=aux)
     logits = logits[:, :-1].astype(jnp.float32)
     targets = batch[:, 1:]
     logz = jax.nn.logsumexp(logits, axis=-1)
     tok = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
-    return jnp.mean(logz - tok)
+    loss = jnp.mean(logz - tok)
+    if aux:
+        loss = loss + moe_aux_weight * jnp.mean(jnp.stack(aux))
+    return loss
 
 
 def clm_accuracy(spec: ArchSpec, params: dict, batch: jax.Array) -> jax.Array:
@@ -109,17 +118,22 @@ def load_opt_state(path: str, opt_state):
 
 
 def make_train_step(spec: ArchSpec, optimizer: optax.GradientTransformation,
-                    mesh: Mesh | None = None):
+                    mesh: Mesh | None = None,
+                    moe_aux_weight: float = 0.01):
     """Returns (init_state, train_step). With a mesh, params follow the TP
     rules of parallel.mesh and the batch is dp-sharded; XLA emits the
-    psum/all-reduce collectives from the shardings."""
+    psum/all-reduce collectives from the shardings. MoE models train with
+    the load-balancing aux loss (moe_aux_weight; ignored when dense)."""
 
     def init_state(params):
         opt_state = optimizer.init(params)
         return opt_state
 
     def _step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(partial(clm_loss, spec))(params, batch)
+        loss, grads = jax.value_and_grad(
+            partial(clm_loss, spec,
+                    moe_aux_weight=moe_aux_weight if spec.n_experts else 0.0)
+        )(params, batch)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

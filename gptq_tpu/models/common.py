@@ -458,6 +458,7 @@ def block_forward(
     attn_fn=None,  # replaces attention() (sequence-parallel ring attention)
     ep_axis: str | None = None,  # expert-parallel axis (MoE layers)
     ep_size: int = 1,
+    moe_aux: list | None = None,  # collects MoE load-balancing losses
 ):
     """One decoder block. Returns (out, new_kv, captures).
 
@@ -595,7 +596,7 @@ def block_forward(
                     interpret=_attn_int8_impl() == "interpret")
                 attn = out.reshape(B, 1, -1).astype(x.dtype)
                 return _finish_block(spec, p, x, attn, captures, tp_axis,
-                                     new_kv, ep_axis, ep_size)
+                                     new_kv, ep_axis, ep_size, moe_aux)
             k_all = ck.astype(jnp.float32) * ks[..., None]
             v_all = cv.astype(jnp.float32) * vs[..., None]
         else:
@@ -618,7 +619,8 @@ def block_forward(
                     interpret=_attn_bf16_impl() == "interpret")
                 attn = out.reshape(B, 1, -1).astype(x.dtype)
                 return _finish_block(spec, p, residual, attn, captures,
-                                     tp_axis, new_kv, ep_axis, ep_size)
+                                     tp_axis, new_kv, ep_axis, ep_size,
+                                     moe_aux)
             k_all, v_all = ck, cv
     else:
         k_all, v_all = k, v
@@ -628,7 +630,7 @@ def block_forward(
         spec, q, k_all, v_all, mask,
         plain_causal=cache is None and spec.pos != "alibi")
     return _finish_block(spec, p, residual, attn, captures, tp_axis, new_kv,
-                         ep_axis, ep_size)
+                         ep_axis, ep_size, moe_aux)
 
 
 def _attn_int8_impl() -> str | None:
@@ -892,7 +894,7 @@ def _attn_mlp_ok(spec, p, tp_axis, captures, n_rows):
 
 
 def _finish_block(spec, p, residual, attn, captures, tp_axis, new_kv,
-                  ep_axis=None, ep_size=1):
+                  ep_axis=None, ep_size=1, moe_aux=None):
     """Post-attention half of a decoder block (o projection + MLP)."""
     n_rows = 1
     for d in attn.shape[:-1]:
@@ -931,7 +933,8 @@ def _finish_block(spec, p, residual, attn, captures, tp_axis, new_kv,
         from gptq_tpu.models.moe import moe_ffn
 
         mlp_out = moe_ffn(spec, p, m, ep_axis=ep_axis, ep_size=ep_size,
-                          activation=lambda g: activation(spec, g))
+                          activation=lambda g: activation(spec, g),
+                          aux_out=moe_aux)
     elif spec.arch in ("llama", "gemma"):
         if captures is not None:
             captures["mlp.gate_proj"] = m
@@ -1072,6 +1075,7 @@ def model_forward(
     tp_size: int = 1,
     ep_axis: str | None = None,
     ep_size: int = 1,
+    moe_aux: list | None = None,
 ) -> tuple[jax.Array, KVCache | None]:
     """Full forward -> logits (B, T, vocab). With a cache, runs the decode
     path appending T tokens at cache.length. With `tp_axis` (inside
@@ -1112,7 +1116,7 @@ def model_forward(
         h, new_kv, _ = block_forward(
             spec, bp, h, positions=positions, mask=mask,
             cache=layer_cache, cache_len=clen, tp_axis=tp_axis, rope=rope,
-            ep_axis=ep_axis, ep_size=ep_size,
+            ep_axis=ep_axis, ep_size=ep_size, moe_aux=moe_aux,
         )
         if new_kv is not None:
             # write the updated layer slice back in place (a donated cache

