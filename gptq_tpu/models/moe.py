@@ -98,16 +98,23 @@ def moe_ffn(spec, p: dict, x: jax.Array, ep_axis: str | None = None,
         el = spec.n_experts // ep_size
         e0 = jax.lax.axis_index(ep_axis) * el
         dispatch = jax.lax.dynamic_slice_in_dim(dispatch, e0, el, axis=1)
-        combine = jnp.asarray(
-            jax.lax.dynamic_slice_in_dim(combine, e0, el, axis=1))
+        combine = jax.lax.dynamic_slice_in_dim(combine, e0, el, axis=1)
     ex = p["experts"]
+    # expert matmuls run in the weights' NATIVE dtype (bf16 on the serving
+    # path — full-rate MXU, no transient f32 copy of the expert stacks)
+    # with f32 accumulation; only router/softmax/combine math stays f32
     f32 = jnp.float32
-    xe = jnp.einsum("nec,nd->ecd", dispatch, xt.astype(f32))
-    g = jnp.einsum("ecd,efd->ecf", xe, ex["gate"].astype(f32))
-    u = jnp.einsum("ecd,efd->ecf", xe, ex["up"].astype(f32))
+    cdt = x.dtype
+    xe = jnp.einsum("nec,nd->ecd", dispatch.astype(cdt), xt,
+                    preferred_element_type=f32).astype(cdt)
+    g = jnp.einsum("ecd,efd->ecf", xe, ex["gate"],
+                   preferred_element_type=f32)
+    u = jnp.einsum("ecd,efd->ecf", xe, ex["up"],
+                   preferred_element_type=f32)
     inner = (activation(g) if activation is not None
              else jax.nn.silu(g)) * u
-    ye = jnp.einsum("ecf,edf->ecd", inner, ex["down"].astype(f32))
+    ye = jnp.einsum("ecf,edf->ecd", inner.astype(cdt), ex["down"],
+                    preferred_element_type=f32)
     y = jnp.einsum("nec,ecd->nd", combine, ye)
     if ep_axis is not None and ep_size > 1:
         y = jax.lax.psum(y, ep_axis)

@@ -16,9 +16,11 @@ routed-FFN descendants of its llama family. Two compositions:
 
 * `make_ep_forward` / `make_ep_decode_step`: ep-only mesh, every non-MoE
   weight replicated.
-* `make_ep_tp_forward`: 2-D (ep, tp) mesh — attention + router replicate
+* `make_ep_tp_forward`: 2-D (ep, tp) mesh — attention linears replicate
   over ep and shard over tp (Megatron col/row via parallel.tp), expert
-  stacks shard over ep and replicate over tp.
+  stacks shard over ep and replicate over tp. The ROUTER weight stays
+  fully replicated on both axes: route() needs the intact (E, D) weight
+  to score every expert (models/moe.py).
 
 GSPMD training needs none of this: parallel.mesh.param_specs already
 shards expert stacks over the "tp" axis and XLA partitions the
@@ -123,9 +125,11 @@ def make_ep_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
 def make_ep_tp_forward(spec: ArchSpec, params: dict, mesh: Mesh,
                        ep_axis: str = "ep", tp_axis: str = "tp"):
     """fwd(local_params, ids) -> logits on a 2-D (ep, tp) mesh: attention
-    (and the router) shard over tp with psum epilogues, expert stacks
-    shard over ep — weight memory scales with both axes. Returns
-    (local_params, fwd) like parallel.tp.make_tp_forward."""
+    linears shard over tp with psum epilogues, expert stacks shard over
+    ep, and the router weight replicates on both axes (route() needs the
+    intact (E, D) weight) — attention/FFN weight memory scales with
+    tp/ep respectively. Returns (local_params, fwd) like
+    parallel.tp.make_tp_forward."""
     from gptq_tpu.parallel.tp import tp_local_view
 
     ep = mesh.shape[ep_axis]

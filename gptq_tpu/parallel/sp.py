@@ -58,10 +58,9 @@ def _ring_attention(spec: ArchSpec, q, k, v, my_chunk, sp: int, axis: str,
     like attention()."""
     B, Tc, H, hd = q.shape
     kvh = k.shape[2]
-    if kvh != H:  # GQA: replicate kv heads before the ring
-        rep = H // kvh
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
+    rep = H // kvh  # GQA: replicate kv heads INSIDE each hop — the ring
+    # carry/ppermute stays at kvh heads, so GQA models move H/kvh times
+    # less data over ICI per hop
     qf = q.astype(jnp.float32) * spec.scale
     q_pos = (my_chunk * Tc + jnp.arange(Tc))[:, None]  # (Tc, 1) global
     perm = [(d, (d + 1) % sp) for d in range(sp)]
@@ -69,7 +68,9 @@ def _ring_attention(spec: ArchSpec, q, k, v, my_chunk, sp: int, axis: str,
     def hop(carry, r):
         kc, vc, m, l, acc = carry
         j = (my_chunk - r) % sp  # chunk id currently held
-        scores = jnp.einsum("bthd,bshd->bhts", qf, kc.astype(jnp.float32))
+        kr = jnp.repeat(kc, rep, axis=2) if rep > 1 else kc
+        vr = jnp.repeat(vc, rep, axis=2) if rep > 1 else vc
+        scores = jnp.einsum("bthd,bshd->bhts", qf, kr.astype(jnp.float32))
         k_pos = (j * Tc + jnp.arange(Tc))[None, :]  # (1, Tc) global
         allowed = k_pos <= q_pos  # (Tc, Tc) causal on global positions
         if slopes is not None:  # HF BLOOM convention: slope * (kpos - qpos)
@@ -87,7 +88,7 @@ def _ring_attention(spec: ArchSpec, q, k, v, my_chunk, sp: int, axis: str,
         alpha = jnp.exp(jnp.maximum(m, -1e30) - shift)  # (B, H, Tc)
         l = l * alpha + jnp.sum(p, axis=-1)
         acc = acc * alpha[..., None] + jnp.einsum("bhts,bshd->bhtd", p,
-                                                  vc.astype(jnp.float32))
+                                                  vr.astype(jnp.float32))
         if sp > 1:
             kc = jax.lax.ppermute(kc, axis, perm)
             vc = jax.lax.ppermute(vc, axis, perm)
@@ -109,9 +110,12 @@ def make_sp_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
 
     `ids` is the full (B, T) prompt with T divisible by sp; weights
     replicate, activations shard over `axis` along T. The returned cache's
-    planes are (L, B, max_len or T, kvh, hd) — size max_len above T to
-    leave room for decode appends; pass the cache to model_forward (or
-    device_put to parallel.tp.cache_pspec) to continue decoding.
+    planes are (L, B, max_len, kvh, hd); max_len defaults to spec.max_pos
+    so the cache always has room for decode appends (an exact-size cache
+    would silently clamp the first append's write index). Pass
+    max_len == T explicitly for an append-free exact-size cache; pass the
+    cache to model_forward (or device_put to parallel.tp.cache_pspec) to
+    continue decoding.
     """
     sp = mesh.shape[axis]
     stacked = _stack_trees(params["layers"])
@@ -174,10 +178,11 @@ def make_sp_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
         logits, ks, vs = fwd(stacked, hp["embed"], hp["final_ln"],
                              hp["lm_head"], ids)
         ks, vs = ks.astype(cache_dtype), vs.astype(cache_dtype)
-        if max_len is not None:  # room for decode appends
-            if max_len < T:
-                raise ValueError(f"max_len={max_len} < prompt length {T}")
-            pad = [(0, 0), (0, 0), (0, max_len - T), (0, 0), (0, 0)]
+        ml = spec.max_pos if max_len is None else max_len
+        if ml < T:
+            raise ValueError(f"max_len={ml} < prompt length {T}")
+        if ml > T:  # room for decode appends
+            pad = [(0, 0), (0, 0), (0, ml - T), (0, 0), (0, 0)]
             ks, vs = jnp.pad(ks, pad), jnp.pad(vs, pad)
         cache = KVCache(k=ks, v=vs, length=jnp.asarray(T, jnp.int32),
                         k_scale=None, v_scale=None)
@@ -262,10 +267,11 @@ def make_sp_tp_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
             raise ValueError(f"prompt length {T} > max_pos={spec.max_pos}")
         logits, ks, vs = fwd(local, ids)
         ks, vs = ks.astype(cache_dtype), vs.astype(cache_dtype)
-        if max_len is not None:
-            if max_len < T:
-                raise ValueError(f"max_len={max_len} < prompt length {T}")
-            pad = [(0, 0), (0, 0), (0, max_len - T), (0, 0), (0, 0)]
+        ml = spec.max_pos if max_len is None else max_len
+        if ml < T:
+            raise ValueError(f"max_len={ml} < prompt length {T}")
+        if ml > T:  # room for decode appends (see make_sp_prefill)
+            pad = [(0, 0), (0, 0), (0, ml - T), (0, 0), (0, 0)]
             ks, vs = jnp.pad(ks, pad), jnp.pad(vs, pad)
         return logits, KVCache(k=ks, v=vs, length=jnp.asarray(T, jnp.int32),
                                k_scale=None, v_scale=None)

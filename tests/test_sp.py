@@ -48,7 +48,8 @@ def test_sp_prefill_matches_flat(spec, sp):
                                         jnp.float32))
 
     mesh = make_sp_mesh(sp)
-    prefill, _ = make_sp_prefill(spec, params, mesh, cache_dtype=jnp.float32)
+    prefill, _ = make_sp_prefill(spec, params, mesh, cache_dtype=jnp.float32,
+                                 max_len=ids.shape[1])
     got, cache = prefill(ids)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
@@ -105,7 +106,8 @@ def test_sp_tp_prefill_matches_flat(spec):
 
     mesh = make_sp_tp_mesh(sp=2, tp=2)
     prefill, _ = make_sp_tp_prefill(spec, params, mesh,
-                                    cache_dtype=jnp.float32)
+                                    cache_dtype=jnp.float32,
+                                    max_len=ids.shape[1])
     got, cache = prefill(ids)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-4, atol=3e-4)
