@@ -90,7 +90,7 @@ def main(argv=None) -> int:
     eval_blocks = group_texts(eval_tokens, args.block_size)
 
     mesh = None
-    if args.tp * args.dp > 1:
+    if args.pp == 1 and args.tp * args.dp > 1:
         from gptq_tpu.parallel.mesh import make_mesh, shard_params
 
         mesh = make_mesh(tp=args.tp, dp=args.dp)
@@ -103,13 +103,13 @@ def main(argv=None) -> int:
     pp_mesh = None
     to_flat = lambda p: p  # noqa: E731 — identity outside --pp
     if args.pp > 1:
-        if mesh is not None:
-            raise SystemExit("--pp is exclusive with --tp/--dp")
+        if args.tp > 1:
+            raise SystemExit("--pp is exclusive with --tp")
         from gptq_tpu.parallel.pp import (make_pp_mesh, make_pp_train_step,
                                           stack_stage_params,
                                           unstack_stage_params)
 
-        pp_mesh = make_pp_mesh(args.pp)
+        pp_mesh = make_pp_mesh(args.pp, dp=args.dp)
         n_micro = args.pp_microbatches or args.batch_size
         params = stack_stage_params(spec, params, args.pp, pp_mesh)
         to_flat = lambda p: unstack_stage_params(spec, p)  # noqa: E731
@@ -184,8 +184,8 @@ def main(argv=None) -> int:
         losses, accs = [], []
         for i in range(0, min(len(eval_blocks), 16), args.batch_size):
             b = eval_blocks[i : i + args.batch_size]
-            if pp_mesh is not None and len(b) % n_micro:
-                break  # GPipe schedule needs B % n_micro == 0; drop tail
+            if pp_mesh is not None and len(b) % (n_micro * args.dp):
+                break  # GPipe schedule needs B % (n_micro*dp) == 0; drop tail
             loss, acc = eval_pair(params, jnp.asarray(b))
             losses.append(loss)
             accs.append(acc)

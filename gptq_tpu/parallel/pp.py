@@ -20,9 +20,10 @@ pipeline is the SUM of stage latencies, so PP buys capacity (a model too
 big for one chip's HBM), not speed; that trade is exactly the reference's
 multi-GPU benchmark configuration.
 
-Composition: the mesh here is pp-only. dp composes by vmapping/outer-pjit
-over a leading batch axis as in finetune.make_train_step; pp x tp meshes
-are left out until a pod target needs them.
+Composition: make_pp_mesh(pp, dp) builds a (dp, pp) 2-D mesh — dp pipeline
+replicas each run the GPipe schedule on their batch shard and grads/metrics
+psum over the dp axis inside the same program (`finetune_cli --pp N --dp M`).
+pp x tp meshes are left out until a pod target needs them.
 """
 
 from __future__ import annotations
@@ -44,10 +45,16 @@ from gptq_tpu.models.common import (ArchSpec, block_forward, build_mask,
                                     embed_forward, head_forward, rope_tables)
 
 
-def make_pp_mesh(pp: int, devices=None) -> Mesh:
+def make_pp_mesh(pp: int, dp: int = 1, devices=None) -> Mesh:
+    """pp-only 1-D mesh, or a (dp, pp) 2-D mesh: dp pipeline replicas
+    each running the GPipe schedule on their batch shard (grads/metrics
+    psum over dp inside the same program)."""
     devices = devices if devices is not None else jax.devices()
-    if len(devices) < pp:
-        raise ValueError(f"need {pp} devices, have {len(devices)}")
+    n = pp * dp
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    if dp > 1:
+        return Mesh(np.asarray(devices[:n]).reshape(dp, pp), ("dp", "pp"))
     return Mesh(np.asarray(devices[:pp]), ("pp",))
 
 
@@ -140,13 +147,19 @@ def _make_pp_metrics(spec: ArchSpec, mesh: Mesh, n_micro: int, axis: str,
     on the last stage. make_pp_loss grads flow through this; make_pp_eval
     reuses it with loss + accuracy."""
     pp = mesh.shape[axis]
+    # a second >1 mesh axis (make_pp_mesh(pp, dp)) runs dp pipeline
+    # replicas on batch shards; metrics/grads psum over it
+    dp_axis = next((a for a in mesh.axis_names
+                    if a != axis and mesh.shape[a] > 1), None)
+    dp = mesh.shape[dp_axis] if dp_axis else 1
     fwd_perm = [(i, i + 1) for i in range(pp - 1)]
     n_out = len(micro_fns)
 
     def metrics_fn(stacked: dict, batch: jax.Array) -> jax.Array:
         B, T = batch.shape
-        if B % n_micro:
-            raise ValueError(f"batch {B} must divide by n_micro={n_micro}")
+        if B % (n_micro * dp):
+            raise ValueError(
+                f"batch {B} must divide by n_micro={n_micro} x dp={dp}")
         mb = B // n_micro
         x = batch.reshape(n_micro, mb, T)
         hparams = {"embed": stacked["embed"],
@@ -157,7 +170,8 @@ def _make_pp_metrics(spec: ArchSpec, mesh: Mesh, n_micro: int, axis: str,
         def shmap_body(stages, embed, final_ln, lm_head, xm):
             s = jax.lax.axis_index(axis)
             hp = {"embed": embed, "final_ln": final_ln, "lm_head": lm_head}
-            positions = jnp.broadcast_to(jnp.arange(T), (mb, T))
+            mbl = xm.shape[1]  # this replica's micro-batch rows (mb / dp)
+            positions = jnp.broadcast_to(jnp.arange(T), (mbl, T))
             mask = build_mask(spec, T, T)
             rope = rope_tables(spec, positions) if spec.pos == "rope" else None
             # this device's (lps, ...) stage slice (leading pp axis is 1)
@@ -191,14 +205,17 @@ def _make_pp_metrics(spec: ArchSpec, mesh: Mesh, n_micro: int, axis: str,
                 return (sent, sums), None
 
             # the carry is device-varying (each stage holds different
-            # activations); mark the zero init as such for the VMA checker
+            # activations, each dp replica different data); mark the zero
+            # init as such for the VMA checker
+            vaxes = (axis,) + ((dp_axis,) if dp_axis else ())
             init = jax.lax.pcast(
-                (jnp.zeros((mb, T, spec.hidden), emb_dtype),
-                 jnp.zeros((n_out,), jnp.float32)), (axis,), to="varying")
+                (jnp.zeros((mbl, T, spec.hidden), emb_dtype),
+                 jnp.zeros((n_out,), jnp.float32)), vaxes, to="varying")
             (_, sums), _ = jax.lax.scan(
                 tick, init, jnp.arange(n_micro + pp - 1))
-            # only the last stage accumulated; psum replicates the total
-            return jax.lax.psum(sums, axis) / n_micro
+            # only the last stage accumulated; psum over pp replicates the
+            # total and over dp sums the replicas' batch-shard means
+            return jax.lax.psum(sums, vaxes) / (n_micro * dp)
 
         stage_specs = jax.tree_util.tree_map(
             lambda v: None if v is None else P(axis), stacked["stages"],
@@ -209,7 +226,8 @@ def _make_pp_metrics(spec: ArchSpec, mesh: Mesh, n_micro: int, axis: str,
             is_leaf=lambda v: v is None)
         return shard_map(
             shmap_body, mesh=mesh,
-            in_specs=(stage_specs, *rep, P()),
+            in_specs=(stage_specs, *rep,
+                      P(None, dp_axis) if dp_axis else P()),
             out_specs=P(),
         )(stacked["stages"], stacked["embed"], stacked["final_ln"],
           stacked["lm_head"], x)

@@ -160,3 +160,47 @@ def test_pp_eval_matches_flat():
     loss, acc = jax.jit(make_pp_eval(SPEC, mesh, n_micro=2))(stacked, batch)
     assert abs(float(loss) - want_loss) < 5e-5, (float(loss), want_loss)
     assert abs(float(acc) - want_acc) < 1e-6, (float(acc), want_acc)
+
+
+def test_dp_pp_grads_match_flat():
+    """(dp, pp) 2-D mesh: dp pipeline replicas on batch shards, grads
+    psum over dp — one SGD step equals the flat single-device step on the
+    FULL batch, and the loss equals the flat full-batch loss."""
+    pp, dp, n_micro, lr = 2, 2, 2, 0.05
+    params = init_params(SPEC, jax.random.PRNGKey(7))
+    batch = _batch(SPEC, B=8, T=16, seed=8)
+
+    opt = optax.sgd(lr)
+    loss_ref, grads = jax.value_and_grad(
+        lambda p: clm_loss(SPEC, p, batch))(params)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    want = optax.apply_updates(params, updates)
+
+    mesh = make_pp_mesh(pp, dp=dp)
+    assert mesh.shape == {"dp": dp, "pp": pp}
+    stacked = stack_stage_params(SPEC, params, pp, mesh)
+    init, step = make_pp_train_step(SPEC, optax.sgd(lr), mesh, n_micro)
+    stacked2, _, loss_pp = step(stacked, init(stacked), batch)
+    assert abs(float(loss_pp) - float(loss_ref)) < 5e-5
+
+    got = unstack_stage_params(SPEC, stacked2)
+    for a, b in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_dp_pp_eval_matches_flat():
+    from gptq_tpu.finetune import clm_accuracy
+    from gptq_tpu.parallel.pp import make_pp_eval
+
+    params = init_params(SPEC, jax.random.PRNGKey(8))
+    batch = _batch(SPEC, B=8, T=16, seed=9)
+    want_loss = float(clm_loss(SPEC, params, batch))
+    want_acc = float(clm_accuracy(SPEC, params, batch))
+
+    mesh = make_pp_mesh(2, dp=2)
+    stacked = stack_stage_params(SPEC, params, 2, mesh)
+    loss, acc = jax.jit(make_pp_eval(SPEC, mesh, n_micro=2))(stacked, batch)
+    assert abs(float(loss) - want_loss) < 5e-5, (float(loss), want_loss)
+    assert abs(float(acc) - want_acc) < 1e-6, (float(acc), want_acc)
