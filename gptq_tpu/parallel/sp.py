@@ -277,3 +277,216 @@ def make_sp_tp_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
                                k_scale=None, v_scale=None)
 
     return jax.jit(prefill), local
+
+
+# ---------------------------------------------------------------------------
+# context-parallel decode: the KV cache stays sp-sharded through decode
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass, field  # noqa: E402
+
+from jax.tree_util import register_dataclass  # noqa: E402
+
+
+@register_dataclass
+@dataclass
+class SPCache:
+    """KV cache that is NEVER gathered: each device along the sp axis holds
+    S/sp slots. Slots are chunk-major — device d's local range is
+    [d*ml, (d+1)*ml) of the global axis; its first Tc slots hold prompt
+    positions [d*Tc, (d+1)*Tc), the rest is decode headroom filled
+    round-robin. `pos` maps every slot to its global position (-1 = empty),
+    so attention masks by CONTENT and layout never has to be contiguous.
+
+    k/v: (L, B, sp*ml, kvh, hd), sharded P(None, None, sp).
+    pos: (sp*ml,) int32, sharded P(sp).
+    length: total tokens written (prompt + decoded), replicated.
+    """
+
+    k: jax.Array
+    v: jax.Array
+    pos: jax.Array
+    length: jax.Array
+    meta: tuple = field(metadata=dict(static=True), default=(0, 0))  # (Tc, ml)
+
+
+def _sp_decode_attention(spec: ArchSpec, q, kc, vc, pos_local, slopes):
+    """Per-device partial online-softmax attention of one query step
+    against the local cache slots. Returns (m, l, acc) for the cross-
+    device combine: out = sum_d exp(m_d - M) acc_d / sum_d exp(m_d - M) l_d."""
+    B, T, H, hd = q.shape  # T == 1
+    kvh = kc.shape[2]
+    rep = H // kvh
+    kr = jnp.repeat(kc, rep, axis=2) if rep > 1 else kc
+    vr = jnp.repeat(vc, rep, axis=2) if rep > 1 else vc
+    qf = q[:, 0].astype(jnp.float32) * spec.scale  # (B, H, hd)
+    scores = jnp.einsum("bhd,bshd->bhs", qf, kr.astype(jnp.float32))
+    valid = pos_local >= 0  # (ml,) — everything stored is causal past
+    if slopes is not None:  # HF BLOOM: slope * (key_pos - query_pos); the
+        # query position cancels in softmax, slope * key_pos suffices
+        scores = scores + (slopes[:, None]
+                           * pos_local.astype(jnp.float32)[None])
+    scores = jnp.where(valid[None, None], scores, -jnp.inf)
+    m = jnp.max(scores, axis=-1)  # (B, H); -inf if no valid slot here
+    shift = jnp.maximum(m, -1e30)
+    p = jnp.where(valid[None, None], jnp.exp(scores - shift[..., None]), 0.0)
+    l = jnp.sum(p, axis=-1)
+    acc = jnp.einsum("bhs,bshd->bhd", p, vr.astype(jnp.float32))
+    return m, l, acc
+
+
+def make_sp_cache_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
+                          axis: str = "sp", cache_dtype=jnp.bfloat16,
+                          max_len: int | None = None):
+    """Like make_sp_prefill but the returned SPCache stays SHARDED over
+    `axis` — per-device cache memory is S/sp for the whole serving
+    lifetime (prefill AND decode via make_sp_decode_step), the actual
+    long-context capacity story; the gathering make_sp_prefill trades
+    that away for a cache any consumer can use."""
+    sp = mesh.shape[axis]
+    _, fwd = make_sp_prefill(spec, params, mesh, axis, cache_dtype)
+    stacked = _stack_trees(params["layers"])
+    hp = {"embed": params["embed"], "final_ln": params.get("final_ln"),
+          "lm_head": params.get("lm_head")}
+    rep_sh = NamedSharding(mesh, P())
+    stacked = jax.tree_util.tree_map(
+        lambda v: None if v is None else jax.device_put(v, rep_sh),
+        stacked, is_leaf=lambda v: v is None)
+
+    ml_total = spec.max_pos if max_len is None else max_len
+    if ml_total % sp:
+        ml_total += sp - ml_total % sp  # round capacity up to shard evenly
+    ml = ml_total // sp
+
+    def scatter(ks, vs, T):
+        """(L, B, T, kvh, hd) gathered planes -> chunk-major padded layout.
+        Runs as its own small jit; the bulk compute stayed in fwd."""
+        Tc = T // sp
+        L, B = ks.shape[:2]
+        kl = ks.reshape(L, B, sp, Tc, *ks.shape[3:])
+        pad = [(0, 0), (0, 0), (0, 0), (0, ml - Tc), (0, 0), (0, 0)]
+        kl = jnp.pad(kl, pad).reshape(L, B, sp * ml, *ks.shape[3:])
+        vl = jnp.pad(vs.reshape(L, B, sp, Tc, *vs.shape[3:]),
+                     pad).reshape(L, B, sp * ml, *vs.shape[3:])
+        pos = jnp.pad(jnp.arange(T, dtype=jnp.int32).reshape(sp, Tc),
+                      [(0, 0), (0, ml - Tc)], constant_values=-1)
+        return kl, vl, pos.reshape(sp * ml)
+
+    def prefill(ids: jax.Array):
+        B, T = ids.shape
+        if T % sp:
+            raise ValueError(f"prompt length {T} must divide by sp={sp}")
+        Tc = T // sp
+        if Tc > ml:
+            raise ValueError(f"prompt chunk {Tc} > per-device capacity {ml}")
+        logits, ks, vs = fwd(stacked, hp["embed"], hp["final_ln"],
+                             hp["lm_head"], ids)
+        ks, vs = ks.astype(cache_dtype), vs.astype(cache_dtype)
+        kl, vl, pos = jax.jit(scatter, static_argnums=2)(ks, vs, T)
+        shard = NamedSharding(mesh, P(None, None, axis))
+        cache = SPCache(
+            k=jax.device_put(kl, shard), v=jax.device_put(vl, shard),
+            pos=jax.device_put(pos, NamedSharding(mesh, P(axis))),
+            length=jnp.asarray(T, jnp.int32), meta=(Tc, ml))
+        return logits, cache
+
+    return prefill
+
+
+def make_sp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
+                        meta: tuple, axis: str = "sp"):
+    """step(cache: SPCache, token (B, 1)) -> (last logits, SPCache).
+
+    Single-token decode with the cache sharded over `axis` the whole
+    time: every device computes partial online-softmax attention of the
+    new query against its local slots, one pmax + two psums combine the
+    partials exactly, and the new token's k/v appends round-robin
+    (decode step t lands on device t mod sp) so headroom drains evenly.
+    Weights are replicated (compose with tp via tp_local_view later if
+    a model needs both)."""
+    sp = mesh.shape[axis]
+    Tc, ml = meta
+    stacked = _stack_trees(params["layers"])
+    hp = {"embed": params["embed"], "final_ln": params.get("final_ln"),
+          "lm_head": params.get("lm_head")}
+    rep_sh = NamedSharding(mesh, P())
+    stacked = jax.tree_util.tree_map(
+        lambda v: None if v is None else jax.device_put(v, rep_sh),
+        stacked, is_leaf=lambda v: v is None)
+
+    def shmap_body(layers, embed, final_ln, lm_head, ck, cv, pos, length,
+                   token):
+        d = jax.lax.axis_index(axis)
+        B, T = token.shape  # T == 1
+        t_dec = length - Tc * sp  # decode index
+        my_turn = (t_dec % sp) == d
+        slot = Tc + t_dec // sp  # local write slot on the owning device
+        new_pos = jnp.where(my_turn,
+                            jnp.asarray(length, jnp.int32), pos[slot])
+        pos_new = pos.at[slot].set(new_pos)
+        positions = jnp.broadcast_to(length[None], (B, T))
+        hparams = {"embed": embed, "final_ln": final_ln, "lm_head": lm_head}
+        rope = rope_tables(spec, positions) if spec.pos == "rope" else None
+        slopes = (jnp.asarray(alibi_slopes(spec.n_heads), jnp.float32)
+                  if spec.pos == "alibi" else None)
+
+        cell = {}
+
+        def decode_attn(spec_, q, k, v, mask, plain_causal=False):
+            ckl, cvl = cell["slabs"]
+            # append this layer's new k/v on the owning device
+            kw = jnp.where(my_turn, k[:, 0].astype(ckl.dtype),
+                           ckl[:, slot])
+            vw = jnp.where(my_turn, v[:, 0].astype(cvl.dtype),
+                           cvl[:, slot])
+            ckl = jax.lax.dynamic_update_index_in_dim(ckl, kw, slot, 1)
+            cvl = jax.lax.dynamic_update_index_in_dim(cvl, vw, slot, 1)
+            cell["slabs"] = (ckl, cvl)
+            m, l, acc = _sp_decode_attention(spec_, q, ckl, cvl, pos_new,
+                                             slopes)
+            M = jax.lax.pmax(m, axis)
+            w = jnp.exp(jnp.maximum(m, -1e30) - jnp.maximum(M, -1e30))
+            l_g = jax.lax.psum(w * l, axis)
+            acc_g = jax.lax.psum(w[..., None] * acc, axis)
+            out = acc_g / l_g[..., None]
+            B_, H, hd = out.shape
+            return out.reshape(B_, 1, H * hd).astype(q.dtype)
+
+        h = embed_forward(spec, hparams, token, positions)
+
+        def body(hc, xs):
+            lp, ckl, cvl = xs
+            cell["slabs"] = (ckl, cvl)
+            out, _, _ = block_forward(spec, lp, hc, positions=positions,
+                                      mask=None, rope=rope,
+                                      attn_fn=decode_attn)
+            ckl, cvl = cell.pop("slabs")
+            return out.astype(hc.dtype), (ckl, cvl)
+
+        h, (ck_new, cv_new) = jax.lax.scan(body, h, (layers, ck, cv))
+        logits = head_forward(spec, hparams, h)
+        return logits[:, -1], ck_new, cv_new, pos_new
+
+    layer_specs = jax.tree_util.tree_map(
+        lambda v: None if v is None else P(), stacked,
+        is_leaf=lambda v: v is None)
+    rep = jax.tree_util.tree_map(
+        lambda v: None if v is None else P(),
+        (hp["embed"], hp["final_ln"], hp["lm_head"]),
+        is_leaf=lambda v: v is None)
+    cshard = P(None, None, axis)
+    fwd = shard_map(
+        shmap_body, mesh=mesh,
+        in_specs=(layer_specs, *rep, cshard, cshard, P(axis), P(), P()),
+        out_specs=(P(), cshard, cshard, P(axis)),
+        check_vma=False,
+    )
+
+    def step(cache: SPCache, token: jax.Array):
+        logits, ck, cv, pos = fwd(stacked, hp["embed"], hp["final_ln"],
+                                  hp["lm_head"], cache.k, cache.v,
+                                  cache.pos, cache.length, token)
+        return logits, SPCache(k=ck, v=cv, pos=pos,
+                               length=cache.length + 1, meta=cache.meta)
+
+    return jax.jit(step)

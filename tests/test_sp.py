@@ -163,3 +163,38 @@ def make_mesh_tp2():
     from gptq_tpu.parallel.mesh import make_mesh
 
     return make_mesh(tp=2, dp=1)
+
+
+@pytest.mark.parametrize("spec", [SPEC, BLOOM_SPEC])
+def test_sp_cache_decode_matches_flat(spec):
+    """Context-parallel decode: the SPCache stays sharded over sp for the
+    whole serving lifetime (prefill + decode; never gathered). Logits
+    must match the flat prefill+decode stream step for step, across the
+    round-robin append wrapping every device."""
+    from gptq_tpu.parallel.sp import make_sp_cache_prefill, make_sp_decode_step
+
+    params = init_params(spec, jax.random.PRNGKey(11))
+    ids = _ids(spec, B=2, T=8, seed=12)
+    toks = [3, 7, 11, 2, 5]  # > 2*sp steps: wraps the ring twice
+
+    c_ref = KVCache.init(spec, 2, 16, jnp.float32)
+    want, c_ref = model_forward(spec, params, ids, c_ref)
+    wants = []
+    for t in toks:
+        w, c_ref = model_forward(spec, params,
+                                 jnp.asarray([[t], [t]]), c_ref)
+        wants.append(w[:, -1])
+
+    mesh = make_sp_mesh(2)
+    prefill = make_sp_cache_prefill(spec, params, mesh,
+                                    cache_dtype=jnp.float32, max_len=16)
+    logits, cache = prefill(ids)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    assert cache.k.shape[2] == 16  # global capacity, sharded 8/device
+    step = make_sp_decode_step(spec, params, mesh, cache.meta)
+    for t, w in zip(toks, wants):
+        got, cache = step(cache, jnp.asarray([[t], [t]]))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4)
+    assert int(cache.length) == 8 + len(toks)
