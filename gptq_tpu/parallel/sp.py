@@ -358,20 +358,6 @@ def make_sp_cache_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
         ml_total += sp - ml_total % sp  # round capacity up to shard evenly
     ml = ml_total // sp
 
-    def scatter(ks, vs, T):
-        """(L, B, T, kvh, hd) gathered planes -> chunk-major padded layout.
-        Runs as its own small jit; the bulk compute stayed in fwd."""
-        Tc = T // sp
-        L, B = ks.shape[:2]
-        kl = ks.reshape(L, B, sp, Tc, *ks.shape[3:])
-        pad = [(0, 0), (0, 0), (0, 0), (0, ml - Tc), (0, 0), (0, 0)]
-        kl = jnp.pad(kl, pad).reshape(L, B, sp * ml, *ks.shape[3:])
-        vl = jnp.pad(vs.reshape(L, B, sp, Tc, *vs.shape[3:]),
-                     pad).reshape(L, B, sp * ml, *vs.shape[3:])
-        pos = jnp.pad(jnp.arange(T, dtype=jnp.int32).reshape(sp, Tc),
-                      [(0, 0), (0, ml - Tc)], constant_values=-1)
-        return kl, vl, pos.reshape(sp * ml)
-
     def prefill(ids: jax.Array):
         B, T = ids.shape
         if T % sp:
@@ -382,7 +368,8 @@ def make_sp_cache_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
         logits, ks, vs = fwd(stacked, hp["embed"], hp["final_ln"],
                              hp["lm_head"], ids)
         ks, vs = ks.astype(cache_dtype), vs.astype(cache_dtype)
-        kl, vl, pos = jax.jit(scatter, static_argnums=2)(ks, vs, T)
+        kl, vl, pos = jax.jit(_scatter_chunk_major,
+                              static_argnums=(2, 3, 4))(ks, vs, T, sp, ml)
         shard = NamedSharding(mesh, P(None, None, axis))
         cache = SPCache(
             k=jax.device_put(kl, shard), v=jax.device_put(vl, shard),
@@ -490,3 +477,137 @@ def make_sp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
                                length=cache.length + 1, meta=cache.meta)
 
     return jax.jit(step)
+
+
+def _scatter_chunk_major(ks, vs, T, sp, ml):
+    """(L, B, T, kvh, hd) gathered planes -> chunk-major padded layout +
+    position plane (shared by the sp-only and sp x tp cache prefills)."""
+    Tc = T // sp
+    L, B = ks.shape[:2]
+    pad = [(0, 0), (0, 0), (0, 0), (0, ml - Tc), (0, 0), (0, 0)]
+    kl = jnp.pad(ks.reshape(L, B, sp, Tc, *ks.shape[3:]),
+                 pad).reshape(L, B, sp * ml, *ks.shape[3:])
+    vl = jnp.pad(vs.reshape(L, B, sp, Tc, *vs.shape[3:]),
+                 pad).reshape(L, B, sp * ml, *vs.shape[3:])
+    pos = jnp.pad(jnp.arange(T, dtype=jnp.int32).reshape(sp, Tc),
+                  [(0, 0), (0, ml - Tc)], constant_values=-1)
+    return kl, vl, pos.reshape(sp * ml)
+
+
+def make_sp_tp_cache_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
+                             sp_axis: str = "sp", tp_axis: str = "tp",
+                             cache_dtype=jnp.bfloat16,
+                             max_len: int | None = None,
+                             fuse: bool = False, a8: bool = False):
+    """make_sp_tp_prefill returning a doubly-sharded SPCache: slots over
+    sp, kv heads over tp — cache memory per device is S/(sp*tp_kv_share);
+    pair with make_sp_tp_decode_step to serve without ever gathering."""
+    sp = mesh.shape[sp_axis]
+    prefill_g, local = make_sp_tp_prefill(
+        spec, params, mesh, sp_axis, tp_axis, cache_dtype,
+        max_len=None, fuse=fuse, a8=a8)
+    ml_total = spec.max_pos if max_len is None else max_len
+    if ml_total % sp:
+        ml_total += sp - ml_total % sp
+    ml = ml_total // sp
+    kv_shard = NamedSharding(mesh, P(None, None, sp_axis, tp_axis))
+
+    def prefill(ids: jax.Array):
+        B, T = ids.shape
+        if T // sp > ml:
+            raise ValueError(f"prompt chunk {T // sp} > capacity {ml}")
+        logits, cache = prefill_g(ids)
+        kl, vl, pos = jax.jit(_scatter_chunk_major,
+                              static_argnums=(2, 3, 4))(
+            cache.k[:, :, :T], cache.v[:, :, :T], T, sp, ml)
+        return logits, SPCache(
+            k=jax.device_put(kl, kv_shard),
+            v=jax.device_put(vl, kv_shard),
+            pos=jax.device_put(pos, NamedSharding(mesh, P(sp_axis))),
+            length=jnp.asarray(T, jnp.int32), meta=(T // sp, ml))
+
+    return prefill, local
+
+
+def make_sp_tp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
+                           meta: tuple, sp_axis: str = "sp",
+                           tp_axis: str = "tp", fuse: bool = False,
+                           a8: bool = False):
+    """step(local_params, cache: SPCache, token) -> (last logits, SPCache)
+    on a 2-D (sp, tp) mesh: the cache stays sharded over BOTH axes (slots
+    over sp, kv heads over tp) and the weights shard over tp
+    (tp_local_view — packed/fused/a8 serving configs included). The full
+    long-context big-model serving composition: per-device memory is
+    weights/tp + cache/(sp*tp)."""
+    from gptq_tpu.parallel.tp import tp_local_view
+
+    sp = mesh.shape[sp_axis]
+    tp = mesh.shape[tp_axis]
+    Tc, ml = meta
+    local, pspecs = tp_local_view(spec, params, tp, tp_axis,
+                                  fuse=fuse, a8=a8)
+
+    def shmap_body(p, ck, cv, pos, length, token):
+        d = jax.lax.axis_index(sp_axis)
+        B, T = token.shape  # T == 1
+        t_dec = length - Tc * sp
+        my_turn = (t_dec % sp) == d
+        slot = Tc + t_dec // sp
+        new_pos = jnp.where(my_turn,
+                            jnp.asarray(length, jnp.int32), pos[slot])
+        pos_new = pos.at[slot].set(new_pos)
+        positions = jnp.broadcast_to(length[None], (B, T))
+        rope = rope_tables(spec, positions) if spec.pos == "rope" else None
+        slopes = (_local_slopes(spec, tp_axis, tp)
+                  if spec.pos == "alibi" else None)
+
+        h = embed_forward(spec, p, token, positions)
+        ck_out, cv_out = [], []
+        for i, bp in enumerate(p["layers"]):
+            ckl, cvl = ck[i], cv[i]
+            cell = {}
+
+            def decode_attn(spec_, q, k, v, mask, plain_causal=False,
+                            ckl=ckl, cvl=cvl, cell=cell):
+                kw = jnp.where(my_turn, k[:, 0].astype(ckl.dtype),
+                               ckl[:, slot])
+                vw = jnp.where(my_turn, v[:, 0].astype(cvl.dtype),
+                               cvl[:, slot])
+                ckl = jax.lax.dynamic_update_index_in_dim(ckl, kw, slot, 1)
+                cvl = jax.lax.dynamic_update_index_in_dim(cvl, vw, slot, 1)
+                cell["slabs"] = (ckl, cvl)
+                m, l, acc = _sp_decode_attention(spec_, q, ckl, cvl,
+                                                 pos_new, slopes)
+                M = jax.lax.pmax(m, sp_axis)
+                w = jnp.exp(jnp.maximum(m, -1e30) - jnp.maximum(M, -1e30))
+                l_g = jax.lax.psum(w * l, sp_axis)
+                acc_g = jax.lax.psum(w[..., None] * acc, sp_axis)
+                out = acc_g / l_g[..., None]
+                B_, H, hd = out.shape
+                return out.reshape(B_, 1, H * hd).astype(q.dtype)
+
+            h, _, _ = block_forward(spec, bp, h, positions=positions,
+                                    mask=None, rope=rope, tp_axis=tp_axis,
+                                    attn_fn=decode_attn)
+            nk, nv = cell.pop("slabs")
+            ck_out.append(nk)
+            cv_out.append(nv)
+        logits = head_forward(spec, p, h, tp_axis=tp_axis)
+        return (logits[:, -1], jnp.stack(ck_out), jnp.stack(cv_out),
+                pos_new)
+
+    cshard = P(None, None, sp_axis, tp_axis)
+    fwd = shard_map(
+        shmap_body, mesh=mesh,
+        in_specs=(pspecs, cshard, cshard, P(sp_axis), P(), P()),
+        out_specs=(P(), cshard, cshard, P(sp_axis)),
+        check_vma=False,
+    )
+
+    def step(local_params, cache: SPCache, token: jax.Array):
+        logits, ckn, cvn, pos = fwd(local_params, cache.k, cache.v,
+                                    cache.pos, cache.length, token)
+        return logits, SPCache(k=ckn, v=cvn, pos=pos,
+                               length=cache.length + 1, meta=cache.meta)
+
+    return local, jax.jit(step)

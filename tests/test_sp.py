@@ -198,3 +198,79 @@ def test_sp_cache_decode_matches_flat(spec):
         np.testing.assert_allclose(np.asarray(got), np.asarray(w),
                                    rtol=2e-4, atol=2e-4)
     assert int(cache.length) == 8 + len(toks)
+
+
+def test_sp_tp_cache_decode_packed_fused_matches_single():
+    """The full long-context big-model serving composition on one 2-D
+    mesh: packed act-order fused-a8 weights sharded over tp, the SPCache
+    sharded over sp AND tp (slots x kv heads) and never gathered, from
+    prefill through decode. Tokens must match the single-device stream."""
+    from gptq_tpu.models.common import fuse_serving
+    from gptq_tpu.parallel.sp import (make_sp_tp_cache_prefill,
+                                      make_sp_tp_decode_step, make_sp_tp_mesh)
+    from test_parallel import _packed_serving_model
+
+    spec, params = _packed_serving_model(act_order=True)
+    ids = _ids(spec, B=1, T=8, seed=13)
+    toks = [3, 7, 11, 2, 5]
+
+    single = fuse_serving(spec, params, a8=True)
+    c_ref = KVCache.init(spec, 1, 16, jnp.float32)
+    _, c_ref = model_forward(spec, single, ids, c_ref)
+    wants = []
+    for t in toks:
+        w, c_ref = model_forward(spec, single, jnp.asarray([[t]]), c_ref)
+        wants.append(w[:, -1])
+
+    mesh = make_sp_tp_mesh(sp=2, tp=2)
+    prefill, _ = make_sp_tp_cache_prefill(
+        spec, params, mesh, cache_dtype=jnp.float32, max_len=16,
+        fuse=True, a8=True)
+    _, cache = prefill(ids)
+    local, step = make_sp_tp_decode_step(spec, params, mesh, cache.meta,
+                                         fuse=True, a8=True)
+    for t, w in zip(toks, wants):
+        got, cache = step(local, cache, jnp.asarray([[t]]))
+        g, wv = np.asarray(got)[0], np.asarray(w)[0]
+        rel = np.abs(g - wv).max() / np.abs(wv).max()
+        assert rel < 0.05, rel  # per-shard int8 act grids, see above
+        top2 = np.sort(wv)[-2:]
+        if top2[1] - top2[0] > 0.05 * np.abs(wv).max():
+            # tokens must agree whenever the reference's top-2 gap
+            # exceeds the int8-activation noise band; a synthetic random
+            # model's near-ties (gap ~0.01 at noise ~0.03) may flip
+            assert int(g.argmax()) == int(wv.argmax())
+        else:
+            assert wv[g.argmax()] >= top2[0]  # within the near-tie set
+    assert int(cache.length) == 8 + len(toks)
+
+
+def test_sp_tp_cache_decode_dense_matches_flat():
+    """Dense-weight variant of the doubly-sharded serving flow (exact
+    float parity, llama GQA)."""
+    from gptq_tpu.parallel.sp import (make_sp_tp_cache_prefill,
+                                      make_sp_tp_decode_step, make_sp_tp_mesh)
+
+    params = init_params(SPEC, jax.random.PRNGKey(14))
+    ids = _ids(SPEC, B=2, T=8, seed=15)
+    toks = [4, 9, 1]
+
+    c_ref = KVCache.init(SPEC, 2, 16, jnp.float32)
+    want_pre, c_ref = model_forward(SPEC, params, ids, c_ref)
+    wants = []
+    for t in toks:
+        w, c_ref = model_forward(SPEC, params, jnp.asarray([[t], [t]]), c_ref)
+        wants.append(w[:, -1])
+
+    mesh = make_sp_tp_mesh(sp=2, tp=2)
+    prefill, _ = make_sp_tp_cache_prefill(SPEC, params, mesh,
+                                          cache_dtype=jnp.float32,
+                                          max_len=16)
+    logits, cache = prefill(ids)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want_pre),
+                               rtol=3e-4, atol=3e-4)
+    local, step = make_sp_tp_decode_step(SPEC, params, mesh, cache.meta)
+    for t, w in zip(toks, wants):
+        got, cache = step(local, cache, jnp.asarray([[t], [t]]))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(w),
+                                   rtol=3e-4, atol=3e-4)
