@@ -301,22 +301,33 @@ class SPCache:
     k/v: (L, B, sp*ml, kvh, hd), sharded P(None, None, sp).
     pos: (sp*ml,) int32, sharded P(sp).
     length: total tokens written (prompt + decoded), replicated.
+    k_scale/v_scale: (L, B, sp*ml, kvh) f32 per-token-head scales when the
+    values are int8 (cache_dtype=int8 composes the quantized cache's
+    2x byte saving with the sp sharding), sharded like k/v.
     """
 
     k: jax.Array
     v: jax.Array
     pos: jax.Array
     length: jax.Array
+    k_scale: jax.Array | None = None
+    v_scale: jax.Array | None = None
     meta: tuple = field(metadata=dict(static=True), default=(0, 0))  # (Tc, ml)
 
 
-def _sp_decode_attention(spec: ArchSpec, q, kc, vc, pos_local, slopes):
+def _sp_decode_attention(spec: ArchSpec, q, kc, vc, ksc, vsc, pos_local,
+                         slopes):
     """Per-device partial online-softmax attention of one query step
-    against the local cache slots. Returns (m, l, acc) for the cross-
-    device combine: out = sum_d exp(m_d - M) acc_d / sum_d exp(m_d - M) l_d."""
+    against the local cache slots (int8 slots dequantize via the ksc/vsc
+    scale planes; None for bf16/f32 slots). Returns (m, l, acc) for the
+    cross-device combine:
+    out = sum_d exp(m_d - M) acc_d / sum_d exp(m_d - M) l_d."""
     B, T, H, hd = q.shape  # T == 1
     kvh = kc.shape[2]
     rep = H // kvh
+    if ksc is not None:
+        kc = kc.astype(jnp.float32) * ksc[..., None]
+        vc = vc.astype(jnp.float32) * vsc[..., None]
     kr = jnp.repeat(kc, rep, axis=2) if rep > 1 else kc
     vr = jnp.repeat(vc, rep, axis=2) if rep > 1 else vc
     qf = q[:, 0].astype(jnp.float32) * spec.scale  # (B, H, hd)
@@ -335,6 +346,38 @@ def _sp_decode_attention(spec: ArchSpec, q, kc, vc, pos_local, slopes):
     return m, l, acc
 
 
+def _sp_attend_update(spec, q, k, v, slabs, my_turn, slot, pos_new, slopes,
+                      sp_axis):
+    """Shared decode core: append the new token's k/v into the local slab
+    on the owning device (quantizing when the slab is int8), run the
+    partial attention, and combine exactly across the sp axis. Returns
+    (attn out (B, 1, H*hd), updated slabs)."""
+    ckl, cvl, ksl, vsl = slabs
+    if ksl is not None:
+        from gptq_tpu.models.common import _quantize_kv
+
+        kq, ksn = _quantize_kv(k)
+        vq, vsn = _quantize_kv(v)
+        k, v = kq, vq
+        ksl = jax.lax.dynamic_update_index_in_dim(
+            ksl, jnp.where(my_turn, ksn[:, 0], ksl[:, slot]), slot, 1)
+        vsl = jax.lax.dynamic_update_index_in_dim(
+            vsl, jnp.where(my_turn, vsn[:, 0], vsl[:, slot]), slot, 1)
+    kw = jnp.where(my_turn, k[:, 0].astype(ckl.dtype), ckl[:, slot])
+    vw = jnp.where(my_turn, v[:, 0].astype(cvl.dtype), cvl[:, slot])
+    ckl = jax.lax.dynamic_update_index_in_dim(ckl, kw, slot, 1)
+    cvl = jax.lax.dynamic_update_index_in_dim(cvl, vw, slot, 1)
+    m, l, acc = _sp_decode_attention(spec, q, ckl, cvl, ksl, vsl,
+                                     pos_new, slopes)
+    M = jax.lax.pmax(m, sp_axis)
+    w = jnp.exp(jnp.maximum(m, -1e30) - jnp.maximum(M, -1e30))
+    l_g = jax.lax.psum(w * l, sp_axis)
+    acc_g = jax.lax.psum(w[..., None] * acc, sp_axis)
+    out = acc_g / l_g[..., None]
+    B, H, hd = out.shape
+    return out.reshape(B, 1, H * hd).astype(q.dtype), (ckl, cvl, ksl, vsl)
+
+
 def make_sp_cache_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
                           axis: str = "sp", cache_dtype=jnp.bfloat16,
                           max_len: int | None = None):
@@ -342,9 +385,13 @@ def make_sp_cache_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
     `axis` — per-device cache memory is S/sp for the whole serving
     lifetime (prefill AND decode via make_sp_decode_step), the actual
     long-context capacity story; the gathering make_sp_prefill trades
-    that away for a cache any consumer can use."""
+    that away for a cache any consumer can use. cache_dtype=int8 stores
+    dynamically-quantized values + per-token-head scales (2x fewer cache
+    bytes on top of the sp sharding)."""
     sp = mesh.shape[axis]
-    _, fwd = make_sp_prefill(spec, params, mesh, axis, cache_dtype)
+    int8 = cache_dtype == jnp.int8
+    _, fwd = make_sp_prefill(spec, params, mesh, axis,
+                             jnp.float32 if int8 else cache_dtype)
     stacked = _stack_trees(params["layers"])
     hp = {"embed": params["embed"], "final_ln": params.get("final_ln"),
           "lm_head": params.get("lm_head")}
@@ -367,21 +414,35 @@ def make_sp_cache_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
             raise ValueError(f"prompt chunk {Tc} > per-device capacity {ml}")
         logits, ks, vs = fwd(stacked, hp["embed"], hp["final_ln"],
                              hp["lm_head"], ids)
-        ks, vs = ks.astype(cache_dtype), vs.astype(cache_dtype)
-        kl, vl, pos = jax.jit(_scatter_chunk_major,
-                              static_argnums=(2, 3, 4))(ks, vs, T, sp, ml)
+        scat = jax.jit(_scatter_one, static_argnums=(1, 2, 3))
+        ksc = vsc = None
+        if int8:
+            from gptq_tpu.models.common import _quantize_kv
+
+            qkv = jax.jit(jax.vmap(_quantize_kv))  # over the layer axis
+            ks, k_s = qkv(ks)
+            vs, v_s = qkv(vs)
+            ssh = NamedSharding(mesh, P(None, None, axis))
+            ksc = jax.device_put(scat(k_s, T, sp, ml), ssh)
+            vsc = jax.device_put(scat(v_s, T, sp, ml), ssh)
+        else:
+            ks, vs = ks.astype(cache_dtype), vs.astype(cache_dtype)
         shard = NamedSharding(mesh, P(None, None, axis))
         cache = SPCache(
-            k=jax.device_put(kl, shard), v=jax.device_put(vl, shard),
-            pos=jax.device_put(pos, NamedSharding(mesh, P(axis))),
-            length=jnp.asarray(T, jnp.int32), meta=(Tc, ml))
+            k=jax.device_put(scat(ks, T, sp, ml), shard),
+            v=jax.device_put(scat(vs, T, sp, ml), shard),
+            pos=jax.device_put(jnp.asarray(_chunk_positions(T, sp, ml)),
+                               NamedSharding(mesh, P(axis))),
+            length=jnp.asarray(T, jnp.int32),
+            k_scale=ksc, v_scale=vsc, meta=(Tc, ml))
         return logits, cache
 
     return prefill
 
 
 def make_sp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
-                        meta: tuple, axis: str = "sp"):
+                        meta: tuple, axis: str = "sp",
+                        int8_cache: bool = False):
     """step(cache: SPCache, token (B, 1)) -> (last logits, SPCache).
 
     Single-token decode with the cache sharded over `axis` the whole
@@ -389,8 +450,9 @@ def make_sp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
     new query against its local slots, one pmax + two psums combine the
     partials exactly, and the new token's k/v appends round-robin
     (decode step t lands on device t mod sp) so headroom drains evenly.
-    Weights are replicated (compose with tp via tp_local_view later if
-    a model needs both)."""
+    int8_cache=True expects an SPCache built with cache_dtype=int8 (scale
+    planes present; appends quantize dynamically). Weights are replicated
+    (make_sp_tp_decode_step composes with tp)."""
     sp = mesh.shape[axis]
     Tc, ml = meta
     stacked = _stack_trees(params["layers"])
@@ -401,8 +463,8 @@ def make_sp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
         lambda v: None if v is None else jax.device_put(v, rep_sh),
         stacked, is_leaf=lambda v: v is None)
 
-    def shmap_body(layers, embed, final_ln, lm_head, ck, cv, pos, length,
-                   token):
+    def shmap_body(layers, embed, final_ln, lm_head, ck, cv, ksc, vsc,
+                   pos, length, token):
         d = jax.lax.axis_index(axis)
         B, T = token.shape  # T == 1
         t_dec = length - Tc * sp  # decode index
@@ -420,39 +482,29 @@ def make_sp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
         cell = {}
 
         def decode_attn(spec_, q, k, v, mask, plain_causal=False):
-            ckl, cvl = cell["slabs"]
-            # append this layer's new k/v on the owning device
-            kw = jnp.where(my_turn, k[:, 0].astype(ckl.dtype),
-                           ckl[:, slot])
-            vw = jnp.where(my_turn, v[:, 0].astype(cvl.dtype),
-                           cvl[:, slot])
-            ckl = jax.lax.dynamic_update_index_in_dim(ckl, kw, slot, 1)
-            cvl = jax.lax.dynamic_update_index_in_dim(cvl, vw, slot, 1)
-            cell["slabs"] = (ckl, cvl)
-            m, l, acc = _sp_decode_attention(spec_, q, ckl, cvl, pos_new,
-                                             slopes)
-            M = jax.lax.pmax(m, axis)
-            w = jnp.exp(jnp.maximum(m, -1e30) - jnp.maximum(M, -1e30))
-            l_g = jax.lax.psum(w * l, axis)
-            acc_g = jax.lax.psum(w[..., None] * acc, axis)
-            out = acc_g / l_g[..., None]
-            B_, H, hd = out.shape
-            return out.reshape(B_, 1, H * hd).astype(q.dtype)
+            out, cell["slabs"] = _sp_attend_update(
+                spec_, q, k, v, cell["slabs"], my_turn, slot, pos_new,
+                slopes, axis)
+            return out
 
         h = embed_forward(spec, hparams, token, positions)
 
         def body(hc, xs):
-            lp, ckl, cvl = xs
-            cell["slabs"] = (ckl, cvl)
+            lp, slabs = xs
+            cell["slabs"] = slabs
             out, _, _ = block_forward(spec, lp, hc, positions=positions,
                                       mask=None, rope=rope,
                                       attn_fn=decode_attn)
-            ckl, cvl = cell.pop("slabs")
-            return out.astype(hc.dtype), (ckl, cvl)
+            return out.astype(hc.dtype), cell.pop("slabs")
 
-        h, (ck_new, cv_new) = jax.lax.scan(body, h, (layers, ck, cv))
+        slabs0 = ((ck, cv, ksc, vsc) if int8_cache else
+                  (ck, cv, None, None))
+        h, new_slabs = jax.lax.scan(body, h, (layers, slabs0))
         logits = head_forward(spec, hparams, h)
-        return logits[:, -1], ck_new, cv_new, pos_new
+        ck_n, cv_n = new_slabs[0], new_slabs[1]
+        ks_n = new_slabs[2] if int8_cache else ksc
+        vs_n = new_slabs[3] if int8_cache else vsc
+        return logits[:, -1], ck_n, cv_n, ks_n, vs_n, pos_new
 
     layer_specs = jax.tree_util.tree_map(
         lambda v: None if v is None else P(), stacked,
@@ -462,36 +514,48 @@ def make_sp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
         (hp["embed"], hp["final_ln"], hp["lm_head"]),
         is_leaf=lambda v: v is None)
     cshard = P(None, None, axis)
+    sshard = cshard if int8_cache else P()
     fwd = shard_map(
         shmap_body, mesh=mesh,
-        in_specs=(layer_specs, *rep, cshard, cshard, P(axis), P(), P()),
-        out_specs=(P(), cshard, cshard, P(axis)),
+        in_specs=(layer_specs, *rep, cshard, cshard, sshard, sshard,
+                  P(axis), P(), P()),
+        out_specs=(P(), cshard, cshard, sshard, sshard, P(axis)),
         check_vma=False,
     )
 
     def step(cache: SPCache, token: jax.Array):
-        logits, ck, cv, pos = fwd(stacked, hp["embed"], hp["final_ln"],
-                                  hp["lm_head"], cache.k, cache.v,
-                                  cache.pos, cache.length, token)
-        return logits, SPCache(k=ck, v=cv, pos=pos,
-                               length=cache.length + 1, meta=cache.meta)
+        dummy = jnp.zeros((), jnp.float32)
+        logits, ck, cv, ks, vs, pos = fwd(
+            stacked, hp["embed"], hp["final_ln"], hp["lm_head"],
+            cache.k, cache.v,
+            cache.k_scale if int8_cache else dummy,
+            cache.v_scale if int8_cache else dummy,
+            cache.pos, cache.length, token)
+        return logits, SPCache(
+            k=ck, v=cv, pos=pos, length=cache.length + 1,
+            k_scale=ks if int8_cache else None,
+            v_scale=vs if int8_cache else None, meta=cache.meta)
 
     return jax.jit(step)
 
 
-def _scatter_chunk_major(ks, vs, T, sp, ml):
-    """(L, B, T, kvh, hd) gathered planes -> chunk-major padded layout +
-    position plane (shared by the sp-only and sp x tp cache prefills)."""
+def _scatter_one(x, T: int, sp: int, ml: int):
+    """One gathered (L, B, T, ...) plane -> chunk-major padded layout
+    (L, B, sp*ml, ...): device d's ml slots start with its Tc-chunk."""
     Tc = T // sp
-    L, B = ks.shape[:2]
-    pad = [(0, 0), (0, 0), (0, 0), (0, ml - Tc), (0, 0), (0, 0)]
-    kl = jnp.pad(ks.reshape(L, B, sp, Tc, *ks.shape[3:]),
-                 pad).reshape(L, B, sp * ml, *ks.shape[3:])
-    vl = jnp.pad(vs.reshape(L, B, sp, Tc, *vs.shape[3:]),
-                 pad).reshape(L, B, sp * ml, *vs.shape[3:])
-    pos = jnp.pad(jnp.arange(T, dtype=jnp.int32).reshape(sp, Tc),
-                  [(0, 0), (0, ml - Tc)], constant_values=-1)
-    return kl, vl, pos.reshape(sp * ml)
+    L, B = x.shape[:2]
+    xr = x.reshape(L, B, sp, Tc, *x.shape[3:])
+    pad = [(0, 0)] * xr.ndim
+    pad[3] = (0, ml - Tc)
+    return jnp.pad(xr, pad).reshape(L, B, sp * ml, *x.shape[3:])
+
+
+def _chunk_positions(T: int, sp: int, ml: int) -> np.ndarray:
+    """Global position of every chunk-major slot; -1 = empty headroom."""
+    Tc = T // sp
+    pos = np.full((sp, ml), -1, np.int32)
+    pos[:, :Tc] = np.arange(T, dtype=np.int32).reshape(sp, Tc)
+    return pos.reshape(sp * ml)
 
 
 def make_sp_tp_cache_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
@@ -501,30 +565,44 @@ def make_sp_tp_cache_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
                              fuse: bool = False, a8: bool = False):
     """make_sp_tp_prefill returning a doubly-sharded SPCache: slots over
     sp, kv heads over tp — cache memory per device is S/(sp*tp_kv_share);
-    pair with make_sp_tp_decode_step to serve without ever gathering."""
+    pair with make_sp_tp_decode_step to serve without ever gathering.
+    cache_dtype=int8 adds dynamic per-token-head quantization on top."""
     sp = mesh.shape[sp_axis]
+    int8 = cache_dtype == jnp.int8
     prefill_g, local = make_sp_tp_prefill(
-        spec, params, mesh, sp_axis, tp_axis, cache_dtype,
+        spec, params, mesh, sp_axis, tp_axis,
+        jnp.float32 if int8 else cache_dtype,
         max_len=None, fuse=fuse, a8=a8)
     ml_total = spec.max_pos if max_len is None else max_len
     if ml_total % sp:
         ml_total += sp - ml_total % sp
     ml = ml_total // sp
     kv_shard = NamedSharding(mesh, P(None, None, sp_axis, tp_axis))
+    sc_shard = NamedSharding(mesh, P(None, None, sp_axis, tp_axis))
 
     def prefill(ids: jax.Array):
         B, T = ids.shape
         if T // sp > ml:
             raise ValueError(f"prompt chunk {T // sp} > capacity {ml}")
         logits, cache = prefill_g(ids)
-        kl, vl, pos = jax.jit(_scatter_chunk_major,
-                              static_argnums=(2, 3, 4))(
-            cache.k[:, :, :T], cache.v[:, :, :T], T, sp, ml)
+        ks, vs = cache.k[:, :, :T], cache.v[:, :, :T]
+        scat = jax.jit(_scatter_one, static_argnums=(1, 2, 3))
+        ksc = vsc = None
+        if int8:
+            from gptq_tpu.models.common import _quantize_kv
+
+            qkv = jax.jit(jax.vmap(_quantize_kv))
+            ks, k_s = qkv(ks)
+            vs, v_s = qkv(vs)
+            ksc = jax.device_put(scat(k_s, T, sp, ml), sc_shard)
+            vsc = jax.device_put(scat(v_s, T, sp, ml), sc_shard)
         return logits, SPCache(
-            k=jax.device_put(kl, kv_shard),
-            v=jax.device_put(vl, kv_shard),
-            pos=jax.device_put(pos, NamedSharding(mesh, P(sp_axis))),
-            length=jnp.asarray(T, jnp.int32), meta=(T // sp, ml))
+            k=jax.device_put(scat(ks, T, sp, ml), kv_shard),
+            v=jax.device_put(scat(vs, T, sp, ml), kv_shard),
+            pos=jax.device_put(jnp.asarray(_chunk_positions(T, sp, ml)),
+                               NamedSharding(mesh, P(sp_axis))),
+            length=jnp.asarray(T, jnp.int32),
+            k_scale=ksc, v_scale=vsc, meta=(T // sp, ml))
 
     return prefill, local
 
@@ -532,7 +610,7 @@ def make_sp_tp_cache_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
 def make_sp_tp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
                            meta: tuple, sp_axis: str = "sp",
                            tp_axis: str = "tp", fuse: bool = False,
-                           a8: bool = False):
+                           a8: bool = False, int8_cache: bool = False):
     """step(local_params, cache: SPCache, token) -> (last logits, SPCache)
     on a 2-D (sp, tp) mesh: the cache stays sharded over BOTH axes (slots
     over sp, kv heads over tp) and the weights shard over tp
@@ -547,7 +625,7 @@ def make_sp_tp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
     local, pspecs = tp_local_view(spec, params, tp, tp_axis,
                                   fuse=fuse, a8=a8)
 
-    def shmap_body(p, ck, cv, pos, length, token):
+    def shmap_body(p, ck, cv, ksc, vsc, pos, length, token):
         d = jax.lax.axis_index(sp_axis)
         B, T = token.shape  # T == 1
         t_dec = length - Tc * sp
@@ -562,52 +640,50 @@ def make_sp_tp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
                   if spec.pos == "alibi" else None)
 
         h = embed_forward(spec, p, token, positions)
-        ck_out, cv_out = [], []
+        outs = []
         for i, bp in enumerate(p["layers"]):
-            ckl, cvl = ck[i], cv[i]
-            cell = {}
+            cell = {"slabs": (ck[i], cv[i],
+                              ksc[i] if int8_cache else None,
+                              vsc[i] if int8_cache else None)}
 
             def decode_attn(spec_, q, k, v, mask, plain_causal=False,
-                            ckl=ckl, cvl=cvl, cell=cell):
-                kw = jnp.where(my_turn, k[:, 0].astype(ckl.dtype),
-                               ckl[:, slot])
-                vw = jnp.where(my_turn, v[:, 0].astype(cvl.dtype),
-                               cvl[:, slot])
-                ckl = jax.lax.dynamic_update_index_in_dim(ckl, kw, slot, 1)
-                cvl = jax.lax.dynamic_update_index_in_dim(cvl, vw, slot, 1)
-                cell["slabs"] = (ckl, cvl)
-                m, l, acc = _sp_decode_attention(spec_, q, ckl, cvl,
-                                                 pos_new, slopes)
-                M = jax.lax.pmax(m, sp_axis)
-                w = jnp.exp(jnp.maximum(m, -1e30) - jnp.maximum(M, -1e30))
-                l_g = jax.lax.psum(w * l, sp_axis)
-                acc_g = jax.lax.psum(w[..., None] * acc, sp_axis)
-                out = acc_g / l_g[..., None]
-                B_, H, hd = out.shape
-                return out.reshape(B_, 1, H * hd).astype(q.dtype)
+                            cell=cell):
+                out, cell["slabs"] = _sp_attend_update(
+                    spec_, q, k, v, cell["slabs"], my_turn, slot,
+                    pos_new, slopes, sp_axis)
+                return out
 
             h, _, _ = block_forward(spec, bp, h, positions=positions,
                                     mask=None, rope=rope, tp_axis=tp_axis,
                                     attn_fn=decode_attn)
-            nk, nv = cell.pop("slabs")
-            ck_out.append(nk)
-            cv_out.append(nv)
+            outs.append(cell.pop("slabs"))
         logits = head_forward(spec, p, h, tp_axis=tp_axis)
-        return (logits[:, -1], jnp.stack(ck_out), jnp.stack(cv_out),
-                pos_new)
+        ck_n = jnp.stack([o[0] for o in outs])
+        cv_n = jnp.stack([o[1] for o in outs])
+        ks_n = jnp.stack([o[2] for o in outs]) if int8_cache else ksc
+        vs_n = jnp.stack([o[3] for o in outs]) if int8_cache else vsc
+        return logits[:, -1], ck_n, cv_n, ks_n, vs_n, pos_new
 
     cshard = P(None, None, sp_axis, tp_axis)
+    sshard = cshard if int8_cache else P()
     fwd = shard_map(
         shmap_body, mesh=mesh,
-        in_specs=(pspecs, cshard, cshard, P(sp_axis), P(), P()),
-        out_specs=(P(), cshard, cshard, P(sp_axis)),
+        in_specs=(pspecs, cshard, cshard, sshard, sshard,
+                  P(sp_axis), P(), P()),
+        out_specs=(P(), cshard, cshard, sshard, sshard, P(sp_axis)),
         check_vma=False,
     )
 
     def step(local_params, cache: SPCache, token: jax.Array):
-        logits, ckn, cvn, pos = fwd(local_params, cache.k, cache.v,
-                                    cache.pos, cache.length, token)
-        return logits, SPCache(k=ckn, v=cvn, pos=pos,
-                               length=cache.length + 1, meta=cache.meta)
+        dummy = jnp.zeros((), jnp.float32)
+        logits, ckn, cvn, ksn, vsn, pos = fwd(
+            local_params, cache.k, cache.v,
+            cache.k_scale if int8_cache else dummy,
+            cache.v_scale if int8_cache else dummy,
+            cache.pos, cache.length, token)
+        return logits, SPCache(
+            k=ckn, v=cvn, pos=pos, length=cache.length + 1,
+            k_scale=ksn if int8_cache else None,
+            v_scale=vsn if int8_cache else None, meta=cache.meta)
 
     return local, jax.jit(step)

@@ -274,3 +274,66 @@ def test_sp_tp_cache_decode_dense_matches_flat():
         got, cache = step(local, cache, jnp.asarray([[t], [t]]))
         np.testing.assert_allclose(np.asarray(got), np.asarray(w),
                                    rtol=3e-4, atol=3e-4)
+
+
+def test_sp_cache_int8_decode_close_to_flat():
+    """int8 SPCache: the quantized-cache and sp-sharding memory savers
+    compose — per-device cache bytes are S/(2*sp) vs a flat bf16 cache.
+    int8 rounding bounds the error; logits must stay within the same
+    tolerance the single-device int8 KVCache is held to."""
+    from gptq_tpu.parallel.sp import make_sp_cache_prefill, make_sp_decode_step
+
+    params = init_params(SPEC, jax.random.PRNGKey(16))
+    ids = _ids(SPEC, B=1, T=8, seed=17)
+    toks = [4, 9, 1, 6]
+
+    c_ref = KVCache.init(SPEC, 1, 16, jnp.float32)
+    want_pre, c_ref = model_forward(SPEC, params, ids, c_ref)
+    wants = []
+    for t in toks:
+        w, c_ref = model_forward(SPEC, params, jnp.asarray([[t]]), c_ref)
+        wants.append(np.asarray(w[:, -1]))
+
+    mesh = make_sp_mesh(2)
+    prefill = make_sp_cache_prefill(SPEC, params, mesh,
+                                    cache_dtype=jnp.int8, max_len=16)
+    logits, cache = prefill(ids)
+    assert cache.k.dtype == jnp.int8 and cache.k_scale is not None
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want_pre),
+                               rtol=2e-4, atol=2e-4)  # prefill unquantized
+    step = make_sp_decode_step(SPEC, params, mesh, cache.meta,
+                               int8_cache=True)
+    for t, w in zip(toks, wants):
+        got, cache = step(cache, jnp.asarray([[t]]))
+        rel = np.abs(np.asarray(got) - w).max() / np.abs(w).max()
+        assert rel < 0.03, rel  # int8 cache rounding
+    assert int(cache.length) == 8 + len(toks)
+
+
+def test_sp_tp_cache_int8_decode_close_to_flat():
+    """Doubly-sharded int8 SPCache under sp x tp (dense weights)."""
+    from gptq_tpu.parallel.sp import (make_sp_tp_cache_prefill,
+                                      make_sp_tp_decode_step, make_sp_tp_mesh)
+
+    params = init_params(SPEC, jax.random.PRNGKey(18))
+    ids = _ids(SPEC, B=1, T=8, seed=19)
+    toks = [2, 8, 5]
+
+    c_ref = KVCache.init(SPEC, 1, 16, jnp.float32)
+    _, c_ref = model_forward(SPEC, params, ids, c_ref)
+    wants = []
+    for t in toks:
+        w, c_ref = model_forward(SPEC, params, jnp.asarray([[t]]), c_ref)
+        wants.append(np.asarray(w[:, -1]))
+
+    mesh = make_sp_tp_mesh(sp=2, tp=2)
+    prefill, _ = make_sp_tp_cache_prefill(SPEC, params, mesh,
+                                          cache_dtype=jnp.int8, max_len=16)
+    _, cache = prefill(ids)
+    assert cache.k.dtype == jnp.int8
+    local, step = make_sp_tp_decode_step(SPEC, params, mesh, cache.meta,
+                                         int8_cache=True)
+    for t, w in zip(toks, wants):
+        got, cache = step(local, cache, jnp.asarray([[t]]))
+        rel = np.abs(np.asarray(got) - w).max() / np.abs(w).max()
+        assert rel < 0.03, rel
