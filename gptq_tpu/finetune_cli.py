@@ -58,10 +58,12 @@ def main(argv=None) -> int:
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--pp", type=int, default=1,
                    help="pipeline stages (GPipe microbatch schedule; "
-                        "layers shard by stage — exclusive with --tp/--dp)")
+                        "layers shard by stage — exclusive with --tp, "
+                        "composes with --dp as dp pipeline replicas)")
     p.add_argument("--pp_microbatches", type=int, default=0,
                    help="micro-batches per step under --pp "
-                        "(default: batch_size, i.e. micro size 1)")
+                        "(default: batch_size/dp, i.e. micro size 1 "
+                        "per replica)")
     p.add_argument("--overwrite_output_dir", action="store_true")
     args = p.parse_args(argv)
 
@@ -110,7 +112,9 @@ def main(argv=None) -> int:
                                           unstack_stage_params)
 
         pp_mesh = make_pp_mesh(args.pp, dp=args.dp)
-        n_micro = args.pp_microbatches or args.batch_size
+        # each dp replica pipelines batch_size/dp rows; default micro
+        # size 1 per replica so B % (n_micro * dp) == 0 out of the box
+        n_micro = args.pp_microbatches or max(1, args.batch_size // args.dp)
         params = stack_stage_params(spec, params, args.pp, pp_mesh)
         to_flat = lambda p: unstack_stage_params(spec, p)  # noqa: E731
 

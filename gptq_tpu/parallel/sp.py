@@ -103,20 +103,12 @@ def _ring_attention(spec: ArchSpec, q, k, v, my_chunk, sp: int, axis: str,
     return out.transpose(0, 2, 1, 3).reshape(B, Tc, H * hd).astype(q.dtype)
 
 
-def make_sp_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
-                    axis: str = "sp", cache_dtype=jnp.bfloat16,
-                    max_len: int | None = None):
-    """prefill(ids) -> (logits (B, T, vocab), KVCache filled to length T).
-
-    `ids` is the full (B, T) prompt with T divisible by sp; weights
-    replicate, activations shard over `axis` along T. The returned cache's
-    planes are (L, B, max_len, kvh, hd); max_len defaults to spec.max_pos
-    so the cache always has room for decode appends (an exact-size cache
-    would silently clamp the first append's write index). Pass
-    max_len == T explicitly for an append-free exact-size cache; pass the
-    cache to model_forward (or device_put to parallel.tp.cache_pspec) to
-    continue decoding.
-    """
+def _sp_prefill_parts(spec: ArchSpec, params: dict, mesh: Mesh,
+                      axis: str = "sp"):
+    """(fwd, stacked, hp): the shard_map prefill body, the device_put
+    replicated stacked-layer tree, and the head params — shared by the
+    gathering (make_sp_prefill) and sharded-cache (make_sp_cache_prefill)
+    front-ends so the weights are staged to device exactly once."""
     sp = mesh.shape[axis]
     stacked = _stack_trees(params["layers"])
     hp = {"embed": params["embed"], "final_ln": params.get("final_ln"),
@@ -168,6 +160,25 @@ def make_sp_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
     stacked = jax.tree_util.tree_map(
         lambda v: None if v is None else jax.device_put(v, rep_sh),
         stacked, is_leaf=lambda v: v is None)
+    return fwd, stacked, hp
+
+
+def make_sp_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
+                    axis: str = "sp", cache_dtype=jnp.bfloat16,
+                    max_len: int | None = None):
+    """prefill(ids) -> (logits (B, T, vocab), KVCache filled to length T).
+
+    `ids` is the full (B, T) prompt with T divisible by sp; weights
+    replicate, activations shard over `axis` along T. The returned cache's
+    planes are (L, B, max_len, kvh, hd); max_len defaults to spec.max_pos
+    so the cache always has room for decode appends (an exact-size cache
+    would silently clamp the first append's write index). Pass
+    max_len == T explicitly for an append-free exact-size cache; pass the
+    cache to model_forward (or device_put to parallel.tp.cache_pspec) to
+    continue decoding.
+    """
+    sp = mesh.shape[axis]
+    fwd, stacked, hp = _sp_prefill_parts(spec, params, mesh, axis)
 
     def prefill(ids: jax.Array):
         B, T = ids.shape
@@ -390,15 +401,7 @@ def make_sp_cache_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
     bytes on top of the sp sharding)."""
     sp = mesh.shape[axis]
     int8 = cache_dtype == jnp.int8
-    _, fwd = make_sp_prefill(spec, params, mesh, axis,
-                             jnp.float32 if int8 else cache_dtype)
-    stacked = _stack_trees(params["layers"])
-    hp = {"embed": params["embed"], "final_ln": params.get("final_ln"),
-          "lm_head": params.get("lm_head")}
-    rep_sh = NamedSharding(mesh, P())
-    stacked = jax.tree_util.tree_map(
-        lambda v: None if v is None else jax.device_put(v, rep_sh),
-        stacked, is_leaf=lambda v: v is None)
+    fwd, stacked, hp = _sp_prefill_parts(spec, params, mesh, axis)
 
     ml_total = spec.max_pos if max_len is None else max_len
     if ml_total % sp:
@@ -414,14 +417,11 @@ def make_sp_cache_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
             raise ValueError(f"prompt chunk {Tc} > per-device capacity {ml}")
         logits, ks, vs = fwd(stacked, hp["embed"], hp["final_ln"],
                              hp["lm_head"], ids)
-        scat = jax.jit(_scatter_one, static_argnums=(1, 2, 3))
+        scat = _scatter_one_jit
         ksc = vsc = None
         if int8:
-            from gptq_tpu.models.common import _quantize_kv
-
-            qkv = jax.jit(jax.vmap(_quantize_kv))  # over the layer axis
-            ks, k_s = qkv(ks)
-            vs, v_s = qkv(vs)
+            ks, k_s = _quantize_layers(ks)
+            vs, v_s = _quantize_layers(vs)
             ssh = NamedSharding(mesh, P(None, None, axis))
             ksc = jax.device_put(scat(k_s, T, sp, ml), ssh)
             vsc = jax.device_put(scat(v_s, T, sp, ml), ssh)
@@ -524,6 +524,15 @@ def make_sp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
     )
 
     def step(cache: SPCache, token: jax.Array):
+        if int8_cache != (cache.k_scale is not None):
+            raise ValueError(
+                f"int8_cache={int8_cache} but the cache "
+                f"{'has' if cache.k_scale is not None else 'lacks'} scale "
+                f"planes — build the step with int8_cache matching the "
+                f"prefill's cache_dtype (raw int8 codes served without "
+                f"dequantization would be silent garbage)")
+        if cache.meta != meta:
+            raise ValueError(f"cache.meta {cache.meta} != step meta {meta}")
         dummy = jnp.zeros((), jnp.float32)
         logits, ck, cv, ks, vs, pos = fwd(
             stacked, hp["embed"], hp["final_ln"], hp["lm_head"],
@@ -558,6 +567,20 @@ def _chunk_positions(T: int, sp: int, ml: int) -> np.ndarray:
     return pos.reshape(sp * ml)
 
 
+# module-scope jits: per-shape traces are cached across prefill calls
+# (a fresh jax.jit inside prefill would retrace every prompt)
+_scatter_one_jit = jax.jit(_scatter_one, static_argnums=(1, 2, 3))
+
+
+def _quantize_layers(x):
+    from gptq_tpu.models.common import _quantize_kv
+
+    return jax.vmap(_quantize_kv)(x)
+
+
+_quantize_layers = jax.jit(_quantize_layers)
+
+
 def make_sp_tp_cache_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
                              sp_axis: str = "sp", tp_axis: str = "tp",
                              cache_dtype=jnp.bfloat16,
@@ -586,14 +609,11 @@ def make_sp_tp_cache_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
             raise ValueError(f"prompt chunk {T // sp} > capacity {ml}")
         logits, cache = prefill_g(ids)
         ks, vs = cache.k[:, :, :T], cache.v[:, :, :T]
-        scat = jax.jit(_scatter_one, static_argnums=(1, 2, 3))
+        scat = _scatter_one_jit
         ksc = vsc = None
         if int8:
-            from gptq_tpu.models.common import _quantize_kv
-
-            qkv = jax.jit(jax.vmap(_quantize_kv))
-            ks, k_s = qkv(ks)
-            vs, v_s = qkv(vs)
+            ks, k_s = _quantize_layers(ks)
+            vs, v_s = _quantize_layers(vs)
             ksc = jax.device_put(scat(k_s, T, sp, ml), sc_shard)
             vsc = jax.device_put(scat(v_s, T, sp, ml), sc_shard)
         return logits, SPCache(
@@ -675,6 +695,15 @@ def make_sp_tp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
     )
 
     def step(local_params, cache: SPCache, token: jax.Array):
+        if int8_cache != (cache.k_scale is not None):
+            raise ValueError(
+                f"int8_cache={int8_cache} but the cache "
+                f"{'has' if cache.k_scale is not None else 'lacks'} scale "
+                f"planes — build the step with int8_cache matching the "
+                f"prefill's cache_dtype (raw int8 codes served without "
+                f"dequantization would be silent garbage)")
+        if cache.meta != meta:
+            raise ValueError(f"cache.meta {cache.meta} != step meta {meta}")
         dummy = jnp.zeros((), jnp.float32)
         logits, ckn, cvn, ksn, vsn, pos = fwd(
             local_params, cache.k, cache.v,

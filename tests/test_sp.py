@@ -337,3 +337,18 @@ def test_sp_tp_cache_int8_decode_close_to_flat():
         got, cache = step(local, cache, jnp.asarray([[t]]))
         rel = np.abs(np.asarray(got) - w).max() / np.abs(w).max()
         assert rel < 0.03, rel
+
+
+def test_sp_decode_step_rejects_cache_flag_mismatch():
+    """An int8 cache served by a non-int8 step (or vice versa) would be
+    silent garbage — the step must refuse at call time."""
+    from gptq_tpu.parallel.sp import make_sp_cache_prefill, make_sp_decode_step
+
+    params = init_params(SPEC, jax.random.PRNGKey(20))
+    mesh = make_sp_mesh(2)
+    prefill = make_sp_cache_prefill(SPEC, params, mesh,
+                                    cache_dtype=jnp.int8, max_len=16)
+    _, cache = prefill(_ids(SPEC, B=1, T=8, seed=21))
+    step = make_sp_decode_step(SPEC, params, mesh, cache.meta)  # not int8
+    with pytest.raises(ValueError, match="int8_cache"):
+        step(cache, jnp.asarray([[1]]))
