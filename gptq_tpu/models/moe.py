@@ -22,10 +22,12 @@ descendants use. The design is TPU-first throughout:
   no all_to_all needed in the replicated-activation regime; on a pod the
   psum rides ICI.
 
-Quantization note: expert weights serve dense (bf16/f32). The GPTQ
-pipeline quantizes the attention linears of MoE layers and leaves
-router/experts untouched (the reference's capability surface has no MoE
-to quantize; per-expert packed serving is future work).
+Quantization note: the GPTQ pipeline quantizes the attention linears of
+MoE layers; expert stacks serve dense by default or int8-RTN via
+quantize_experts() (codes + per-row scales, dequant folded into the
+expert einsums — 2x less expert HBM than bf16). The reference's
+capability surface has no MoE to quantize; per-expert sub-byte packed
+serving (ops/pack.py formats) is future work.
 """
 
 from __future__ import annotations
@@ -102,18 +104,28 @@ def moe_ffn(spec, p: dict, x: jax.Array, ep_axis: str | None = None,
     ex = p["experts"]
     # expert matmuls run in the weights' NATIVE dtype (bf16 on the serving
     # path — full-rate MXU, no transient f32 copy of the expert stacks)
-    # with f32 accumulation; only router/softmax/combine math stays f32
+    # with f32 accumulation; only router/softmax/combine math stays f32.
+    # int8 RTN-quantized stacks (quantize_experts) dequantize inline —
+    # XLA fuses the cast+scale into the dot, so the 2-4x HBM saving is
+    # realized without a separate materialization.
     f32 = jnp.float32
     cdt = x.dtype
+
+    def ew(name):
+        w = ex[name]
+        if w.dtype == jnp.int8:
+            return w.astype(cdt) * ex[name + "_scale"][..., None].astype(cdt)
+        return w
+
     xe = jnp.einsum("nec,nd->ecd", dispatch.astype(cdt), xt,
                     preferred_element_type=f32).astype(cdt)
-    g = jnp.einsum("ecd,efd->ecf", xe, ex["gate"],
+    g = jnp.einsum("ecd,efd->ecf", xe, ew("gate"),
                    preferred_element_type=f32)
-    u = jnp.einsum("ecd,efd->ecf", xe, ex["up"],
+    u = jnp.einsum("ecd,efd->ecf", xe, ew("up"),
                    preferred_element_type=f32)
     inner = (activation(g) if activation is not None
              else jax.nn.silu(g)) * u
-    ye = jnp.einsum("ecf,edf->ecd", inner.astype(cdt), ex["down"],
+    ye = jnp.einsum("ecf,edf->ecd", inner.astype(cdt), ew("down"),
                     preferred_element_type=f32)
     y = jnp.einsum("nec,ecd->nd", combine, ye)
     if ep_axis is not None and ep_size > 1:
@@ -137,3 +149,40 @@ def init_moe_params(spec, key: jax.Array, dtype=jnp.float32) -> dict:
             "down": jax.random.normal(k4, (E, D, F), dtype) * sf,
         },
     }
+
+
+def quantize_experts(params: dict, bits: int = 8) -> None:
+    """In-place RTN quantization of every MoE layer's expert stacks.
+
+    Each (E, F, D) stack becomes int8 codes + per-(E, F) symmetric
+    row scales stored alongside ("gate" -> "gate_scale", ...): expert
+    weight HBM drops 2x vs bf16 / 4x vs f32 at 8 bits (bits < 8 narrows
+    the grid inside the int8 container for accuracy studies; the packed
+    sub-byte formats of ops/pack.py stay with the dense linears — a
+    batched-expert Pallas grid is future work). moe_ffn detects the
+    codes + scale entries and folds the dequantization into the expert
+    einsums, which XLA fuses into the dot. The router (tiny) stays dense.
+
+    Hessian-free by design: experts see only their routed token subset,
+    so the reference's GPTQ calibration recipe (reference: gptq.py:38-65
+    accumulates over ALL tokens of a linear) does not transfer directly;
+    RTN is the standard baseline the reference itself ships (--nearest,
+    reference: opt.py:289-300).
+    """
+    if not 2 <= bits <= 8:
+        raise ValueError(f"bits={bits} not in [2, 8]")
+    qmax = float(2 ** (bits - 1) - 1)
+    for bp in params["layers"]:
+        ex = bp.get("experts")
+        if ex is None:
+            continue
+        for name in ("gate", "up", "down"):
+            w = ex[name]
+            if w.dtype == jnp.int8:
+                continue  # already quantized
+            wf = jnp.asarray(w, jnp.float32)
+            s = jnp.max(jnp.abs(wf), axis=-1) / qmax  # (E, F)
+            s = jnp.maximum(s, 1e-12)
+            q = jnp.clip(jnp.round(wf / s[..., None]), -qmax, qmax)
+            ex[name] = q.astype(jnp.int8)
+            ex[name + "_scale"] = s

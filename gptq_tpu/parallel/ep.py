@@ -65,7 +65,7 @@ def ep_specs(params: dict, axis: str = "ep") -> dict:
         out = {}
         for key, val in bp.items():
             if key == "experts":
-                out[key] = {k: P(axis, None, None) for k in val}
+                out[key] = {k: P(axis) for k in val}  # rank-agnostic: dim 0 = E
             else:
                 out[key] = jax.tree_util.tree_map(
                     lambda v: None if v is None else _REP, val,
@@ -139,8 +139,7 @@ def make_ep_tp_forward(spec: ArchSpec, params: dict, mesh: Mesh,
     # tp_local_view replicates unknown keys; override the expert stacks
     for sl in pspecs["layers"]:
         if "experts" in sl:
-            sl["experts"] = {k: P(ep_axis, None, None)
-                             for k in sl["experts"]}
+            sl["experts"] = {k: P(ep_axis) for k in sl["experts"]}
 
     def body(p, ids):
         logits, _ = model_forward(spec, p, ids, tp_axis=tp_axis, tp_size=tp,

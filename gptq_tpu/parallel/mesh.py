@@ -123,7 +123,7 @@ def param_specs(spec: ArchSpec, params: dict) -> dict:
                 # axis (GSPMD expert parallelism: XLA partitions the
                 # dispatch/combine einsums and inserts the collectives);
                 # _fit_spec drops it back to replication if E % tp != 0
-                ls[key] = {k: P("tp", None, None) for k in val}
+                ls[key] = {k: P("tp") for k in val}
             else:
                 ls[key] = norm_spec(val)
         layers.append(ls)

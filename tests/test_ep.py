@@ -204,3 +204,33 @@ def test_moe_aux_loss_collected_and_trains():
     _, _, a = route(MOE_SPEC,
                     jnp.zeros((MOE_SPEC.n_experts, MOE_SPEC.hidden)), x)
     assert abs(float(a) - 1.0) < 1e-5
+
+
+def test_quantize_experts_int8_serving():
+    """int8-RTN expert stacks: codes + per-row scales replace the dense
+    stacks in place, logits stay within RTN rounding of the dense model,
+    and the quantized experts still shard under EP (scale planes shard
+    their expert dim too)."""
+    from gptq_tpu.models.moe import quantize_experts
+    from gptq_tpu.parallel.ep import make_ep_forward, make_ep_mesh
+
+    params = init_params(MOE_SPEC, jax.random.PRNGKey(7))
+    ids = _ids(MOE_SPEC, seed=12)
+    want, _ = model_forward(MOE_SPEC, params, ids)
+
+    import copy
+
+    qparams = copy.deepcopy(params)
+    quantize_experts(qparams)
+    ex = qparams["layers"][0]["experts"]
+    assert ex["gate"].dtype == jnp.int8 and "gate_scale" in ex
+    got, _ = model_forward(MOE_SPEC, qparams, ids)
+    rel = (np.abs(np.asarray(got) - np.asarray(want)).max()
+           / np.abs(np.asarray(want)).max())
+    assert rel < 0.02, rel  # int8 rounding on the expert weights only
+
+    mesh = make_ep_mesh(2)
+    fwd = make_ep_forward(MOE_SPEC, qparams, mesh)
+    got_ep = fwd(qparams, ids)
+    np.testing.assert_allclose(np.asarray(got_ep), np.asarray(got),
+                               rtol=2e-4, atol=2e-4)
