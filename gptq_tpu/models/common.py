@@ -932,6 +932,8 @@ def _finish_block(spec, p, residual, attn, captures, tp_axis, new_kv,
         # dense and may shard over an "ep" mesh axis
         from gptq_tpu.models.moe import moe_ffn
 
+        if captures is not None:
+            captures["moe.input"] = m  # gptq_quantize_experts calibration
         mlp_out = moe_ffn(spec, p, m, ep_axis=ep_axis, ep_size=ep_size,
                           activation=lambda g: activation(spec, g),
                           aux_out=moe_aux)

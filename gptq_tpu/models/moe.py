@@ -32,6 +32,8 @@ serving (ops/pack.py formats) is future work.
 
 from __future__ import annotations
 
+import time
+
 import jax
 import jax.numpy as jnp
 
@@ -186,3 +188,123 @@ def quantize_experts(params: dict, bits: int = 8) -> None:
             q = jnp.clip(jnp.round(wf / s[..., None]), -qmax, qmax)
             ex[name] = q.astype(jnp.int8)
             ex[name + "_scale"] = s
+
+
+def gptq_quantize_experts(spec, params: dict, calib_ids, cfg,
+                          log=lambda s: None) -> dict:
+    """Hessian-aware GPTQ quantization of every MoE layer's expert stacks
+    (in place, fake-quantized dense values like pipeline.quantize_model).
+
+    The reference's GPTQ recipe accumulates a linear's Hessian over ALL
+    calibration tokens (reference: gptq.py:38-65); an expert only ever
+    sees its ROUTED token subset, so each expert e gets its own Hessian
+    from its dispatched slots: H_gate/up[e] from xe[e] (zero-padded slots
+    contribute nothing), H_down[e] from the GLU inner activations
+    computed with the ALREADY-QUANTIZED gate/up (the true-sequential
+    ordering, reference: llama.py:97-105). Layers run serially with the
+    hidden state re-propagated through the quantized layer (reference
+    layer streaming: opt.py:30-228). Run AFTER pipeline.quantize_model so
+    expert Hessians see the quantized attention activations.
+
+    Returns {layer_prefix.e.proj: loss} for logging. Storage stays dense;
+    follow with quantize_experts() for int8 codes + scales if expert HBM
+    matters more than the extra rounding.
+    """
+    from gptq_tpu.models.common import block_forward, build_mask, \
+        embed_forward, rope_tables
+    from gptq_tpu.pipeline import solver_config_for
+    from gptq_tpu.quant.gptq import gptq_quantize, hessian_init, \
+        hessian_update
+
+    nsamples, T = calib_ids.shape
+    positions = jnp.arange(T)[None]
+    mask = build_mask(spec, T, T)
+    rope = (rope_tables(spec, jnp.broadcast_to(jnp.arange(T), (1, T)))
+            if spec.pos == "rope" else None)
+    scfg = solver_config_for(cfg, cfg.wbits)
+
+    embed = jax.jit(lambda ids: embed_forward(
+        spec, params, ids, jnp.broadcast_to(jnp.arange(T), ids.shape)))
+    inps = jnp.stack([embed(calib_ids[j:j + 1])[0] for j in range(nsamples)])
+
+    @jax.jit
+    def layer_pass(bp, inps):
+        """Propagate all samples through one layer; also return each
+        sample's MoE FFN input (the input itself for dense layers —
+        unused there, but keeps the scan output shape uniform)."""
+        def body(_, inp):
+            out, _, caps = block_forward(
+                spec, bp, inp[None], positions=positions, mask=mask,
+                rope=rope, capture=True)
+            m = caps.get("moe.input")
+            return None, (out[0], inp if m is None else m[0])
+
+        _, (outs, ms) = jax.lax.scan(body, None, inps)
+        return outs, ms
+
+    @jax.jit
+    def expert_hessians(router_w, ms):
+        """Per-expert gate/up Hessian states from dispatched slots."""
+        E = spec.n_experts
+
+        def fold(states, m):
+            dispatch, _, _ = route(spec, router_w, m)
+            xe = jnp.einsum("nec,nd->ecd", dispatch, m.astype(jnp.float32))
+            return jax.vmap(hessian_update)(states, xe), None
+
+        init = jax.vmap(lambda _: hessian_init(ms.shape[-1]))(jnp.arange(E))
+        states, _ = jax.lax.scan(fold, init, ms)
+        return states
+
+    from gptq_tpu.models.common import activation as _activation
+
+    @jax.jit
+    def down_hessians(router_w, gate, up, ms):
+        def fold(states, m):
+            dispatch, _, _ = route(spec, router_w, m)
+            xe = jnp.einsum("nec,nd->ecd", dispatch, m.astype(jnp.float32))
+            g = jnp.einsum("ecd,efd->ecf", xe, gate.astype(jnp.float32))
+            u = jnp.einsum("ecd,efd->ecf", xe, up.astype(jnp.float32))
+            inner = _activation(spec, g) * u
+            return jax.vmap(hessian_update)(states, inner), None
+
+        init = jax.vmap(lambda _: hessian_init(up.shape[1]))(
+            jnp.arange(spec.n_experts))
+        states, _ = jax.lax.scan(fold, init, ms)
+        return states
+
+    losses: dict[str, float] = {}
+    for li, bp in enumerate(params["layers"]):
+        ex = bp.get("experts")
+        if ex is None:
+            inps, _ = layer_pass(bp, inps)
+            continue
+        t0 = time.time()
+        _, ms = layer_pass(bp, inps)  # (nsamples, T, D) FFN inputs
+        ms = ms.reshape(nsamples, -1, ms.shape[-1])
+        hg = expert_hessians(bp["router"]["w"], ms)
+        E = spec.n_experts
+        for e in range(E):
+            He = (hg[0][e], hg[1][e], hg[2][e])
+            for name in ("gate", "up"):
+                r = gptq_quantize(jnp.asarray(ex[name][e], jnp.float32),
+                                  He[0], scfg, mean_input=He[2])
+                ex[name] = jnp.asarray(ex[name]).at[e].set(
+                    r["Q"].astype(ex[name].dtype))
+                losses[f"layer.{li}.expert{e}.{name}"] = float(r["loss"])
+
+        # down's Hessian from the GLU inner computed with the QUANTIZED
+        # gate/up (true-sequential ordering)
+        hd = down_hessians(bp["router"]["w"], ex["gate"], ex["up"], ms)
+        for e in range(E):
+            r = gptq_quantize(jnp.asarray(ex["down"][e], jnp.float32),
+                              hd[0][e], scfg, mean_input=hd[2][e])
+            ex["down"] = jnp.asarray(ex["down"]).at[e].set(
+                r["Q"].astype(ex["down"].dtype))
+            losses[f"layer.{li}.expert{e}.down"] = float(r["loss"])
+        # re-propagate through the quantized layer (reference replays
+        # forwards after quantizing, opt.py:216-217)
+        inps, _ = layer_pass(bp, inps)
+        log(f"layer {li}: {3 * E} expert projections quantized in "
+            f"{time.time() - t0:.1f}s")
+    return losses

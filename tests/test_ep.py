@@ -234,3 +234,40 @@ def test_quantize_experts_int8_serving():
     got_ep = fwd(qparams, ids)
     np.testing.assert_allclose(np.asarray(got_ep), np.asarray(got),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_gptq_experts_beat_rtn():
+    """Hessian-aware expert quantization (per-expert Hessians from
+    dispatched calibration tokens, true-sequential gate/up -> down) must
+    beat same-grid RTN on output error over the calibration distribution
+    — the reference's own DEBUG invariant (gptq.py:278-282) lifted to the
+    routed-FFN stacks."""
+    import copy
+
+    from gptq_tpu.config import QuantConfig
+    from gptq_tpu.models.moe import gptq_quantize_experts
+    from gptq_tpu.quant.rtn import rtn_quantize_weight
+
+    params = init_params(MOE_SPEC, jax.random.PRNGKey(9))
+    calib = _ids(MOE_SPEC, B=8, T=16, seed=14)
+    want, _ = model_forward(MOE_SPEC, params, calib)
+
+    rtn = copy.deepcopy(params)
+    for bp in rtn["layers"]:
+        ex = bp["experts"]
+        for name in ("gate", "up", "down"):
+            w = np.asarray(ex[name])
+            ex[name] = jnp.asarray(np.stack([
+                np.asarray(rtn_quantize_weight(jnp.asarray(w[e]), bits=3))
+                for e in range(MOE_SPEC.n_experts)]))
+    got_rtn, _ = model_forward(MOE_SPEC, rtn, calib)
+    mse_rtn = float(jnp.mean((got_rtn - want) ** 2))
+
+    gptq = copy.deepcopy(params)
+    losses = gptq_quantize_experts(
+        MOE_SPEC, gptq, calib.reshape(-1, 16),
+        QuantConfig(wbits=3, nsamples=8))
+    assert losses and all(np.isfinite(v) for v in losses.values())
+    got_gptq, _ = model_forward(MOE_SPEC, gptq, calib)
+    mse_gptq = float(jnp.mean((got_gptq - want) ** 2))
+    assert mse_gptq < mse_rtn, (mse_gptq, mse_rtn)
