@@ -1153,6 +1153,11 @@ def _lin(key, out_d, in_d, bias, dtype):
 
 def init_params(spec: ArchSpec, key: jax.Array, dtype=jnp.float32) -> dict:
     """Random params with the exact pytree structure of converted HF weights."""
+    if spec.n_experts and spec.arch not in ("llama", "gemma"):
+        raise ValueError(
+            f"n_experts={spec.n_experts} is only supported for the "
+            f"llama/gemma (GLU-FFN) families, not arch={spec.arch!r} "
+            f"(models/moe.py routes a gate/up/down expert FFN)")
     keys = jax.random.split(key, spec.n_layers + 2)
     h, f = spec.hidden, spec.ffn
     bias = spec.linear_bias

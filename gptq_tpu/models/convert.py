@@ -187,17 +187,34 @@ def _convert_llama(sd, spec, dtype):
     layers = []
     for i in range(spec.n_layers):
         lp = f"{pre}layers.{i}."
-        layers.append({
+        layer = {
             "q": _lin(sd, lp + "self_attn.q_proj", dtype),
             "k": _lin(sd, lp + "self_attn.k_proj", dtype),
             "v": _lin(sd, lp + "self_attn.v_proj", dtype),
             "o": _lin(sd, lp + "self_attn.o_proj", dtype),
-            "gate": _lin(sd, lp + "mlp.gate_proj", dtype),
-            "up": _lin(sd, lp + "mlp.up_proj", dtype),
-            "down": _lin(sd, lp + "mlp.down_proj", dtype),
             "ln1": _norm(sd, lp + "input_layernorm", dtype, has_bias=False),
             "ln2": _norm(sd, lp + "post_attention_layernorm", dtype, has_bias=False),
-        })
+        }
+        moe = lp + "block_sparse_moe."
+        if moe + "gate.weight" in sd:
+            # Mixtral routed MoE: w1 = gate (F, D), w3 = up (F, D),
+            # w2 = down (D, F); experts stack on a leading E axis
+            # (models/moe.py). Router weight is (E, D).
+            layer["router"] = {
+                "w": jnp.asarray(_np(sd[moe + "gate.weight"]), dtype)}
+            layer["experts"] = {
+                dst: jnp.stack([
+                    jnp.asarray(_np(sd[f"{moe}experts.{e}.{src}.weight"]),
+                                dtype)
+                    for e in range(spec.n_experts)])
+                for src, dst in (("w1", "gate"), ("w3", "up"),
+                                 ("w2", "down"))
+            }
+        else:
+            layer["gate"] = _lin(sd, lp + "mlp.gate_proj", dtype)
+            layer["up"] = _lin(sd, lp + "mlp.up_proj", dtype)
+            layer["down"] = _lin(sd, lp + "mlp.down_proj", dtype)
+        layers.append(layer)
     lm = None
     if "lm_head.weight" in sd and not spec.tie_embeddings:
         lm = {"w": jnp.asarray(_np(sd["lm_head.weight"]), dtype), "b": None}

@@ -120,7 +120,7 @@ def arch_of_hf_config(config) -> str:
         return "bloom"
     if "gemma" in mt:
         return "gemma"
-    return "llama"
+    return "llama"  # incl. mixtral (llama attention + routed GLU experts)
 
 
 def spec_from_hf_config(config) -> ArchSpec:
@@ -162,6 +162,10 @@ def spec_from_hf_config(config) -> ArchSpec:
             norm_eps=config.rms_norm_eps,
             rope_theta=getattr(config, "rope_theta", 10000.0),
             tie_embeddings=bool(getattr(config, "tie_word_embeddings", arch == "gemma")),
+            # Mixtral-style routed MoE (model_type "mixtral"): llama
+            # attention + gate-routed GLU experts (models/moe.py)
+            n_experts=getattr(config, "num_local_experts", 0) or 0,
+            expert_top_k=getattr(config, "num_experts_per_tok", 2) or 2,
         )
         if arch == "gemma":
             d["embed_scale"] = float(config.hidden_size) ** 0.5

@@ -271,3 +271,56 @@ def test_gptq_experts_beat_rtn():
     got_gptq, _ = model_forward(MOE_SPEC, gptq, calib)
     mse_gptq = float(jnp.mean((got_gptq - want) ** 2))
     assert mse_gptq < mse_rtn, (mse_gptq, mse_rtn)
+
+
+def test_mixtral_state_dict_conversion():
+    """HF Mixtral checkpoints (llama attention + block_sparse_moe routed
+    experts) convert: gate.weight -> router, experts.N.{w1,w3,w2} ->
+    stacked gate/up/down, and the converted model forwards finitely. The
+    spec derives num_local_experts / num_experts_per_tok from the HF
+    config."""
+    from types import SimpleNamespace
+
+    from gptq_tpu.models.convert import params_from_state_dict
+    from gptq_tpu.models.registry import spec_from_hf_config
+
+    cfg = SimpleNamespace(
+        model_type="mixtral", num_hidden_layers=2, hidden_size=48,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=None,
+        intermediate_size=64, vocab_size=89, max_position_embeddings=64,
+        rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
+        num_local_experts=4, num_experts_per_tok=2)
+    spec = spec_from_hf_config(cfg)
+    assert spec.arch == "llama" and spec.n_experts == 4
+    assert spec.expert_top_k == 2
+
+    rng = np.random.default_rng(23)
+
+    def t(*shape):
+        return (rng.normal(size=shape) * 0.05).astype(np.float32)
+
+    sd = {"model.embed_tokens.weight": t(89, 48),
+          "model.norm.weight": np.ones(48, np.float32),
+          "lm_head.weight": t(89, 48)}
+    for i in range(2):
+        lp = f"model.layers.{i}."
+        sd[lp + "self_attn.q_proj.weight"] = t(48, 48)
+        sd[lp + "self_attn.k_proj.weight"] = t(24, 48)
+        sd[lp + "self_attn.v_proj.weight"] = t(24, 48)
+        sd[lp + "self_attn.o_proj.weight"] = t(48, 48)
+        sd[lp + "input_layernorm.weight"] = np.ones(48, np.float32)
+        sd[lp + "post_attention_layernorm.weight"] = np.ones(48, np.float32)
+        sd[lp + "block_sparse_moe.gate.weight"] = t(4, 48)
+        for e in range(4):
+            ep = f"{lp}block_sparse_moe.experts.{e}."
+            sd[ep + "w1.weight"] = t(64, 48)
+            sd[ep + "w3.weight"] = t(64, 48)
+            sd[ep + "w2.weight"] = t(48, 64)
+
+    params = params_from_state_dict(sd, spec)
+    bp = params["layers"][0]
+    assert bp["router"]["w"].shape == (4, 48)
+    assert bp["experts"]["gate"].shape == (4, 64, 48)
+    assert bp["experts"]["down"].shape == (4, 48, 64)
+    logits, _ = model_forward(spec, params, _ids(spec, seed=24))
+    assert np.isfinite(np.asarray(logits)).all()
