@@ -324,3 +324,42 @@ def test_mixtral_state_dict_conversion():
     assert bp["experts"]["down"].shape == (4, 48, 64)
     logits, _ = model_forward(spec, params, _ids(spec, seed=24))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_moe_full_quantization_recipe():
+    """The complete MoE quantization recipe end-to-end: GPTQ the
+    attention linears (pipeline), GPTQ the expert stacks (per-expert
+    Hessians), compress experts to int8 codes for serving, pack the
+    attention linears — and the result still serves (prefill + cached
+    decode) with finite logits close to the dense model."""
+    import copy
+
+    from gptq_tpu.config import QuantConfig
+    from gptq_tpu.models.moe import gptq_quantize_experts, quantize_experts
+    from gptq_tpu.ops.pack import PackedWeight
+    from gptq_tpu.pipeline import pack_model, quantize_model
+
+    spec = ArchSpec(**{**MOE_SPEC.__dict__, "hidden": 64, "ffn": 64})
+    params = init_params(spec, jax.random.PRNGKey(10))
+    calib = _ids(spec, B=4, T=16, seed=16).reshape(-1, 16)
+    want, _ = model_forward(spec, params, calib)
+
+    q = copy.deepcopy(params)
+    cfg = QuantConfig(wbits=4, nsamples=4)
+    res = quantize_model(spec, q, calib, cfg, log=lambda s: None)
+    gptq_quantize_experts(spec, q, calib, cfg)
+    quantize_experts(q, bits=8)
+    pack_model(spec, q, res.quantizers, cfg)
+    assert isinstance(q["layers"][0]["q"]["w"], PackedWeight)
+    assert q["layers"][0]["experts"]["gate"].dtype == jnp.int8
+
+    got, _ = model_forward(spec, q, calib)
+    rel = (np.abs(np.asarray(got) - np.asarray(want)).max()
+           / np.abs(np.asarray(want)).max())
+    assert np.isfinite(np.asarray(got)).all()
+    assert rel < 0.25, rel  # 4-bit everything on a random tiny model
+
+    cache = KVCache.init(spec, 1, 16, jnp.float32)
+    l1, cache = model_forward(spec, q, calib[:1, :8], cache)
+    l2, _ = model_forward(spec, q, jnp.asarray([[3]]), cache)
+    assert np.isfinite(np.asarray(l2)).all()
