@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quant_lm_head", type=int, default=0, metavar="BITS",
                    help="also quantize the output projection (RTN, e.g. 8); "
                         "beyond-reference serving option")
+    p.add_argument("--quant_experts", default="none",
+                   choices=["none", "rtn", "gptq"],
+                   help="quantize MoE expert stacks (Mixtral-style models): "
+                        "rtn = int8 codes + per-row scales; gptq = per-"
+                        "expert Hessians from dispatched calibration slots "
+                        "first, then int8 storage (models/moe.py)")
     p.add_argument("--int8_kv", action="store_true",
                    help="serve with the int8 KV cache (dynamic per-token-"
                         "head scales; fused dequant attention kernel) — "
@@ -304,6 +310,17 @@ def main(argv=None) -> int:
         res = quantize_model(spec, params, jnp.asarray(calib), cfg, mixed=mixed)
         quantizers = res.quantizers
         print(f"quantization done in {time.time() - t0:.1f}s")
+
+        if args.quant_experts != "none" and spec.n_experts:
+            from gptq_tpu.models.moe import (gptq_quantize_experts,
+                                             quantize_experts)
+
+            if args.quant_experts == "gptq":
+                gptq_quantize_experts(spec, params, jnp.asarray(calib), cfg,
+                                      log=print)
+            quantize_experts(params, bits=8)  # int8 storage container
+            print(f"expert stacks quantized ({args.quant_experts} -> int8 "
+                  f"codes + per-row scales)")
 
         if args.eval_pack or args.save:
             from gptq_tpu.pipeline import pack_model

@@ -85,3 +85,49 @@ def test_cli_quantize_save_load_cycle(tiny_model_dir, tmp_path, monkeypatch,
     ppl1 = float(lines[-1].split(":")[-1])
     # packed serving vs fake-quant eval: same weights within pack rounding
     assert abs(ppl1 - ppl0) / ppl0 < 0.05
+
+
+def test_cli_mixtral_quant_experts_cycle(tmp_path, monkeypatch, capsys):
+    """Routed-MoE end-to-end through the CLI: a tiny HF Mixtral converts
+    (block_sparse_moe -> router/experts), --quant_experts gptq runs the
+    per-expert Hessian pass + int8 storage, the checkpoint round-trips,
+    and the reloaded model re-evaluates within pack rounding."""
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    torch.manual_seed(1)
+    cfg = MixtralConfig(vocab_size=VOCAB, hidden_size=32,
+                        num_hidden_layers=2, intermediate_size=64,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        max_position_embeddings=64, num_local_experts=4,
+                        num_experts_per_tok=2)
+    model = MixtralForCausalLM(cfg)
+    d = tmp_path / "tiny-mixtral"
+    model.save_pretrained(d)
+
+    rows = [" ".join(f"w{i}_{j}" for j in range(30)) for i in range(50)]
+    fake_ds = types.SimpleNamespace(
+        load_dataset=lambda *a, **k: FakeSplit(rows, "text"))
+    monkeypatch.setitem(sys.modules, "datasets", fake_ds)
+
+    import transformers
+
+    monkeypatch.setattr(
+        transformers.AutoTokenizer, "from_pretrained",
+        classmethod(lambda cls, *a, **k: FakeTokenizer()))
+
+    ckpt = str(tmp_path / "moe.npz")
+    log = str(tmp_path / "ppl.txt")
+    rc = main([str(d), "wikitext2", "--wbits", "4", "--nsamples", "2",
+               "--quant_experts", "gptq", "--save", ckpt,
+               "--results_log", log])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "expert stacks quantized" in out
+    with open(log) as f:
+        ppl0 = float(f.read().strip().splitlines()[0].split(":")[-1])
+
+    rc = main([str(d), "wikitext2", "--load", ckpt, "--results_log", log])
+    assert rc == 0
+    with open(log) as f:
+        ppl1 = float(f.read().strip().splitlines()[-1].split(":")[-1])
+    assert abs(ppl1 - ppl0) / ppl0 < 0.05
