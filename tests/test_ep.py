@@ -363,3 +363,37 @@ def test_moe_full_quantization_recipe():
     l1, cache = model_forward(spec, q, calib[:1, :8], cache)
     l2, _ = model_forward(spec, q, jnp.asarray([[3]]), cache)
     assert np.isfinite(np.asarray(l2)).all()
+
+
+def test_decode_engine_serves_moe_model():
+    """DecodeEngine (fusion on, greedy generate) serves a quantized MoE
+    model: qkv fusion applies, gateup fusion skips the routed layers, and
+    generation matches the unfused model_forward stream."""
+    import copy
+
+    from gptq_tpu.config import QuantConfig
+    from gptq_tpu.engine.decode import DecodeEngine
+    from gptq_tpu.models.moe import quantize_experts
+    from gptq_tpu.pipeline import pack_model, quantize_model
+
+    spec = ArchSpec(**{**MOE_SPEC.__dict__, "hidden": 64, "ffn": 64})
+    params = init_params(spec, jax.random.PRNGKey(11))
+    calib = _ids(spec, B=2, T=16, seed=18)
+    cfg = QuantConfig(wbits=4, nsamples=2)
+    res = quantize_model(spec, params, calib, cfg, log=lambda s: None)
+    quantize_experts(params)
+    pack_model(spec, params, res.quantizers, cfg)
+
+    ref = copy.deepcopy(params)
+    prompt = np.asarray([[5, 3, 8, 1]])
+    eng = DecodeEngine(spec, params, max_len=32, cache_dtype=jnp.float32)
+    toks = eng.generate(prompt, max_new_tokens=5)
+
+    cache = KVCache.init(spec, 1, 32, jnp.float32)
+    logits, cache = model_forward(spec, ref, jnp.asarray(prompt), cache)
+    want = []
+    for _ in range(5):
+        nxt = int(jnp.argmax(logits[0, -1]))
+        want.append(nxt)
+        logits, cache = model_forward(spec, ref, jnp.asarray([[nxt]]), cache)
+    assert list(np.asarray(toks)[0][-5:]) == want, (toks, want)
