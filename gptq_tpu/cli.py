@@ -295,6 +295,22 @@ def main(argv=None) -> int:
         print(json.dumps(qc, indent=2))
         return 0
 
+    if args.quant_experts != "none":
+        # fail loudly on configs the flag cannot act on instead of
+        # silently serving dense experts
+        if args.load:
+            raise SystemExit("--quant_experts has no effect with --load "
+                             "(the checkpoint already fixes its expert "
+                             "format); quantize before saving")
+        if not spec.n_experts:
+            raise SystemExit(f"--quant_experts: {args.model} has no MoE "
+                             f"expert stacks (n_experts == 0)")
+        if args.quant_experts == "gptq" and not (args.wbits < 16
+                                                 or args.trits):
+            raise SystemExit("--quant_experts gptq needs the calibration "
+                             "pass: set --wbits < 16 (use rtn for "
+                             "calibration-free int8 experts)")
+
     quantizers = None
     if not args.load and (args.wbits < 16 or args.trits):
         import jax.numpy as jnp
@@ -311,16 +327,11 @@ def main(argv=None) -> int:
         quantizers = res.quantizers
         print(f"quantization done in {time.time() - t0:.1f}s")
 
-        if args.quant_experts != "none" and spec.n_experts:
-            from gptq_tpu.models.moe import (gptq_quantize_experts,
-                                             quantize_experts)
+        if args.quant_experts == "gptq":
+            from gptq_tpu.models.moe import gptq_quantize_experts
 
-            if args.quant_experts == "gptq":
-                gptq_quantize_experts(spec, params, jnp.asarray(calib), cfg,
-                                      log=print)
-            quantize_experts(params, bits=8)  # int8 storage container
-            print(f"expert stacks quantized ({args.quant_experts} -> int8 "
-                  f"codes + per-row scales)")
+            gptq_quantize_experts(spec, params, jnp.asarray(calib), cfg,
+                                  log=print)
 
         if args.eval_pack or args.save:
             from gptq_tpu.pipeline import pack_model
@@ -332,9 +343,20 @@ def main(argv=None) -> int:
                 if quantize_lm_head(spec, params, bits=args.quant_lm_head,
                                     tp=max(1, args.tp)):
                     print(f"lm_head quantized to {args.quant_lm_head} bits")
-        if args.save:
-            save_checkpoint(args.save, spec, params, cfg)
-            print(f"saved {args.save}")
+
+    if args.quant_experts != "none":
+        # int8 storage compression runs outside the calibration block so
+        # calibration-free rtn works at --wbits 16 too (fp attention +
+        # int8 experts)
+        from gptq_tpu.models.moe import quantize_experts
+
+        quantize_experts(params, bits=8)
+        print(f"expert stacks quantized ({args.quant_experts} -> int8 "
+              f"codes + per-row scales)")
+
+    if args.save and not args.load:
+        save_checkpoint(args.save, spec, params, cfg)
+        print(f"saved {args.save}")
 
     # PPL eval (reference: opt.py:707-715 evaluates wikitext2/ptb/c4 [+new])
     datasets = ["wikitext2", "ptb", "c4"]

@@ -202,11 +202,13 @@ def _convert_llama(sd, spec, dtype):
             # (models/moe.py). Router weight is (E, D).
             layer["router"] = {
                 "w": jnp.asarray(_np(sd[moe + "gate.weight"]), dtype)}
+            # stack on HOST then transfer once: per-expert device
+            # arrays + a device-side stack would transiently double HBM
+            # (each Mixtral-8x7B stack is ~1 GB)
             layer["experts"] = {
-                dst: jnp.stack([
-                    jnp.asarray(_np(sd[f"{moe}experts.{e}.{src}.weight"]),
-                                dtype)
-                    for e in range(spec.n_experts)])
+                dst: jnp.asarray(np.stack([
+                    _np(sd[f"{moe}experts.{e}.{src}.weight"])
+                    for e in range(spec.n_experts)]), dtype)
                 for src, dst in (("w1", "gate"), ("w3", "up"),
                                  ("w2", "down"))
             }

@@ -167,6 +167,12 @@ def spec_from_hf_config(config) -> ArchSpec:
             n_experts=getattr(config, "num_local_experts", 0) or 0,
             expert_top_k=getattr(config, "num_experts_per_tok", 2) or 2,
         )
+        if d["n_experts"]:
+            # HF Mixtral inference is DROPLESS (no per-expert capacity);
+            # capacity_factor = E/k makes C = ceil(k*N*(E/k)/E) = N, so
+            # converted checkpoints reproduce the source model exactly
+            # instead of silently dropping assignments under imbalance
+            d["expert_capacity"] = d["n_experts"] / d["expert_top_k"]
         if arch == "gemma":
             d["embed_scale"] = float(config.hidden_size) ** 0.5
             if getattr(config, "hidden_activation", None) in ("gelu_pytorch_tanh", None):

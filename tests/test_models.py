@@ -72,6 +72,19 @@ def tiny_gemma():
     return GemmaForCausalLM(cfg).eval()
 
 
+def tiny_mixtral():
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    cfg = MixtralConfig(
+        vocab_size=99, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5,
+        num_local_experts=4, num_experts_per_tok=2,
+        tie_word_embeddings=False,
+    )
+    return MixtralForCausalLM(cfg).eval()
+
+
 FACTORIES = {
     "opt": tiny_opt,
     "opt_postnorm": lambda: tiny_opt(do_layer_norm_before=False),
@@ -80,6 +93,9 @@ FACTORIES = {
     "llama": tiny_llama,
     "llama_mha": lambda: tiny_llama(kv_heads=4),
     "gemma": tiny_gemma,
+    # routed MoE: HF inference is dropless — spec_from_hf_config sets
+    # expert_capacity = E/k so route() drops nothing and logits match
+    "mixtral": tiny_mixtral,
 }
 
 
