@@ -18,8 +18,15 @@ never materialize globally), so max prompt length scales linearly with
 devices — the TPU-native capacity story for prefill, complementing
 parallel/tp.py (weights) and parallel/pp.py (layers).
 
-Output: full logits plus a KVCache holding the prompt's keys/values
-(chunks gathered over the axis), ready for token-by-token decode.
+Two cache disciplines:
+* make_sp_prefill — full logits plus a gathered KVCache any consumer can
+  decode from (model_forward, shard_map TP).
+* make_sp_cache_prefill + make_sp_decode_step — the SPCache stays sharded
+  over sp for the WHOLE serving lifetime (context-parallel decode:
+  round-robin appends, exact pmax+psum online-softmax combine, optional
+  int8 values+scales), so per-device cache memory is S/sp during decode
+  too. make_sp_tp_* variants compose either discipline with tensor
+  parallelism on a 2-D (sp, tp) mesh.
 """
 
 from __future__ import annotations
