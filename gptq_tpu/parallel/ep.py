@@ -149,3 +149,36 @@ def make_ep_tp_forward(spec: ArchSpec, params: dict, mesh: Mesh,
     fwd = shard_map(body, mesh=mesh, in_specs=(pspecs, _REP),
                     out_specs=_REP, check_vma=False)
     return local, jax.jit(fwd)
+
+
+def make_ep_tp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
+                           ep_axis: str = "ep", tp_axis: str = "tp",
+                           fuse: bool = False, a8: bool = False,
+                           int8_cache: bool = False):
+    """step(local_params, cache, token) -> (last logits, cache): MoE
+    serving on a 2-D (ep, tp) mesh — attention linears shard over tp
+    (packed/fused/a8 configs via tp_local_view, KV heads + int8 cache
+    scales shard over tp via parallel.tp.cache_pspec), expert stacks
+    shard over ep, router replicated. Returns (local_params, step) like
+    make_tp_decode_step."""
+    from gptq_tpu.parallel.tp import cache_pspec, tp_local_view
+
+    ep = mesh.shape[ep_axis]
+    tp = mesh.shape[tp_axis]
+    _check(spec, ep)
+    local, pspecs = tp_local_view(spec, params, tp, tp_axis,
+                                  fuse=fuse, a8=a8)
+    for sl in pspecs["layers"]:
+        if "experts" in sl:
+            sl["experts"] = {k: P(ep_axis) for k in sl["experts"]}
+    cspec = cache_pspec(tp_axis, int8=int8_cache)
+
+    def body(p, cache, token):
+        logits, cache = model_forward(spec, p, token, cache,
+                                      tp_axis=tp_axis, tp_size=tp,
+                                      ep_axis=ep_axis, ep_size=ep)
+        return logits[:, -1], cache
+
+    step = shard_map(body, mesh=mesh, in_specs=(pspecs, cspec, _REP),
+                     out_specs=(_REP, cspec), check_vma=False)
+    return local, jax.jit(step)

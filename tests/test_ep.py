@@ -397,3 +397,48 @@ def test_decode_engine_serves_moe_model():
         want.append(nxt)
         logits, cache = model_forward(spec, ref, jnp.asarray([[nxt]]), cache)
     assert list(np.asarray(toks)[0][-5:]) == want, (toks, want)
+
+
+def test_ep_tp_decode_packed_attention_int8_experts():
+    """MoE serving composition: packed fused-a8 ATTENTION over tp, int8
+    EXPERT stacks over ep, on one (ep, tp) mesh — prefill + decode track
+    the single-device stream of the same quantized model."""
+    import copy
+
+    from gptq_tpu.config import QuantConfig
+    from gptq_tpu.models.moe import quantize_experts
+    from gptq_tpu.parallel.ep import make_ep_tp_decode_step
+    from gptq_tpu.pipeline import pack_model, quantize_model
+    from jax.sharding import Mesh
+
+    spec = ArchSpec(arch="llama", n_layers=1, hidden=1024, n_heads=4,
+                    n_kv_heads=4, ffn=256, vocab=96, max_pos=64,
+                    norm_eps=1e-5, act="silu", pos="rope",
+                    norm_type="rmsnorm", linear_bias=False,
+                    tie_embeddings=False, n_experts=4, expert_top_k=2,
+                    expert_capacity=2.0)
+    params = init_params(spec, jax.random.PRNGKey(12))
+    calib = _ids(spec, B=2, T=16, seed=20)
+    cfg = QuantConfig(wbits=4, nsamples=2)
+    res = quantize_model(spec, params, calib, cfg, log=lambda s: None)
+    quantize_experts(params)
+    pack_model(spec, params, res.quantizers, cfg, tp=2)
+    single = copy.deepcopy(params)
+
+    prompt = _ids(spec, B=1, T=6, seed=21)
+    tok = jnp.asarray([[3]])
+    c_ref = KVCache.init(spec, 1, 16, jnp.float32)
+    want1, c_ref = model_forward(spec, single, prompt, c_ref)
+    want2, _ = model_forward(spec, single, tok, c_ref)
+
+    devs = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("ep", "tp"))
+    local, step = make_ep_tp_decode_step(spec, params, mesh,
+                                         fuse=True, a8=True)
+    cache = KVCache.init(spec, 1, 16, jnp.float32)
+    got1, cache = step(local, cache, prompt)
+    got2, _ = step(local, cache, tok)
+    for got, want in ((got1, want1[:, -1]), (got2, want2[:, -1])):
+        rel = (np.abs(np.asarray(got) - np.asarray(want)).max()
+               / np.abs(np.asarray(want)).max())
+        assert rel < 0.05, rel  # per-shard int8 act grids

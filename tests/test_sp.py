@@ -352,3 +352,41 @@ def test_sp_decode_step_rejects_cache_flag_mismatch():
     step = make_sp_decode_step(SPEC, params, mesh, cache.meta)  # not int8
     with pytest.raises(ValueError, match="int8_cache"):
         step(cache, jnp.asarray([[1]]))
+
+
+def test_sp_tp_cache_int8_packed_fused_maximal_config():
+    """The maximal serving config in one program: packed act-order
+    fused-a8 weights over tp AND the int8 SPCache doubly sharded over
+    (sp, tp) — every memory saver composed. Tokens track the
+    single-device fused-a8 f32-cache stream within combined int8
+    cache + per-shard activation-grid noise."""
+    from gptq_tpu.models.common import fuse_serving
+    from gptq_tpu.parallel.sp import (make_sp_tp_cache_prefill,
+                                      make_sp_tp_decode_step, make_sp_tp_mesh)
+    from test_parallel import _packed_serving_model
+
+    spec, params = _packed_serving_model(act_order=True)
+    ids = _ids(spec, B=1, T=8, seed=25)
+    toks = [3, 7, 11, 2]
+
+    single = fuse_serving(spec, params, a8=True)
+    c_ref = KVCache.init(spec, 1, 16, jnp.float32)
+    _, c_ref = model_forward(spec, single, ids, c_ref)
+    wants = []
+    for t in toks:
+        w, c_ref = model_forward(spec, single, jnp.asarray([[t]]), c_ref)
+        wants.append(np.asarray(w[:, -1]))
+
+    mesh = make_sp_tp_mesh(sp=2, tp=2)
+    prefill, _ = make_sp_tp_cache_prefill(
+        spec, params, mesh, cache_dtype=jnp.int8, max_len=16,
+        fuse=True, a8=True)
+    _, cache = prefill(ids)
+    assert cache.k.dtype == jnp.int8 and cache.k_scale is not None
+    local, step = make_sp_tp_decode_step(spec, params, mesh, cache.meta,
+                                         fuse=True, a8=True,
+                                         int8_cache=True)
+    for t, w in zip(toks, wants):
+        got, cache = step(local, cache, jnp.asarray([[t]]))
+        rel = np.abs(np.asarray(got) - w).max() / np.abs(w).max()
+        assert rel < 0.08, rel  # int8 cache + per-shard int8 act grids
