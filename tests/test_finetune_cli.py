@@ -89,3 +89,52 @@ def test_finetune_cli_resume(tmp_path, monkeypatch, capsys):
     text = capsys.readouterr().out
     assert "resumed from" in text and "at step 2" in text
     assert "checkpoint-4" in os.listdir(out)
+
+
+MOE_SPEC = ArchSpec(arch="llama", n_layers=2, hidden=32, n_heads=4,
+                    n_kv_heads=4, ffn=64, vocab=61, max_pos=64,
+                    norm_eps=1e-5, act="silu", pos="rope",
+                    norm_type="rmsnorm", linear_bias=False,
+                    tie_embeddings=False, n_experts=4, expert_top_k=2)
+
+
+def test_finetune_cli_moe_model(tmp_path, monkeypatch):
+    """Recovery-finetuning a routed-MoE (Mixtral-style) model through the
+    driver: the train step applies the load-balancing aux loss, eval
+    stays pure cross-entropy, checkpoints round-trip the expert stacks."""
+    import types
+
+    monkeypatch.setattr(
+        "gptq_tpu.models.convert.params_from_dir",
+        lambda path, *a, **k: (MOE_SPEC,
+                               init_params(MOE_SPEC, jax.random.PRNGKey(1))))
+    import transformers
+
+    monkeypatch.setattr(transformers.AutoTokenizer, "from_pretrained",
+                        classmethod(lambda cls, *a, **k: _StubTokenizer()))
+
+    def fake_load_dataset(*a, **k):
+        rows = {"text": ["hello world"] * 4}
+        mk = lambda: type("D", (), {"column_names": ["text"],  # noqa: E731
+                                    "__getitem__": lambda s, c: rows[c]})()
+        return {"train": mk(), "validation": mk()}
+
+    import datasets
+
+    monkeypatch.setattr(datasets, "load_dataset", fake_load_dataset)
+
+    out = str(tmp_path / "run")
+    argv = ["--model_name_or_path", "stub", "--block_size", "16",
+            "--batch_size", "2", "--max_steps", "3", "--save_steps", "3",
+            "--eval_steps", "3", "--learning_rate", "1e-3",
+            "--output_dir", out]
+    assert ft_cli.main(argv) == 0
+    import glob
+
+    from gptq_tpu.io import load_checkpoint
+
+    ckpt = sorted(glob.glob(os.path.join(out, "checkpoint-*", "model.npz")))
+    assert ckpt
+    spec2, params2, _ = load_checkpoint(ckpt[-1])
+    assert spec2.n_experts == 4
+    assert params2["layers"][0]["experts"]["gate"].shape == (4, 64, 32)
