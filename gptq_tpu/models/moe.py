@@ -15,6 +15,11 @@ descendants use. The design is TPU-first throughout:
 * Slot-major priority: all tokens' first choice is placed before any
   token's second choice, so capacity pressure drops k=2 assignments
   before k=1 assignments.
+* Sequence parallelism caveat: under parallel/sp.py each sp chunk routes
+  its OWN tokens, so per-chunk capacity differs from the flat model's
+  whole-sequence capacity; with a dropless spec (capacity factor E/k —
+  what converted HF Mixtral checkpoints get) chunked and flat routing
+  agree exactly.
 * Expert parallelism (parallel/ep.py): activations are replicated (the
   same regime as shard_map TP), experts shard over an "ep" mesh axis.
   Each device computes the full router but dispatches only into its local

@@ -442,3 +442,52 @@ def test_ep_tp_decode_packed_attention_int8_experts():
         rel = (np.abs(np.asarray(got) - np.asarray(want)).max()
                / np.abs(np.asarray(want)).max())
         assert rel < 0.05, rel  # per-shard int8 act grids
+
+
+def test_pp_training_moe_model():
+    """GPipe pipeline training composes with MoE layers: the pp loss
+    matches the flat clm_loss (both pure CE) and a train step runs."""
+    import optax
+
+    from gptq_tpu.finetune import clm_loss
+    from gptq_tpu.parallel.pp import (make_pp_loss, make_pp_mesh,
+                                      make_pp_train_step,
+                                      stack_stage_params)
+
+    params = init_params(MOE_SPEC, jax.random.PRNGKey(13))
+    batch = _ids(MOE_SPEC, B=4, T=16, seed=22)
+    want = float(clm_loss(MOE_SPEC, params, batch))
+
+    mesh = make_pp_mesh(2)
+    stacked = stack_stage_params(MOE_SPEC, params, 2, mesh)
+    got = float(jax.jit(make_pp_loss(MOE_SPEC, mesh, n_micro=2))(
+        stacked, batch))
+    assert abs(got - want) < 5e-5, (got, want)
+
+    init, step = make_pp_train_step(
+        MOE_SPEC, optax.adam(1e-3), mesh, n_micro=2)
+    stacked, _, loss = step(stacked, init(stacked), batch)
+    assert np.isfinite(float(loss))
+
+
+def test_sp_prefill_moe_dropless_matches_flat():
+    """Sequence-parallel prefill of an MoE model: each sp chunk routes
+    its own tokens, so per-chunk capacity differs from the flat model's
+    whole-sequence capacity — under a DROPLESS spec (capacity factor
+    E/k, what converted HF Mixtral checkpoints get) both drop nothing
+    and the logits match exactly."""
+    from gptq_tpu.parallel.sp import make_sp_mesh, make_sp_prefill
+
+    spec = ArchSpec(**{**MOE_SPEC.__dict__,
+                       "expert_capacity": MOE_SPEC.n_experts
+                       / MOE_SPEC.expert_top_k})
+    params = init_params(spec, jax.random.PRNGKey(14))
+    ids = _ids(spec, B=2, T=16, seed=23)
+    want, _ = model_forward(spec, params, ids)
+
+    mesh = make_sp_mesh(2)
+    prefill, _ = make_sp_prefill(spec, params, mesh,
+                                 cache_dtype=jnp.float32, max_len=16)
+    got, _ = prefill(ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
