@@ -103,14 +103,16 @@ def make_ep_forward(spec: ArchSpec, params: dict, mesh: Mesh,
 
 
 def make_ep_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
-                        axis: str = "ep"):
+                        axis: str = "ep", int8_cache: bool = False):
     """step(params, cache, token) -> (last logits, cache): single-token
     decode with the KV cache replicated (attention is dense) and only the
-    expert FFN sharded."""
+    expert FFN sharded. int8_cache=True accepts a KVCache.init(dtype=int8)
+    cache (scale planes replicated like the values)."""
     ep = mesh.shape[axis]
     _check(spec, ep)
     specs = ep_specs(params, axis)
-    crep = KVCache(k=_REP, v=_REP, length=_REP, k_scale=None, v_scale=None)
+    sc = _REP if int8_cache else None
+    crep = KVCache(k=_REP, v=_REP, length=_REP, k_scale=sc, v_scale=sc)
 
     def body(p, cache, token):
         logits, cache = model_forward(spec, p, token, cache,

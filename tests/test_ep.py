@@ -491,3 +491,27 @@ def test_sp_prefill_moe_dropless_matches_flat():
     got, _ = prefill(ids)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_ep_decode_int8_cache():
+    """The int8 KV cache composes with EP decode (scale planes replicate
+    like the values — attention is dense under ep-only)."""
+    from gptq_tpu.parallel.ep import make_ep_decode_step, make_ep_mesh
+
+    params = init_params(MOE_SPEC, jax.random.PRNGKey(15))
+    prompt = _ids(MOE_SPEC, B=1, T=6, seed=26)
+    tok = jnp.asarray([[4]])
+
+    c_ref = KVCache.init(MOE_SPEC, 1, 16, jnp.int8)
+    want1, c_ref = model_forward(MOE_SPEC, params, prompt, c_ref)
+    want2, _ = model_forward(MOE_SPEC, params, tok, c_ref)
+
+    mesh = make_ep_mesh(2)
+    step = make_ep_decode_step(MOE_SPEC, params, mesh, int8_cache=True)
+    cache = KVCache.init(MOE_SPEC, 1, 16, jnp.int8)
+    got1, cache = step(params, cache, prompt)
+    got2, _ = step(params, cache, tok)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want1[:, -1]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2[:, -1]),
+                               rtol=2e-4, atol=2e-4)
