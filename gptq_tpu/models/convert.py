@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gptq_tpu.models.common import ArchSpec
-from gptq_tpu.models.registry import arch_of_hf_config, spec_from_hf_config
+from gptq_tpu.models.registry import spec_from_hf_config
 
 
 _HOST = False  # set via host_params() context to keep weights on host

@@ -28,8 +28,6 @@ pp x tp meshes are left out until a pod target needs them.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
