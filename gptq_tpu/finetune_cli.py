@@ -58,8 +58,9 @@ def main(argv=None) -> int:
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--pp", type=int, default=1,
                    help="pipeline stages (GPipe microbatch schedule; "
-                        "layers shard by stage — exclusive with --tp, "
-                        "composes with --dp as dp pipeline replicas)")
+                        "layers shard by stage — composes with --dp as dp "
+                        "pipeline replicas and with --tp as Megatron "
+                        "shards inside each stage)")
     p.add_argument("--pp_microbatches", type=int, default=0,
                    help="micro-batches per step under --pp "
                         "(default: batch_size/dp, i.e. micro size 1 "
@@ -105,13 +106,11 @@ def main(argv=None) -> int:
     pp_mesh = None
     to_flat = lambda p: p  # noqa: E731 — identity outside --pp
     if args.pp > 1:
-        if args.tp > 1:
-            raise SystemExit("--pp is exclusive with --tp")
         from gptq_tpu.parallel.pp import (make_pp_mesh, make_pp_train_step,
                                           stack_stage_params,
                                           unstack_stage_params)
 
-        pp_mesh = make_pp_mesh(args.pp, dp=args.dp)
+        pp_mesh = make_pp_mesh(args.pp, dp=args.dp, tp=args.tp)
         # each dp replica pipelines batch_size/dp rows; default micro
         # size 1 per replica so B % (n_micro * dp) == 0 out of the box
         n_micro = args.pp_microbatches or max(1, args.batch_size // args.dp)

@@ -20,10 +20,12 @@ pipeline is the SUM of stage latencies, so PP buys capacity (a model too
 big for one chip's HBM), not speed; that trade is exactly the reference's
 multi-GPU benchmark configuration.
 
-Composition: make_pp_mesh(pp, dp) builds a (dp, pp) 2-D mesh — dp pipeline
-replicas each run the GPipe schedule on their batch shard and grads/metrics
-psum over the dp axis inside the same program (`finetune_cli --pp N --dp M`).
-pp x tp meshes are left out until a pod target needs them.
+Composition: make_pp_mesh(pp, dp, tp) scales all three ways in one
+program — dp pipeline replicas each run the GPipe schedule on their batch
+shard (grads/metrics psum over "dp"), and each stage's linears
+Megatron-shard over "tp" with psum epilogues inside the stage
+(`finetune_cli --pp N --dp M --tp K`); exact loss+grad parity with the
+flat single-device step is tested for the full (dp, pp, tp) mesh.
 """
 
 from __future__ import annotations
@@ -43,14 +45,19 @@ from gptq_tpu.models.common import (ArchSpec, block_forward, build_mask,
                                     embed_forward, head_forward, rope_tables)
 
 
-def make_pp_mesh(pp: int, dp: int = 1, devices=None) -> Mesh:
-    """pp-only 1-D mesh, or a (dp, pp) 2-D mesh: dp pipeline replicas
-    each running the GPipe schedule on their batch shard (grads/metrics
-    psum over dp inside the same program)."""
+def make_pp_mesh(pp: int, dp: int = 1, tp: int = 1, devices=None) -> Mesh:
+    """pp-only 1-D mesh, a (dp, pp) 2-D mesh (dp pipeline replicas on
+    batch shards, grads/metrics psum over dp), or the full (dp, pp, tp)
+    3-D training mesh (each stage's linears additionally Megatron
+    col/row-sharded over tp with psum epilogues — tp innermost so those
+    psums ride the fastest ICI dimension)."""
     devices = devices if devices is not None else jax.devices()
-    n = pp * dp
+    n = pp * dp * tp
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")
+    if tp > 1:
+        return Mesh(np.asarray(devices[:n]).reshape(dp, pp, tp),
+                    ("dp", "pp", "tp"))
     if dp > 1:
         return Mesh(np.asarray(devices[:n]).reshape(dp, pp), ("dp", "pp"))
     return Mesh(np.asarray(devices[:pp]), ("pp",))
@@ -64,6 +71,44 @@ def _stack_trees(trees: list):
         *trees, is_leaf=lambda x: x is None)
 
 
+def _mesh_tp(mesh: Mesh | None) -> str | None:
+    if mesh is not None and "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
+        return "tp"
+    return None
+
+
+def _stage_specs(spec: ArchSpec, sample_layer: dict,
+                 tp_axis: str | None) -> dict:
+    """PartitionSpec tree for ONE stacked stage-layer dict (leaves carry
+    leading (pp, lps) dims): stage axis over "pp", plus Megatron col/row
+    shards over `tp_axis` for the per-block linears (dense training
+    weights — (out, in))."""
+    from gptq_tpu.parallel.mesh import sharding_rules
+
+    rep_pp = jax.tree_util.tree_map(
+        lambda v: None if v is None else P("pp"), sample_layer,
+        is_leaf=lambda v: v is None)
+    if tp_axis is None:
+        return rep_pp
+    rules = sharding_rules(spec)
+    out = dict(rep_pp)
+    for key, val in sample_layer.items():
+        if key not in rules:
+            continue
+        kind = rules[key]
+        wspec = (P("pp", None, tp_axis, None) if kind == "col"
+                 else P("pp", None, None, tp_axis))
+        d = {"w": wspec}
+        if "b" in val:
+            d["b"] = None if val["b"] is None else (
+                P("pp", None, tp_axis) if kind == "col" else P("pp"))
+        if "act_q" in val:
+            d["act_q"] = None if val["act_q"] is None else {
+                k: P("pp") for k in val["act_q"]}
+        out[key] = d
+    return out
+
+
 def stack_stage_params(spec: ArchSpec, params: dict, pp: int,
                        mesh: Mesh | None = None) -> dict:
     """Standard params -> pipeline layout.
@@ -71,7 +116,8 @@ def stack_stage_params(spec: ArchSpec, params: dict, pp: int,
     `layers` (list of n_layers block dicts) becomes one pytree whose leaves
     carry leading (pp, layers_per_stage) axes; with a mesh, the stage axis
     is sharded over "pp" (each device holds only its stage's layers — the
-    HBM-capacity win) and embed/final_ln/lm_head replicate.
+    HBM-capacity win), each stage's linears additionally shard over "tp"
+    when the mesh carries one, and embed/final_ln/lm_head replicate.
     """
     n_layers = len(params["layers"])
     if n_layers % pp:
@@ -85,19 +131,20 @@ def stack_stage_params(spec: ArchSpec, params: dict, pp: int,
            "final_ln": params.get("final_ln"),
            "lm_head": params.get("lm_head")}
     if mesh is not None:
-        stage_sh = NamedSharding(mesh, P("pp"))
+        specs = _stage_specs(spec, params["layers"][0], _mesh_tp(mesh))
         rep_sh = NamedSharding(mesh, P())
 
-        def place(x, sh):
-            return None if x is None else jax.device_put(x, sh)
+        def place(x, ps):
+            return None if x is None else jax.device_put(
+                x, NamedSharding(mesh, ps))
 
         out["stages"] = jax.tree_util.tree_map(
-            lambda x: place(x, stage_sh), out["stages"],
+            place, out["stages"], specs,
             is_leaf=lambda x: x is None)
         for k in ("embed", "final_ln", "lm_head"):
             out[k] = jax.tree_util.tree_map(
-                lambda x: place(x, rep_sh), out[k],
-                is_leaf=lambda x: x is None)
+                lambda x: None if x is None else jax.device_put(x, rep_sh),
+                out[k], is_leaf=lambda x: x is None)
     return out
 
 
@@ -145,11 +192,15 @@ def _make_pp_metrics(spec: ArchSpec, mesh: Mesh, n_micro: int, axis: str,
     on the last stage. make_pp_loss grads flow through this; make_pp_eval
     reuses it with loss + accuracy."""
     pp = mesh.shape[axis]
-    # a second >1 mesh axis (make_pp_mesh(pp, dp)) runs dp pipeline
-    # replicas on batch shards; metrics/grads psum over it
-    dp_axis = next((a for a in mesh.axis_names
-                    if a != axis and mesh.shape[a] > 1), None)
+    # a "dp" mesh axis (make_pp_mesh(pp, dp)) runs dp pipeline replicas
+    # on batch shards (metrics/grads psum over it); a "tp" axis
+    # additionally Megatron-shards each stage's linears (psum epilogues
+    # inside block_forward)
+    dp_axis = ("dp" if "dp" in mesh.axis_names and mesh.shape["dp"] > 1
+               and axis != "dp" else None)
     dp = mesh.shape[dp_axis] if dp_axis else 1
+    tp_axis = _mesh_tp(mesh)
+    tp = mesh.shape[tp_axis] if tp_axis else 1
     fwd_perm = [(i, i + 1) for i in range(pp - 1)]
     n_out = len(micro_fns)
 
@@ -170,7 +221,8 @@ def _make_pp_metrics(spec: ArchSpec, mesh: Mesh, n_micro: int, axis: str,
             hp = {"embed": embed, "final_ln": final_ln, "lm_head": lm_head}
             mbl = xm.shape[1]  # this replica's micro-batch rows (mb / dp)
             positions = jnp.broadcast_to(jnp.arange(T), (mbl, T))
-            mask = build_mask(spec, T, T)
+            # under tp the mask carries this shard's alibi slope slice
+            mask = build_mask(spec, T, T, tp_axis, tp)
             rope = rope_tables(spec, positions) if spec.pos == "rope" else None
             # this device's (lps, ...) stage slice (leading pp axis is 1)
             local = jax.tree_util.tree_map(
@@ -181,7 +233,8 @@ def _make_pp_metrics(spec: ArchSpec, mesh: Mesh, n_micro: int, axis: str,
                 def body(hc, lp):
                     out, _, _ = block_forward(spec, lp, hc,
                                               positions=positions,
-                                              mask=mask, rope=rope)
+                                              mask=mask, rope=rope,
+                                              tp_axis=tp_axis)
                     return out.astype(hc.dtype), None
 
                 h, _ = jax.lax.scan(body, h, local)
@@ -215,9 +268,9 @@ def _make_pp_metrics(spec: ArchSpec, mesh: Mesh, n_micro: int, axis: str,
             # total and over dp sums the replicas' batch-shard means
             return jax.lax.psum(sums, vaxes) / (n_micro * dp)
 
-        stage_specs = jax.tree_util.tree_map(
-            lambda v: None if v is None else P(axis), stacked["stages"],
-            is_leaf=lambda v: v is None)
+        # the stacked stage tree has one layer dict's structure (leaves
+        # carry leading (pp, lps) dims), which is what _stage_specs walks
+        stage_specs = _stage_specs(spec, stacked["stages"], tp_axis)
         rep = jax.tree_util.tree_map(
             lambda v: None if v is None else P(),
             (stacked["embed"], stacked["final_ln"], stacked["lm_head"]),

@@ -204,3 +204,31 @@ def test_dp_pp_eval_matches_flat():
     loss, acc = jax.jit(make_pp_eval(SPEC, mesh, n_micro=2))(stacked, batch)
     assert abs(float(loss) - want_loss) < 5e-5, (float(loss), want_loss)
     assert abs(float(acc) - want_acc) < 1e-6, (float(acc), want_acc)
+
+
+def test_dp_pp_tp_grads_match_flat():
+    """The full 3-D training mesh (dp, pp, tp): dp pipeline replicas, pp
+    stage sharding, Megatron tp shards inside each stage — one SGD step
+    still equals the flat single-device step on the full batch."""
+    params = init_params(SPEC, jax.random.PRNGKey(10))
+    batch = _batch(SPEC, B=8, T=16, seed=11)
+    lr = 0.05
+
+    opt = optax.sgd(lr)
+    loss_ref, grads = jax.value_and_grad(
+        lambda p: clm_loss(SPEC, p, batch))(params)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    want = optax.apply_updates(params, updates)
+
+    mesh = make_pp_mesh(2, dp=2, tp=2)
+    assert mesh.shape == {"dp": 2, "pp": 2, "tp": 2}
+    stacked = stack_stage_params(SPEC, params, 2, mesh)
+    init, step = make_pp_train_step(SPEC, optax.sgd(lr), mesh, n_micro=2)
+    stacked2, _, loss_pp = step(stacked, init(stacked), batch)
+    assert abs(float(loss_pp) - float(loss_ref)) < 5e-5
+
+    got = unstack_stage_params(SPEC, stacked2)
+    for a, b in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
