@@ -187,11 +187,22 @@ def main(argv=None) -> int:
         losses, accs = [], []
         for i in range(0, min(len(eval_blocks), 16), args.batch_size):
             b = eval_blocks[i : i + args.batch_size]
-            if pp_mesh is not None and len(b) % (n_micro * args.dp):
-                break  # GPipe schedule needs B % (n_micro*dp) == 0; drop tail
+            if pp_mesh is not None:
+                # GPipe schedule needs B % (n_micro*dp) == 0: trim the
+                # tail batch to the largest divisible size instead of
+                # dropping it (a short validation file would otherwise
+                # leave NO batches and print nan perplexity)
+                q = n_micro * args.dp
+                b = b[: (len(b) // q) * q]
+                if not len(b):
+                    continue
             loss, acc = eval_pair(params, jnp.asarray(b))
             losses.append(loss)
             accs.append(acc)
+        if not losses:
+            print("eval skipped: no validation batch divisible by "
+                  f"n_micro*dp={n_micro * args.dp}")
+            return float("inf"), 0.0
         return float(np.exp(np.mean(losses))), float(np.mean(accs))
 
     t0 = time.time()

@@ -87,6 +87,23 @@ def route(spec, router_w: jax.Array, x: jax.Array):
     return dispatch, combine, aux
 
 
+def route_weights(spec, router_w: jax.Array, x: jax.Array):
+    """(w, aux) for the DROPLESS path: w (N, E) carries each token's
+    renormalized top-k probability for selected experts (0 elsewhere) —
+    no (N, E, C) capacity tensors. Same aux as route()."""
+    E = spec.n_experts
+    k = spec.expert_top_k
+    logits = x.astype(jnp.float32) @ router_w.astype(jnp.float32).T
+    probs = jax.nn.softmax(logits, axis=-1)
+    topv, topi = jax.lax.top_k(probs, k)
+    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    onehot = jax.nn.one_hot(topi, E, dtype=jnp.float32)  # (N, k, E)
+    w = jnp.sum(onehot * topv[..., None], axis=1)  # (N, E)
+    aux = E * jnp.sum(jnp.mean(onehot[:, 0], axis=0)
+                      * jnp.mean(probs, axis=0))
+    return w, aux
+
+
 def moe_ffn(spec, p: dict, x: jax.Array, ep_axis: str | None = None,
             ep_size: int = 1, activation=None,
             aux_out: list | None = None) -> jax.Array:
@@ -97,44 +114,94 @@ def moe_ffn(spec, p: dict, x: jax.Array, ep_axis: str | None = None,
     shard_map) the expert arrays are the LOCAL (E/ep, ...) slice; the
     router weight stays replicated and the partial outputs psum over the
     axis. `aux_out`, when a list, collects this layer's load-balancing
-    loss (trace-time side channel, like the capture machinery)."""
+    loss (trace-time side channel, like the capture machinery).
+
+    Two computation paths, chosen statically from the spec's capacity:
+    * capacity-bound (C < N): the GShard dispatch/combine einsums —
+      right for training micro-batches, where C bounds per-expert work.
+    * dropless (C >= N — what converted HF Mixtral checkpoints get): a
+      lax.scan over experts. The GShard dispatch tensors are (N, E, C);
+      at C = N that is O(N^2 * E) memory/flops of pure routing overhead
+      for a long prefill, so instead each expert's GLU runs on the full
+      token set weighted by its (N,) routing column — E/k times the
+      routed FFN flops, but linear memory and no giant one-hots.
+    """
     B, T, D = x.shape
-    xt = x.reshape(B * T, D)
-    dispatch, combine, aux = route(spec, p["router"]["w"], xt)
+    N = B * T
+    xt = x.reshape(N, D)
+    ex = p["experts"]
+    f32 = jnp.float32
+    cdt = x.dtype
+    el = spec.n_experts // ep_size if (
+        ep_axis is not None and ep_size > 1) else spec.n_experts
+    dropless = expert_capacity(spec, N) >= N
+
+    if dropless:
+        w, aux = route_weights(spec, p["router"]["w"], xt)
+    else:
+        dispatch, combine, aux = route(spec, p["router"]["w"], xt)
     if aux_out is not None:
         aux_out.append(aux)
     if ep_axis is not None and ep_size > 1:
-        el = spec.n_experts // ep_size
         e0 = jax.lax.axis_index(ep_axis) * el
-        dispatch = jax.lax.dynamic_slice_in_dim(dispatch, e0, el, axis=1)
-        combine = jax.lax.dynamic_slice_in_dim(combine, e0, el, axis=1)
-    ex = p["experts"]
+        if dropless:
+            w = jax.lax.dynamic_slice_in_dim(w, e0, el, axis=1)
+        else:
+            dispatch = jax.lax.dynamic_slice_in_dim(dispatch, e0, el,
+                                                    axis=1)
+            combine = jax.lax.dynamic_slice_in_dim(combine, e0, el, axis=1)
+
     # expert matmuls run in the weights' NATIVE dtype (bf16 on the serving
     # path — full-rate MXU, no transient f32 copy of the expert stacks)
     # with f32 accumulation; only router/softmax/combine math stays f32.
     # int8 RTN-quantized stacks (quantize_experts) dequantize inline —
     # XLA fuses the cast+scale into the dot, so the 2-4x HBM saving is
     # realized without a separate materialization.
-    f32 = jnp.float32
-    cdt = x.dtype
+    int8w = ex["gate"].dtype == jnp.int8
 
-    def ew(name):
-        w = ex[name]
-        if w.dtype == jnp.int8:
-            return w.astype(cdt) * ex[name + "_scale"][..., None].astype(cdt)
-        return w
+    def deq(codes, scale):
+        if int8w:
+            return codes.astype(cdt) * scale[..., None].astype(cdt)
+        return codes
 
-    xe = jnp.einsum("nec,nd->ecd", dispatch.astype(cdt), xt,
-                    preferred_element_type=f32).astype(cdt)
-    g = jnp.einsum("ecd,efd->ecf", xe, ew("gate"),
-                   preferred_element_type=f32)
-    u = jnp.einsum("ecd,efd->ecf", xe, ew("up"),
-                   preferred_element_type=f32)
-    inner = (activation(g) if activation is not None
-             else jax.nn.silu(g)) * u
-    ye = jnp.einsum("ecf,edf->ecd", inner.astype(cdt), ew("down"),
-                    preferred_element_type=f32)
-    y = jnp.einsum("nec,ecd->nd", combine, ye)
+    if dropless:
+        # one expert at a time: (N, F) intermediate instead of (E, N, F)
+        xs = (ex["gate"], ex["up"], ex["down"], w.T)
+        if int8w:
+            xs = xs + (ex["gate_scale"], ex["up_scale"], ex["down_scale"])
+
+        def body(acc, xe):
+            gw, uw, dw, wcol = xe[:4]
+            gw = deq(gw, xe[4] if int8w else None)
+            uw = deq(uw, xe[5] if int8w else None)
+            dw = deq(dw, xe[6] if int8w else None)
+            g = jnp.einsum("nd,fd->nf", xt, gw, preferred_element_type=f32)
+            u = jnp.einsum("nd,fd->nf", xt, uw, preferred_element_type=f32)
+            inner = (activation(g) if activation is not None
+                     else jax.nn.silu(g)) * u
+            ye = jnp.einsum("nf,df->nd", inner.astype(cdt), dw,
+                            preferred_element_type=f32)
+            return acc + wcol[:, None] * ye, None
+
+        # derive the accumulator from xt so it inherits any shard_map
+        # varying-axis annotations (a fresh zeros literal is non-varying
+        # and trips the VMA checker under pipeline parallelism)
+        y, _ = jax.lax.scan(body, (xt * 0).astype(f32), xs)
+    else:
+        def ew(name):
+            return deq(ex[name], ex.get(name + "_scale"))
+
+        xe = jnp.einsum("nec,nd->ecd", dispatch.astype(cdt), xt,
+                        preferred_element_type=f32).astype(cdt)
+        g = jnp.einsum("ecd,efd->ecf", xe, ew("gate"),
+                       preferred_element_type=f32)
+        u = jnp.einsum("ecd,efd->ecf", xe, ew("up"),
+                       preferred_element_type=f32)
+        inner = (activation(g) if activation is not None
+                 else jax.nn.silu(g)) * u
+        ye = jnp.einsum("ecf,edf->ecd", inner.astype(cdt), ew("down"),
+                        preferred_element_type=f32)
+        y = jnp.einsum("nec,ecd->nd", combine, ye)
     if ep_axis is not None and ep_size > 1:
         y = jax.lax.psum(y, ep_axis)
     return y.reshape(B, T, D).astype(x.dtype)

@@ -193,9 +193,15 @@ def tune_packed(pw, M: int = 8, log=lambda s: None,
             del results[best]
         if not results:
             # every reading implausible: persist the keep-default sentinel
-            # so the sweep doesn't re-run every invocation
+            # so the sweep doesn't re-run every invocation — unless the
+            # sweep was deadline-truncated (one garbage candidate must not
+            # lock the shape to defaults on disk; retune with fresh budget)
             _TABLE[key] = (0, 0, 0.0)
-            _save()
+            if truncated:
+                _EPHEMERAL.add(key)
+            else:
+                _EPHEMERAL.discard(key)
+                _save()
             return (0, 0)
         best = min(results, key=results.get)
     if default in results and best != default:

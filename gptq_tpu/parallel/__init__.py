@@ -4,33 +4,34 @@ from gptq_tpu.parallel.mesh import (  # noqa: F401
     sharding_rules,
 )
 
-# heavier strategy modules (tp, pp, sp, ep, distributed) import lazily at
-# use sites; re-export the common entry points for discoverability
-from gptq_tpu.parallel.tp import (  # noqa: F401
-    make_tp_decode_step,
-    make_tp_forward,
-)
-from gptq_tpu.parallel.pp import (  # noqa: F401
-    make_pp_eval,
-    make_pp_mesh,
-    make_pp_train_step,
-    stack_stage_params,
-    unstack_stage_params,
-)
-from gptq_tpu.parallel.sp import (  # noqa: F401
-    SPCache,
-    make_sp_cache_prefill,
-    make_sp_decode_step,
-    make_sp_mesh,
-    make_sp_prefill,
-    make_sp_tp_cache_prefill,
-    make_sp_tp_decode_step,
-    make_sp_tp_mesh,
-    make_sp_tp_prefill,
-)
-from gptq_tpu.parallel.ep import (  # noqa: F401
-    make_ep_decode_step,
-    make_ep_forward,
-    make_ep_mesh,
-    make_ep_tp_forward,
-)
+# The strategy modules (tp, pp, sp, ep) are heavier than mesh (pp pulls in
+# optax); re-export their entry points LAZILY (PEP 562) so importing
+# gptq_tpu.parallel.mesh — which finetune.py and the CLI do at startup —
+# doesn't pay for all four plus optax.
+_LAZY = {
+    "make_tp_decode_step": "tp", "make_tp_forward": "tp",
+    "make_pp_eval": "pp", "make_pp_mesh": "pp",
+    "make_pp_train_step": "pp", "stack_stage_params": "pp",
+    "unstack_stage_params": "pp",
+    "SPCache": "sp", "make_sp_cache_prefill": "sp",
+    "make_sp_decode_step": "sp", "make_sp_mesh": "sp",
+    "make_sp_prefill": "sp", "make_sp_tp_cache_prefill": "sp",
+    "make_sp_tp_decode_step": "sp", "make_sp_tp_mesh": "sp",
+    "make_sp_tp_prefill": "sp",
+    "make_ep_decode_step": "ep", "make_ep_forward": "ep",
+    "make_ep_mesh": "ep", "make_ep_tp_decode_step": "ep",
+    "make_ep_tp_forward": "ep",
+}
+
+
+def __getattr__(name):
+    mod = _LAZY.get(name)
+    if mod is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(f"gptq_tpu.parallel.{mod}"), name)
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY))

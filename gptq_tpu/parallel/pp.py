@@ -231,29 +231,38 @@ def _make_pp_metrics(spec: ArchSpec, mesh: Mesh, n_micro: int, axis: str,
 
             def stage_apply(h):
                 def body(hc, lp):
+                    lst: list = []
                     out, _, _ = block_forward(spec, lp, hc,
                                               positions=positions,
                                               mask=mask, rope=rope,
-                                              tp_axis=tp_axis)
-                    return out.astype(hc.dtype), None
+                                              tp_axis=tp_axis,
+                                              moe_aux=lst)
+                    aux = lst[0] if lst else jnp.zeros((), jnp.float32)
+                    return out.astype(hc.dtype), aux
 
-                h, _ = jax.lax.scan(body, h, local)
-                return h
+                h, auxs = jax.lax.scan(body, h, local)
+                return h, jnp.sum(auxs)
 
             def tick(carry, t):
-                recv, sums = carry
+                recv, sums, aux_sum = carry
                 ids_in = xm[jnp.clip(t, 0, n_micro - 1)]
                 emb = embed_forward(spec, hp, ids_in, positions)
                 inp = jnp.where(s == 0, emb.astype(emb_dtype), recv)
-                h = stage_apply(inp)
+                h, aux = stage_apply(inp)
                 m_out = t - (pp - 1)
                 ids_out = xm[jnp.clip(m_out, 0, n_micro - 1)]
                 vals = jnp.stack([fn(spec, hp, h, ids_out)
                                   for fn in micro_fns])
                 use = jnp.logical_and(s == pp - 1, m_out >= 0)
                 sums = sums + jnp.where(use, vals, 0.0)
+                # MoE aux loss: EVERY stage contributes its own layers'
+                # load-balancing terms, valid only for ticks where this
+                # stage processed a real micro-batch (t - s in range)
+                m_here = t - s
+                aux_ok = jnp.logical_and(m_here >= 0, m_here < n_micro)
+                aux_sum = aux_sum + jnp.where(aux_ok, aux, 0.0)
                 sent = (jax.lax.ppermute(h, axis, fwd_perm) if pp > 1 else h)
-                return (sent, sums), None
+                return (sent, sums, aux_sum), None
 
             # the carry is device-varying (each stage holds different
             # activations, each dp replica different data); mark the zero
@@ -261,12 +270,20 @@ def _make_pp_metrics(spec: ArchSpec, mesh: Mesh, n_micro: int, axis: str,
             vaxes = (axis,) + ((dp_axis,) if dp_axis else ())
             init = jax.lax.pcast(
                 (jnp.zeros((mbl, T, spec.hidden), emb_dtype),
-                 jnp.zeros((n_out,), jnp.float32)), vaxes, to="varying")
-            (_, sums), _ = jax.lax.scan(
+                 jnp.zeros((n_out,), jnp.float32),
+                 jnp.zeros((), jnp.float32)), vaxes, to="varying")
+            (_, sums, aux_sum), _ = jax.lax.scan(
                 tick, init, jnp.arange(n_micro + pp - 1))
-            # only the last stage accumulated; psum over pp replicates the
-            # total and over dp sums the replicas' batch-shard means
-            return jax.lax.psum(sums, vaxes) / (n_micro * dp)
+            # loss/acc: only the last stage accumulated (psum over pp
+            # replicates the total); aux: every stage contributed its
+            # layers (psum over pp sums them). dp sums the replicas'
+            # batch-shard means. The aux mean divides by the ROUTED layer
+            # count, matching the flat clm_loss's mean over layers.
+            out = jax.lax.psum(
+                jnp.concatenate([sums, aux_sum[None]]), vaxes)
+            out = out / (n_micro * dp)
+            return jnp.concatenate(
+                [out[:n_out], out[n_out:] / max(1, spec.n_layers)])
 
         # the stacked stage tree has one layer dict's structure (leaves
         # carry leading (pp, lps) dims), which is what _stage_specs walks
@@ -286,7 +303,8 @@ def _make_pp_metrics(spec: ArchSpec, mesh: Mesh, n_micro: int, axis: str,
     return metrics_fn
 
 
-def make_pp_loss(spec: ArchSpec, mesh: Mesh, n_micro: int, axis: str = "pp"):
+def make_pp_loss(spec: ArchSpec, mesh: Mesh, n_micro: int, axis: str = "pp",
+                 moe_aux_weight: float = 0.0):
     """loss(stacked_params, batch) with the GPipe schedule inside one
     shard_map: n_micro + pp - 1 ticks; at tick t stage s processes
     micro-batch t - s (stage 0 embeds micro t; the last stage scores micro
@@ -296,7 +314,13 @@ def make_pp_loss(spec: ArchSpec, mesh: Mesh, n_micro: int, axis: str = "pp"):
     metrics = _make_pp_metrics(spec, mesh, n_micro, axis, (_micro_ce,))
 
     def loss_fn(stacked: dict, batch: jax.Array) -> jax.Array:
-        return metrics(stacked, batch)[0]
+        out = metrics(stacked, batch)
+        loss = out[0]
+        if moe_aux_weight and spec.n_experts:
+            # Switch load-balancing term, collected per stage through the
+            # schedule (matches finetune.clm_loss's flat-path aux)
+            loss = loss + moe_aux_weight * out[1]
+        return loss
 
     return loss_fn
 
@@ -319,12 +343,16 @@ def make_pp_eval(spec: ArchSpec, mesh: Mesh, n_micro: int, axis: str = "pp"):
 
 def make_pp_train_step(spec: ArchSpec,
                        optimizer: optax.GradientTransformation,
-                       mesh: Mesh, n_micro: int, axis: str = "pp"):
+                       mesh: Mesh, n_micro: int, axis: str = "pp",
+                       moe_aux_weight: float = 0.01):
     """(init_state, step) over pipeline-layout params: step(stacked,
     opt_state, batch) -> (stacked, opt_state, loss). Grads flow backward
     through the ppermute schedule (reverse permutes); optimizer state
-    inherits each leaf's stage sharding."""
-    loss_fn = make_pp_loss(spec, mesh, n_micro, axis)
+    inherits each leaf's stage sharding. MoE models train with the
+    load-balancing aux loss like the flat path (ignored when dense)."""
+    loss_fn = make_pp_loss(
+        spec, mesh, n_micro, axis,
+        moe_aux_weight=moe_aux_weight if spec.n_experts else 0.0)
 
     def init_state(stacked):
         return optimizer.init(stacked)

@@ -216,22 +216,11 @@ def make_sp_tp_mesh(sp: int, tp: int, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:sp * tp]).reshape(sp, tp), ("sp", "tp"))
 
 
-def make_sp_tp_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
-                       sp_axis: str = "sp", tp_axis: str = "tp",
-                       cache_dtype=jnp.bfloat16, max_len: int | None = None,
-                       fuse: bool = False, a8: bool = False):
-    """prefill(ids) -> (logits, KVCache) on a 2-D (sp, tp) mesh: the prompt
-    shards over `sp_axis` (ring attention between chunks) AND the weights
-    shard over `tp_axis` (Megatron column/row shards via
-    parallel.tp.tp_local_view, one psum per residual projection) — long
-    prompts and weights too large per device compose in one program.
-    Activation memory per device drops by sp and weight memory by tp; the
-    tp axis rides the inner (fastest) ICI dimension by construction of
-    make_sp_tp_mesh. Packed weights, serve-time q/k/v + gate/up fusion
-    (fuse=True) and dynamic int8 activations (a8=True) follow the same
-    rules as make_tp_decode_step. The returned cache is global (gathered
-    over both axes) — device_put it to parallel.tp.cache_pspec to continue
-    decoding under shard_map TP."""
+def _sp_tp_prefill_parts(spec: ArchSpec, params: dict, mesh: Mesh,
+                         sp_axis: str, tp_axis: str,
+                         fuse: bool, a8: bool):
+    """(fwd, local): the raw sp x tp shard_map prefill body — shared by
+    the gathering and sharded-cache front-ends."""
     from gptq_tpu.parallel.tp import tp_local_view
 
     sp = mesh.shape[sp_axis]
@@ -276,6 +265,28 @@ def make_sp_tp_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
                    P(None, None, sp_axis, tp_axis)),
         check_vma=False,
     )
+    return fwd, local
+
+
+def make_sp_tp_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
+                       sp_axis: str = "sp", tp_axis: str = "tp",
+                       cache_dtype=jnp.bfloat16, max_len: int | None = None,
+                       fuse: bool = False, a8: bool = False):
+    """prefill(ids) -> (logits, KVCache) on a 2-D (sp, tp) mesh: the prompt
+    shards over `sp_axis` (ring attention between chunks) AND the weights
+    shard over `tp_axis` (Megatron column/row shards via
+    parallel.tp.tp_local_view, one psum per residual projection) — long
+    prompts and weights too large per device compose in one program.
+    Activation memory per device drops by sp and weight memory by tp; the
+    tp axis rides the inner (fastest) ICI dimension by construction of
+    make_sp_tp_mesh. Packed weights, serve-time q/k/v + gate/up fusion
+    (fuse=True) and dynamic int8 activations (a8=True) follow the same
+    rules as make_tp_decode_step. The returned cache is global (gathered
+    over both axes) — device_put it to parallel.tp.cache_pspec to continue
+    decoding under shard_map TP."""
+    sp = mesh.shape[sp_axis]
+    fwd, local = _sp_tp_prefill_parts(spec, params, mesh, sp_axis, tp_axis,
+                                      fuse, a8)
 
     def prefill(ids: jax.Array):
         B, T = ids.shape
@@ -409,6 +420,7 @@ def make_sp_cache_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
     sp = mesh.shape[axis]
     int8 = cache_dtype == jnp.int8
     fwd, stacked, hp = _sp_prefill_parts(spec, params, mesh, axis)
+    fwd = jax.jit(fwd)  # per-shape trace cache across prefills
 
     ml_total = spec.max_pos if max_len is None else max_len
     if ml_total % sp:
@@ -449,7 +461,8 @@ def make_sp_cache_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
 
 def make_sp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
                         meta: tuple, axis: str = "sp",
-                        int8_cache: bool = False):
+                        int8_cache: bool = False,
+                        check_capacity: bool = True):
     """step(cache: SPCache, token (B, 1)) -> (last logits, SPCache).
 
     Single-token decode with the cache sharded over `axis` the whole
@@ -530,16 +543,7 @@ def make_sp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
         check_vma=False,
     )
 
-    def step(cache: SPCache, token: jax.Array):
-        if int8_cache != (cache.k_scale is not None):
-            raise ValueError(
-                f"int8_cache={int8_cache} but the cache "
-                f"{'has' if cache.k_scale is not None else 'lacks'} scale "
-                f"planes — build the step with int8_cache matching the "
-                f"prefill's cache_dtype (raw int8 codes served without "
-                f"dequantization would be silent garbage)")
-        if cache.meta != meta:
-            raise ValueError(f"cache.meta {cache.meta} != step meta {meta}")
+    def _step(cache: SPCache, token: jax.Array):
         dummy = jnp.zeros((), jnp.float32)
         logits, ck, cv, ks, vs, pos = fwd(
             stacked, hp["embed"], hp["final_ln"], hp["lm_head"],
@@ -552,7 +556,34 @@ def make_sp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
             k_scale=ks if int8_cache else None,
             v_scale=vs if int8_cache else None, meta=cache.meta)
 
-    return jax.jit(step)
+    step_jit = jax.jit(_step)
+
+    def step(cache: SPCache, token: jax.Array):
+        # host-side guards (OUTSIDE jit — length is a concrete array here)
+        if int8_cache != (cache.k_scale is not None):
+            raise ValueError(
+                f"int8_cache={int8_cache} but the cache "
+                f"{'has' if cache.k_scale is not None else 'lacks'} scale "
+                f"planes — build the step with int8_cache matching the "
+                f"prefill's cache_dtype (raw int8 codes served without "
+                f"dequantization would be silent garbage)")
+        if cache.meta != meta:
+            raise ValueError(f"cache.meta {cache.meta} != step meta {meta}")
+        if check_capacity:
+            # the owning device's write slot would clamp at ml-1 and
+            # silently overwrite the newest stored token; fail loudly.
+            # int(length) syncs with the device — pass
+            # check_capacity=False on latency-critical eager loops that
+            # track length on the host themselves.
+            t_dec = int(cache.length) - Tc * sp
+            if t_dec >= (ml - Tc) * sp:
+                raise ValueError(
+                    f"SPCache full: {int(cache.length)} tokens stored, "
+                    f"capacity {Tc * sp + (ml - Tc) * sp} "
+                    f"(prompt {Tc * sp} + headroom {(ml - Tc) * sp})")
+        return step_jit(cache, token)
+
+    return step
 
 
 def _scatter_one(x, T: int, sp: int, ml: int):
@@ -599,10 +630,9 @@ def make_sp_tp_cache_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
     cache_dtype=int8 adds dynamic per-token-head quantization on top."""
     sp = mesh.shape[sp_axis]
     int8 = cache_dtype == jnp.int8
-    prefill_g, local = make_sp_tp_prefill(
-        spec, params, mesh, sp_axis, tp_axis,
-        jnp.float32 if int8 else cache_dtype,
-        max_len=None, fuse=fuse, a8=a8)
+    fwd, local = _sp_tp_prefill_parts(spec, params, mesh, sp_axis, tp_axis,
+                                      fuse, a8)
+    fwd = jax.jit(fwd)  # per-shape trace cache across prefills
     ml_total = spec.max_pos if max_len is None else max_len
     if ml_total % sp:
         ml_total += sp - ml_total % sp
@@ -612,10 +642,13 @@ def make_sp_tp_cache_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
 
     def prefill(ids: jax.Array):
         B, T = ids.shape
+        if T % sp:
+            raise ValueError(f"prompt length {T} must divide by sp={sp}")
         if T // sp > ml:
             raise ValueError(f"prompt chunk {T // sp} > capacity {ml}")
-        logits, cache = prefill_g(ids)
-        ks, vs = cache.k[:, :, :T], cache.v[:, :, :T]
+        logits, ks, vs = fwd(local, ids)
+        if not int8:
+            ks, vs = ks.astype(cache_dtype), vs.astype(cache_dtype)
         scat = _scatter_one_jit
         ksc = vsc = None
         if int8:
@@ -637,7 +670,8 @@ def make_sp_tp_cache_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
 def make_sp_tp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
                            meta: tuple, sp_axis: str = "sp",
                            tp_axis: str = "tp", fuse: bool = False,
-                           a8: bool = False, int8_cache: bool = False):
+                           a8: bool = False, int8_cache: bool = False,
+                           check_capacity: bool = True):
     """step(local_params, cache: SPCache, token) -> (last logits, SPCache)
     on a 2-D (sp, tp) mesh: the cache stays sharded over BOTH axes (slots
     over sp, kv heads over tp) and the weights shard over tp
@@ -701,16 +735,7 @@ def make_sp_tp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
         check_vma=False,
     )
 
-    def step(local_params, cache: SPCache, token: jax.Array):
-        if int8_cache != (cache.k_scale is not None):
-            raise ValueError(
-                f"int8_cache={int8_cache} but the cache "
-                f"{'has' if cache.k_scale is not None else 'lacks'} scale "
-                f"planes — build the step with int8_cache matching the "
-                f"prefill's cache_dtype (raw int8 codes served without "
-                f"dequantization would be silent garbage)")
-        if cache.meta != meta:
-            raise ValueError(f"cache.meta {cache.meta} != step meta {meta}")
+    def _step(local_params, cache: SPCache, token: jax.Array):
         dummy = jnp.zeros((), jnp.float32)
         logits, ckn, cvn, ksn, vsn, pos = fwd(
             local_params, cache.k, cache.v,
@@ -722,4 +747,31 @@ def make_sp_tp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
             k_scale=ksn if int8_cache else None,
             v_scale=vsn if int8_cache else None, meta=cache.meta)
 
-    return local, jax.jit(step)
+    step_jit = jax.jit(_step)
+
+    def step(local_params, cache: SPCache, token: jax.Array):
+        # host-side guards (OUTSIDE jit — length is a concrete array here)
+        if int8_cache != (cache.k_scale is not None):
+            raise ValueError(
+                f"int8_cache={int8_cache} but the cache "
+                f"{'has' if cache.k_scale is not None else 'lacks'} scale "
+                f"planes — build the step with int8_cache matching the "
+                f"prefill's cache_dtype (raw int8 codes served without "
+                f"dequantization would be silent garbage)")
+        if cache.meta != meta:
+            raise ValueError(f"cache.meta {cache.meta} != step meta {meta}")
+        if check_capacity:
+            # the owning device's write slot would clamp at ml-1 and
+            # silently overwrite the newest stored token; fail loudly.
+            # int(length) syncs with the device — pass
+            # check_capacity=False on latency-critical eager loops that
+            # track length on the host themselves.
+            t_dec = int(cache.length) - Tc * sp
+            if t_dec >= (ml - Tc) * sp:
+                raise ValueError(
+                    f"SPCache full: {int(cache.length)} tokens stored, "
+                    f"capacity {Tc * sp + (ml - Tc) * sp} "
+                    f"(prompt {Tc * sp} + headroom {(ml - Tc) * sp})")
+        return step_jit(local_params, cache, token)
+
+    return local, step

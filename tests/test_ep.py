@@ -464,6 +464,19 @@ def test_pp_training_moe_model():
         stacked, batch))
     assert abs(got - want) < 5e-5, (got, want)
 
+    # the aux-inclusive pp objective matches the flat train objective:
+    # every stage contributes its layers' Switch terms through the
+    # schedule (a pp run must not silently train a different loss). The
+    # aux is a mean of PER-MICRO-BATCH estimates — nonlinear in the token
+    # grouping, so it differs from the whole-batch aux at the estimator
+    # level (standard Switch behavior), not to float tolerance.
+    want_aux = float(clm_loss(MOE_SPEC, params, batch,
+                              moe_aux_weight=0.01))
+    got_aux = float(jax.jit(make_pp_loss(
+        MOE_SPEC, mesh, n_micro=2, moe_aux_weight=0.01))(stacked, batch))
+    assert abs(got_aux - want_aux) < 2e-3, (got_aux, want_aux)
+    assert got_aux > got + 5e-3  # the aux term is actually present
+
     init, step = make_pp_train_step(
         MOE_SPEC, optax.adam(1e-3), mesh, n_micro=2)
     stacked, _, loss = step(stacked, init(stacked), batch)
@@ -514,4 +527,25 @@ def test_ep_decode_int8_cache():
     np.testing.assert_allclose(np.asarray(got1), np.asarray(want1[:, -1]),
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2[:, -1]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_ep_forward_matches_dense_capacity_bound():
+    """The capacity-bound GShard path (C < N, tokens can drop) under EP
+    must still match the dense single-device forward — the drops are
+    deterministic, so both paths drop identically."""
+    from gptq_tpu.parallel.ep import make_ep_forward, make_ep_mesh
+
+    tight = ArchSpec(**{**MOE_SPEC.__dict__, "expert_capacity": 0.75})
+    from gptq_tpu.models.moe import expert_capacity
+
+    assert expert_capacity(tight, 32) < 32  # really capacity-bound
+    params = init_params(tight, jax.random.PRNGKey(16))
+    ids = _ids(tight, seed=27)
+    want, _ = model_forward(tight, params, ids)
+
+    mesh = make_ep_mesh(2)
+    fwd = make_ep_forward(tight, params, mesh)
+    got = fwd(params, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)

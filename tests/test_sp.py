@@ -390,3 +390,20 @@ def test_sp_tp_cache_int8_packed_fused_maximal_config():
         got, cache = step(local, cache, jnp.asarray([[t]]))
         rel = np.abs(np.asarray(got) - w).max() / np.abs(w).max()
         assert rel < 0.08, rel  # int8 cache + per-shard int8 act grids
+
+
+def test_sp_cache_decode_rejects_overflow():
+    """Decoding past the SPCache capacity must fail loudly (the clamped
+    write would silently overwrite the newest stored token)."""
+    from gptq_tpu.parallel.sp import make_sp_cache_prefill, make_sp_decode_step
+
+    params = init_params(SPEC, jax.random.PRNGKey(22))
+    mesh = make_sp_mesh(2)
+    prefill = make_sp_cache_prefill(SPEC, params, mesh,
+                                    cache_dtype=jnp.float32, max_len=12)
+    _, cache = prefill(_ids(SPEC, B=1, T=8, seed=23))
+    step = make_sp_decode_step(SPEC, params, mesh, cache.meta)
+    for _ in range(4):  # headroom = 12 - 8
+        _, cache = step(cache, jnp.asarray([[1]]))
+    with pytest.raises(ValueError, match="SPCache full"):
+        step(cache, jnp.asarray([[1]]))
