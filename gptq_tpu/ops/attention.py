@@ -191,3 +191,174 @@ def decode_attention_int8(
     return decode_attention(q, k, v, length, sm_scale,
                             k_scale=k_scale, v_scale=v_scale,
                             interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# partial (unnormalized) variant for context-parallel decode
+# ---------------------------------------------------------------------------
+
+def _attn_partial_kernel(sm_scale, G, Sb, n_sb, Hkv, hd, has_scales,
+                         has_slopes, *refs):
+    """One (batch, S-block) program emitting UNNORMALIZED online-softmax
+    state (m, l, acc) instead of acc/l — the caller combines partials
+    exactly across devices (parallel/sp.py SPCache decode). Slots mask by
+    CONTENT: a position plane (-1 = empty) replaces the contiguous
+    `length` bound of _attn_kernel, because SPCache slots fill round-robin
+    and are never contiguous. Optional per-head alibi slopes add
+    slope * position to the scores (BLOOM; slopes are scalar per kv head
+    — alibi models have no GQA, G == 1)."""
+    idx = 0
+    slopes_ref = None
+    if has_slopes:
+        slopes_ref = refs[idx]
+        idx += 1
+    pos_ref, q_ref, k_ref, v_ref = refs[idx:idx + 4]
+    idx += 4
+    if has_scales:
+        ks_ref, vs_ref = refs[idx:idx + 2]
+        idx += 2
+    acc_out, m_out, l_out, acc_ref, m_ref, l_ref = refs[idx:idx + 6]
+    sb = pl.program_id(1)
+
+    @pl.when(sb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0].astype(jnp.float32)  # (H, hd)
+    k2 = k_ref[0]  # (Sb, Hkv*hd)
+    v2 = v_ref[0]
+    if has_scales:
+        ks = ks_ref[0]  # (Sb, Hkv) f32
+        vs = vs_ref[0]
+
+    pos = pos_ref[0:1, :]  # (1, Sb) int32 global positions, -1 = empty
+    valid = jnp.broadcast_to(pos >= 0, (G, Sb))
+    pos_f = jnp.broadcast_to(pos.astype(jnp.float32), (G, Sb))
+
+    for h in range(Hkv):
+        qh = q[h * G:(h + 1) * G]  # (G, hd)
+        kh = k2[:, h * hd:(h + 1) * hd].astype(jnp.float32)
+        kh = kh * (ks[:, h:h + 1] * sm_scale) if has_scales \
+            else kh * sm_scale  # (Sb, hd)
+        sc = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (G, Sb)
+        if has_slopes:
+            # HF BLOOM: slope * key_pos (query pos cancels in softmax)
+            sc = sc + slopes_ref[0, h] * pos_f
+        sc = jnp.where(valid, sc, NEG_INF)
+
+        rows = slice(h * G, (h + 1) * G)
+        m_old = m_ref[rows, 0:1]  # (G, 1)
+        l_old = l_ref[rows, 0:1]
+        m_new = jnp.maximum(m_old, jnp.max(sc, axis=1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.exp(sc - m_new)
+        p = jnp.where(valid, p, 0.0)  # fully-masked blocks -> 0
+        l_new = l_old * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        vh = v2[:, h * hd:(h + 1) * hd].astype(jnp.float32)
+        if has_scales:
+            vh = vh * vs[:, h:h + 1]
+        pv = jax.lax.dot_general(
+            p, vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (G, hd)
+        acc_ref[rows, :] = acc_ref[rows, :] * alpha + pv
+        m_ref[rows, :] = jnp.broadcast_to(m_new, (G, m_ref.shape[1]))
+        l_ref[rows, :] = jnp.broadcast_to(l_new, (G, l_ref.shape[1]))
+
+    @pl.when(sb == n_sb - 1)
+    def _():
+        acc_out[0] = acc_ref[:]
+        m_out[0] = m_ref[:]
+        l_out[0] = l_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def decode_attention_partial(
+    q: jax.Array,  # (B, H, hd) queries for ONE token
+    k: jax.Array,  # (B, S, Hkv, hd) local cache slots: int8 or bf16/f32
+    v: jax.Array,
+    pos: jax.Array,  # (S,) int32 global position per slot, -1 = empty
+    sm_scale: float,
+    k_scale: jax.Array | None = None,  # (B, S, Hkv) f32 (int8 slots only)
+    v_scale: jax.Array | None = None,
+    slopes: jax.Array | None = None,  # (H,) alibi slopes (BLOOM; needs G=1)
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Partial flash-style decode attention over content-masked slots.
+
+    Returns UNNORMALIZED online-softmax state per (batch, head):
+    m (B, H) running max (NEG_INF where no slot is valid), l (B, H)
+    denominator, acc (B, H, hd) weighted value sum with shift m — exactly
+    what parallel/sp.py's pmax+psum cross-device combine consumes. The
+    fused int8 path reads half the cache bytes of the materialized jnp
+    dequant (the same win ops/attention.decode_attention realizes for the
+    flat int8 cache, here per sp shard)."""
+    B, H, hd = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    G = H // Hkv
+    has_scales = k_scale is not None
+    has_slopes = slopes is not None
+    if has_slopes and G != 1:
+        raise ValueError(f"alibi slopes need G=1 (got H={H}, Hkv={Hkv})")
+    Sb = _pick_sb(S, Hkv * hd * k.dtype.itemsize)
+    n_sb = S // Sb
+
+    k2 = k.reshape(B, S, Hkv * hd)
+    v2 = v.reshape(B, S, Hkv * hd)
+    pos2 = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (1, S))
+
+    in_specs = []
+    operands = []
+    if has_slopes:
+        in_specs.append(pl.BlockSpec((1, H), lambda b, s: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(slopes.astype(jnp.float32).reshape(1, H))
+    in_specs += [
+        pl.BlockSpec((1, Sb), lambda b, s: (0, s), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, H, hd), lambda b, s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Sb, Hkv * hd), lambda b, s: (b, s, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Sb, Hkv * hd), lambda b, s: (b, s, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands += [pos2, q.astype(jnp.float32), k2, v2]
+    if has_scales:
+        in_specs += [pl.BlockSpec((1, Sb, Hkv), lambda b, s: (b, s, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+        operands += [k_scale, v_scale]
+
+    out_spec = [
+        pl.BlockSpec((1, H, hd), lambda b, s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, H, 128), lambda b, s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, H, 128), lambda b, s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    acc, m, l = pl.pallas_call(
+        functools.partial(_attn_partial_kernel, float(sm_scale), G, Sb,
+                          n_sb, Hkv, hd, has_scales, has_slopes),
+        grid=(B, n_sb),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, hd), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((H, hd), jnp.float32),
+            pltpu.VMEM((H, 128), jnp.float32),
+            pltpu.VMEM((H, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*operands)
+    return m[:, :, 0], l[:, :, 0], acc

@@ -344,14 +344,51 @@ class SPCache:
     meta: tuple = field(metadata=dict(static=True), default=(0, 0))  # (Tc, ml)
 
 
+def _sp_attn_impl(int8: bool) -> str | None:
+    """Whether the fused partial decode-attention kernel
+    (ops/attention.decode_attention_partial) serves SPCache decode:
+    'tpu' / 'interpret' / None (inline jnp dequant + einsum). Same env
+    gate as the flat cache (GPTQ_TPU_ATTN_IMPL); auto = kernel for int8
+    slots on TPU — the kernel is what realizes the int8 cache's bandwidth
+    halving per sp shard — and jnp for bf16/f32 (the flat-path chip A/B
+    favored XLA's einsum overlap there, DESIGN.md)."""
+    import os
+
+    mode = os.environ.get("GPTQ_TPU_ATTN_IMPL", "auto")
+    if mode == "kernel":
+        return "tpu"
+    if mode == "interpret":
+        return "interpret"
+    if mode == "xla":
+        return None
+    if mode != "auto":
+        raise ValueError(
+            f"GPTQ_TPU_ATTN_IMPL={mode!r}: expected auto/kernel/interpret/xla")
+    return "tpu" if int8 and jax.default_backend() == "tpu" else None
+
+
 def _sp_decode_attention(spec: ArchSpec, q, kc, vc, ksc, vsc, pos_local,
                          slopes):
     """Per-device partial online-softmax attention of one query step
     against the local cache slots (int8 slots dequantize via the ksc/vsc
     scale planes; None for bf16/f32 slots). Returns (m, l, acc) for the
     cross-device combine:
-    out = sum_d exp(m_d - M) acc_d / sum_d exp(m_d - M) l_d."""
+    out = sum_d exp(m_d - M) acc_d / sum_d exp(m_d - M) l_d.
+
+    On TPU with int8 slots the partial-attention Pallas kernel consumes
+    the int8 slabs + scale planes directly (see _sp_attn_impl); the jnp
+    body below is the oracle/CPU path."""
     B, T, H, hd = q.shape  # T == 1
+    impl = _sp_attn_impl(ksc is not None)
+    S = kc.shape[1]
+    # compiled mode wants tile-aligned slab blocks; odd capacities (tiny
+    # test meshes) keep the jnp path
+    if impl is not None and (impl == "interpret" or S % 128 == 0):
+        from gptq_tpu.ops.attention import decode_attention_partial
+
+        return decode_attention_partial(
+            q[:, 0], kc, vc, pos_local, spec.scale, k_scale=ksc,
+            v_scale=vsc, slopes=slopes, interpret=impl == "interpret")
     kvh = kc.shape[2]
     rep = H // kvh
     if ksc is not None:

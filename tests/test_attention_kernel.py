@@ -119,6 +119,91 @@ def test_bf16_cache_kernel_matches_reference(gqa):
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)
 
 
+def _ref_partial(q, k, v, ks, vs, pos, sm_scale, slopes=None):
+    """Normalized attention over content-masked slots (numpy oracle);
+    combine-equivalent check: out = acc / l from the partials."""
+    B, H, hd = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    rep = H // Hkv
+    kf = np.asarray(k, np.float32)
+    vf = np.asarray(v, np.float32)
+    if ks is not None:
+        kf = kf * np.asarray(ks)[..., None]
+        vf = vf * np.asarray(vs)[..., None]
+    kf = np.repeat(kf, rep, axis=2)
+    vf = np.repeat(vf, rep, axis=2)
+    scores = np.einsum("bhd,bshd->bhs", np.asarray(q, np.float32), kf) * sm_scale
+    if slopes is not None:
+        scores = scores + slopes[None, :, None] * np.maximum(pos, 0)[None, None]
+    scores[:, :, pos < 0] = -np.inf
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p[:, :, pos < 0] = 0.0
+    return np.einsum("bhs,bshd->bhd", p / p.sum(-1, keepdims=True), vf)
+
+
+@pytest.mark.parametrize("gqa,int8", [(1, True), (2, True), (2, False)])
+def test_partial_kernel_matches_reference(gqa, int8):
+    """decode_attention_partial: normalized acc/l over content-masked
+    slots == dense softmax with -inf at empty slots (int8 + scale planes
+    and raw bf16 slabs; GQA handled inside the kernel)."""
+    from gptq_tpu.ops.attention import decode_attention_partial
+
+    rng = np.random.default_rng(4)
+    B, H, hd, S = 2, 4, 16, 32
+    Hkv = H // gqa
+    q = rng.normal(size=(B, H, hd)).astype(np.float32)
+    # round-robin filled slots with gaps (-1 = empty), like SPCache
+    pos = np.asarray([3 * i if i % 3 != 2 else -1 for i in range(S)],
+                     np.int32)
+    if int8:
+        k = rng.integers(-127, 128, size=(B, S, Hkv, hd)).astype(np.int8)
+        v = rng.integers(-127, 128, size=(B, S, Hkv, hd)).astype(np.int8)
+        ks = (rng.random((B, S, Hkv)) * 0.01 + 0.001).astype(np.float32)
+        vs = (rng.random((B, S, Hkv)) * 0.01 + 0.001).astype(np.float32)
+    else:
+        k = rng.normal(size=(B, S, Hkv, hd)).astype(np.float32)
+        v = rng.normal(size=(B, S, Hkv, hd)).astype(np.float32)
+        ks = vs = None
+    sm_scale = 1.0 / np.sqrt(hd)
+    m, l, acc = decode_attention_partial(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(pos),
+        float(sm_scale),
+        k_scale=None if ks is None else jnp.asarray(ks),
+        v_scale=None if vs is None else jnp.asarray(vs),
+        interpret=True)
+    got = np.asarray(acc) / np.asarray(l)[..., None]
+    want = _ref_partial(q, k, v, ks, vs, pos, sm_scale)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)
+
+
+def test_partial_kernel_alibi_and_empty_device():
+    """Alibi slopes fold into the scores (slope * key position); a device
+    whose slots are ALL empty reports m = NEG_INF and l = 0 so the
+    cross-device combine weights it to zero."""
+    from gptq_tpu.ops.attention import NEG_INF, decode_attention_partial
+
+    rng = np.random.default_rng(5)
+    B, H, hd, S = 1, 4, 8, 16
+    q = rng.normal(size=(B, H, hd)).astype(np.float32)
+    k = rng.normal(size=(B, S, H, hd)).astype(np.float32)
+    v = rng.normal(size=(B, S, H, hd)).astype(np.float32)
+    slopes = (0.5 ** np.arange(1, H + 1)).astype(np.float32)
+    pos = np.asarray([2 * i if i < 10 else -1 for i in range(S)], np.int32)
+    m, l, acc = decode_attention_partial(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(pos),
+        0.35, slopes=jnp.asarray(slopes), interpret=True)
+    got = np.asarray(acc) / np.asarray(l)[..., None]
+    want = _ref_partial(q, k, v, None, None, pos, 0.35, slopes=slopes)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)
+
+    m, l, acc = decode_attention_partial(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.full((S,), -1, jnp.int32), 0.35, interpret=True)
+    assert np.all(np.asarray(m) == NEG_INF)
+    assert np.all(np.asarray(l) == 0.0)
+    assert np.all(np.asarray(acc) == 0.0)
+
+
 def test_model_decode_bf16_cache_kernel_matches_xla(monkeypatch):
     """Decode with the plain bf16 cache: kernel route vs einsum route
     must agree token-for-token (greedy) and closely on logits."""

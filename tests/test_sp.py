@@ -407,3 +407,91 @@ def test_sp_cache_decode_rejects_overflow():
         _, cache = step(cache, jnp.asarray([[1]]))
     with pytest.raises(ValueError, match="SPCache full"):
         step(cache, jnp.asarray([[1]]))
+
+
+def test_sp_cache_int8_decode_kernel_route_matches_jnp(monkeypatch):
+    """The fused partial-attention kernel inside the sp shard_map body
+    (GPTQ_TPU_ATTN_IMPL=interpret) must reproduce the inline-jnp dequant
+    route step-for-step — the chip serves SPCache decode through the
+    kernel (half the cache read bytes), the jnp body is the oracle."""
+    from gptq_tpu.parallel.sp import make_sp_cache_prefill, make_sp_decode_step
+
+    params = init_params(SPEC, jax.random.PRNGKey(30))
+    ids = _ids(SPEC, B=1, T=8, seed=31)
+    toks = [4, 9, 1, 6, 3]
+
+    def run(mode):
+        monkeypatch.setenv("GPTQ_TPU_ATTN_IMPL", mode)
+        mesh = make_sp_mesh(2)
+        prefill = make_sp_cache_prefill(SPEC, params, mesh,
+                                        cache_dtype=jnp.int8, max_len=16)
+        _, cache = prefill(ids)
+        step = make_sp_decode_step(SPEC, params, mesh, cache.meta,
+                                   int8_cache=True)
+        outs = []
+        for t in toks:
+            got, cache = step(cache, jnp.asarray([[t]]))
+            outs.append(np.asarray(got))
+        return np.stack(outs)
+
+    want = run("xla")
+    got = run("interpret")
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_sp_tp_cache_int8_decode_kernel_route_matches_jnp(monkeypatch):
+    """Same equivalence under the doubly-sharded (sp, tp) cache — the
+    kernel runs on tp-local kv heads inside the 2-D shard_map body."""
+    from gptq_tpu.parallel.sp import (make_sp_tp_cache_prefill,
+                                      make_sp_tp_decode_step, make_sp_tp_mesh)
+
+    params = init_params(SPEC, jax.random.PRNGKey(32))
+    ids = _ids(SPEC, B=1, T=8, seed=33)
+    toks = [2, 8, 5]
+
+    def run(mode):
+        monkeypatch.setenv("GPTQ_TPU_ATTN_IMPL", mode)
+        mesh = make_sp_tp_mesh(sp=2, tp=2)
+        prefill, _ = make_sp_tp_cache_prefill(SPEC, params, mesh,
+                                              cache_dtype=jnp.int8,
+                                              max_len=16)
+        _, cache = prefill(ids)
+        local, step = make_sp_tp_decode_step(SPEC, params, mesh, cache.meta,
+                                             int8_cache=True)
+        outs = []
+        for t in toks:
+            got, cache = step(local, cache, jnp.asarray([[t]]))
+            outs.append(np.asarray(got))
+        return np.stack(outs)
+
+    want = run("xla")
+    got = run("interpret")
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_sp_cache_alibi_decode_kernel_route_matches_jnp(monkeypatch):
+    """BLOOM alibi slopes ride the kernel's score epilogue (slope *
+    stored position); int8 SPCache decode must match the jnp route."""
+    from gptq_tpu.parallel.sp import make_sp_cache_prefill, make_sp_decode_step
+
+    params = init_params(BLOOM_SPEC, jax.random.PRNGKey(34))
+    ids = _ids(BLOOM_SPEC, B=1, T=8, seed=35)
+    toks = [4, 9, 1]
+
+    def run(mode):
+        monkeypatch.setenv("GPTQ_TPU_ATTN_IMPL", mode)
+        mesh = make_sp_mesh(2)
+        prefill = make_sp_cache_prefill(BLOOM_SPEC, params, mesh,
+                                        cache_dtype=jnp.int8, max_len=16)
+        _, cache = prefill(ids)
+        step = make_sp_decode_step(BLOOM_SPEC, params, mesh, cache.meta,
+                                   int8_cache=True)
+        outs = []
+        for t in toks:
+            got, cache = step(cache, jnp.asarray([[t]]))
+            outs.append(np.asarray(got))
+        return np.stack(outs)
+
+    want = run("xla")
+    got = run("interpret")
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
