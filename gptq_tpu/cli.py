@@ -91,6 +91,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_pack", action="store_true",
                    help="pack weights and evaluate through the serving kernels")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel ways")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel ways: long-context serving with "
+                        "the KV cache sharded over an sp mesh axis for its "
+                        "whole lifetime (ring-attention prefill + SPCache "
+                        "decode; composes with --tp on a 2-D mesh). int8 "
+                        "cache is the default at max_len >= 1024")
+    p.add_argument("--ep", type=int, default=1,
+                   help="expert-parallel ways: MoE serving with expert "
+                        "stacks sharded over an ep mesh axis (composes "
+                        "with --tp on a 2-D mesh)")
+    p.add_argument("--max_len", type=int, default=0,
+                   help="serving cache capacity for --sp/--ep benchmarks "
+                        "(default: benchmark length + headroom)")
     p.add_argument("--results_log", type=str, default="results/ppl.txt")
     return p
 
@@ -273,7 +286,10 @@ def main(argv=None) -> int:
                                                       use_fast=False)
     seqlen = spec.max_pos
 
-    if args.tp > 1:
+    if args.sp > 1 and args.ep > 1:
+        raise SystemExit("--sp and --ep are separate serving engines; "
+                         "pick one (each composes with --tp)")
+    if args.tp > 1 and args.sp == 1 and args.ep == 1:
         from gptq_tpu.parallel.mesh import make_mesh, shard_params
 
         mesh = make_mesh(tp=args.tp)
@@ -400,6 +416,34 @@ def main(argv=None) -> int:
 
         ids = np.random.default_rng(args.seed).integers(
             0, spec.vocab, size=(1, args.benchmark))
+        if args.sp > 1 or args.ep > 1:
+            # sharded serving engines (long-context SPCache / MoE expert
+            # parallel), chained on-device protocol
+            import jax.numpy as jnp
+
+            from gptq_tpu.engine.serving import EPEngine, SPEngine
+
+            max_len = args.max_len or args.benchmark + args.sp + 8
+            cache_dtype = jnp.int8 if args.int8_kv else None
+            if args.sp > 1:
+                eng = SPEngine(spec, params, sp=args.sp, tp=args.tp,
+                               max_len=max_len, cache_dtype=cache_dtype,
+                               fuse=True, a8=args.faster_kernel)
+                tag = f"sp{args.sp}" + (f"xtp{args.tp}" if args.tp > 1
+                                        else "")
+            else:
+                eng = EPEngine(spec, params, ep=args.ep, tp=args.tp,
+                               max_len=max_len,
+                               cache_dtype=cache_dtype or jnp.bfloat16,
+                               fuse=True, a8=args.faster_kernel)
+                tag = f"ep{args.ep}" + (f"xtp{args.tp}" if args.tp > 1
+                                        else "")
+            r = eng.benchmark_chained(ids, check=args.check)
+            append_result_log(args.results_log, args,
+                              r.get("ppl", round(r["tokens_per_s"], 2)),
+                              "decode-ppl" if args.check else "decode-tok/s",
+                              protocol=f"chained-{tag}")
+            return 0
         # per-token host-synced timing is the reference protocol
         # (opt.py:440-507), but when a dispatch round-trip costs more than
         # ~1 ms (relayed/remote backends) it measures the link, not the

@@ -324,6 +324,81 @@ def fuse_packed(pws: list, tp: int = 1) -> Optional["PackedWeight"]:
         groupsize=p0.groupsize, fmt=p0.fmt)
 
 
+@jax.tree_util.register_dataclass
+@dataclass
+class PackedExperts:
+    """A stacked bank of E uniform-grid packed weights sharing one format
+    — the sub-byte serving layout for MoE expert stacks (models/moe.py).
+
+    words — tuple of (E, Kp//P, Np) int32 byteplane field arrays (the
+            per-expert planes of ops/pack.pack_codes, stacked on a leading
+            expert dim so one Pallas grid serves the whole bank)
+    scale — (E, ng, Np) f32 per-(expert, group) grids
+    zoff  — (E, ng, Np) f32 scale*zero
+
+    E is NOT stored: it derives from the arrays, so an expert-parallel
+    shard's local (E/ep, ...) slice is a valid PackedExperts as-is.
+    K/N are logical (in, out) dims per expert; stored dims may be padded
+    like PackedWeight (pad grids are zero -> padded rows/cols contribute
+    exactly 0)."""
+
+    words: tuple[jax.Array, ...]
+    scale: jax.Array
+    zoff: jax.Array
+    bits: int = field(default=4, metadata=dict(static=True))
+    K: int = field(default=0, metadata=dict(static=True))
+    N: int = field(default=0, metadata=dict(static=True))
+    groupsize: int = field(default=-1, metadata=dict(static=True))
+
+    @property
+    def E(self) -> int:
+        return self.words[0].shape[0]
+
+    @property
+    def Kp(self) -> int:
+        fb = FIELD_SPLITS[self.bits][0][0]
+        return self.words[0].shape[-2] * (32 // fb)
+
+    @property
+    def Np(self) -> int:
+        return self.words[0].shape[-1]
+
+    def expert(self, e) -> "PackedWeight":
+        """One expert's weight as a PackedWeight view (e may be a traced
+        index; static fields are shared across the bank)."""
+        return PackedWeight(
+            words=tuple(w[e] for w in self.words),
+            scale=self.scale[e], zoff=self.zoff[e],
+            bits=self.bits, K=self.K, N=self.N,
+            groupsize=self.groupsize, fmt="uniform")
+
+
+def pack_expert_stack(W: jax.Array, scale: jax.Array, zero: jax.Array,
+                      bits: int, groupsize: int = -1) -> PackedExperts:
+    """Pack an (E, N, K) expert weight stack for serving.
+
+    W: per-expert (out, in) dequantized weights (GPTQ output or raw for
+    RTN); scale/zero: (E, num_groups, N) per-(expert, group) grids. Every
+    expert packs with the shared byteplane layout (pack_codes), padded to
+    512-multiples like pack_quantized."""
+    E, Nn, K = W.shape
+    ng = scale.shape[1]
+    codes = jax.vmap(lambda w, s, z: quantize_to_codes(w, s, z, bits))(
+        W, scale, zero)  # (E, K, N)
+    scale = scale.astype(jnp.float32)
+    zoff = (scale * zero).astype(jnp.float32)
+    Kp, Np = pad_dim(K, groupsize, 512), pad_dim(Nn, -1, 512)
+    if (Kp, Np) != (K, Nn):
+        codes = jnp.pad(codes, ((0, 0), (0, Kp - K), (0, Np - Nn)))
+        ng_p = Kp // groupsize if groupsize > 0 else 1
+        scale = jnp.pad(scale,
+                        ((0, 0), (0, ng_p - ng), (0, Np - Nn)))
+        zoff = jnp.pad(zoff, ((0, 0), (0, ng_p - ng), (0, Np - Nn)))
+    words = jax.vmap(lambda c: pack_codes(c, bits, groupsize))(codes)
+    return PackedExperts(words=words, scale=scale, zoff=zoff, bits=bits,
+                         K=K, N=Nn, groupsize=groupsize)
+
+
 def pack_bcq(
     B: jax.Array,
     alpha: jax.Array,

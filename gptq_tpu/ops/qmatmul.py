@@ -87,9 +87,10 @@ def _unpack_fields_i8(word_refs, bits: int, tk: int, tn: int, sb: int):
     return fields
 
 
-def _qmm_kernel(bits, tk, tn, n_kt, sb, dot_dtype,
-                x_ref, scale_ref, zoff_ref, *rest):
-    """Fused dequant-matmul tile.
+def _tile_update(bits, tk, tn, sb, dot_dtype, x, scale, zoff, words, acc):
+    """One (tk, tn) fused dequant-matmul tile update (arrays in, new acc
+    out) — shared by the single-weight kernel and the batched-expert
+    kernel.
 
     The dequant scaling never touches the (tk, tn) code tile: with per-group
     grids, y = sum_g [ (x_g @ C_g) * scale_g - (sum_k x_gk) * zoff_g ], so
@@ -101,21 +102,14 @@ def _qmm_kernel(bits, tk, tn, n_kt, sb, dot_dtype,
     dot runs in the MXU's 2x-rate int8 mode with int32 accumulation; the
     caller folds the per-row activation scale in afterwards. At matvec M
     the kernel is MXU-pass-bound, not HBM-bound, so this nearly halves the
-    kernel time."""
-    word_refs = rest[:-2]
-    out_ref = rest[-2]
-    acc_ref = rest[-1]
-    kt = pl.program_id(1)
+    kernel time.
 
-    fields = _unpack_fields_i8(word_refs, bits, tk, tn, sb)
+    scale/zoff: (ng_tile, 1, tn)."""
+    fields = _unpack_fields_i8(words, bits, tk, tn, sb)
     code_off = sum(off for _sh, off, _c in fields)
-    ng_tile = scale_ref.shape[0]
+    ng_tile = scale.shape[0]
     cs = tk // ng_tile  # K rows per grid group inside this tile
     int8_acts = dot_dtype == jnp.int8
-
-    @pl.when(kt == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
 
     if cs >= 128:
         # code-dot path: one MXU dot per (field, group chunk) + (M, tn)
@@ -123,8 +117,6 @@ def _qmm_kernel(bits, tk, tn, n_kt, sb, dot_dtype,
         # int8 codes, field shifts pre-applied at the word level. (A single
         # combined int8 code tile for 3-bit is not expressible: Mosaic has
         # no int8 vector add/shift; partials add in the accumulator type.)
-        x = x_ref[:]
-        acc = acc_ref[:]
         cf = [c8 if dot_dtype in (jnp.bfloat16, jnp.int8)
               else c8.astype(dot_dtype) for _sh, _off, c8 in fields]
         acc_t = jnp.int32 if int8_acts else jnp.float32
@@ -137,32 +129,76 @@ def _qmm_kernel(bits, tk, tn, n_kt, sb, dot_dtype,
                 part = d if part is None else part + d
             xs = jnp.sum(xg.astype(jnp.int32) if int8_acts else
                          xg.astype(jnp.float32), axis=1, keepdims=True)
-            s = scale_ref[gi]
+            s = scale[gi]
             acc = (acc + part.astype(jnp.float32) * s +
-                   xs.astype(jnp.float32) * (code_off * s - zoff_ref[gi]))
-        acc_ref[:] = acc
-    else:
-        # small groups: dequantize in-tile (scale/zoff are (ng_tile, 1, tn);
-        # the group axis leads so the broadcast stays sublane-aligned).
-        # field shifts are pre-applied; the 8-bit storage offset is not
-        codes = None
-        for _sh, off, c8 in fields:
-            c = c8.astype(jnp.int32) + off
-            codes = c if codes is None else codes + c
-        reps = tk // ng_tile
+                   xs.astype(jnp.float32) * (code_off * s - zoff[gi]))
+        return acc
+    # small groups: dequantize in-tile (the group axis leads so the
+    # broadcast stays sublane-aligned). field shifts are pre-applied; the
+    # 8-bit storage offset is not
+    codes = None
+    for _sh, off, c8 in fields:
+        c = c8.astype(jnp.int32) + off
+        codes = c if codes is None else codes + c
+    reps = tk // ng_tile
 
-        def expand(r):
-            if reps == 1:
-                return r[:].reshape(ng_tile, tn)
-            return jnp.broadcast_to(r[:], (ng_tile, reps, tn)).reshape(tk, tn)
+    def expand(r):
+        if reps == 1:
+            return r[:].reshape(ng_tile, tn)
+        return jnp.broadcast_to(r[:], (ng_tile, reps, tn)).reshape(tk, tn)
 
-        w = codes.astype(jnp.float32) * expand(scale_ref) - expand(zoff_ref)
-        acc_ref[:] += jnp.dot(x_ref[:].astype(jnp.float32), w,
-                              preferred_element_type=jnp.float32)
+    w = codes.astype(jnp.float32) * expand(scale) - expand(zoff)
+    return acc + jnp.dot(x.astype(jnp.float32), w,
+                         preferred_element_type=jnp.float32)
+
+
+def _qmm_kernel(bits, tk, tn, n_kt, sb, dot_dtype,
+                x_ref, scale_ref, zoff_ref, *rest):
+    """Fused dequant-matmul tile (see _tile_update)."""
+    word_refs = rest[:-2]
+    out_ref = rest[-2]
+    acc_ref = rest[-1]
+    kt = pl.program_id(1)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] = _tile_update(bits, tk, tn, sb, dot_dtype, x_ref[:],
+                              scale_ref[:], zoff_ref[:],
+                              [w[:] for w in word_refs], acc_ref[:])
 
     @pl.when(kt == n_kt - 1)
     def _():
         out_ref[:] = acc_ref[:]
+
+
+def _qmm_expert_kernel(bits, tk, tn, n_kt, sb, dot_dtype, per_x,
+                       x_ref, scale_ref, zoff_ref, *rest):
+    """Batched-expert fused dequant-matmul: the expert index is the
+    LEADING grid dimension over a stacked weight bank (ops/pack.
+    PackedExperts) — one launch serves every expert's matmul, amortizing
+    launch overhead across the bank and letting the pipeline stream
+    expert weights back-to-back. per_x: x carries a per-expert leading
+    dim (the down projection consumes per-expert GLU activations);
+    otherwise one x is shared by all experts (gate/up)."""
+    word_refs = rest[:-2]
+    out_ref = rest[-2]
+    acc_ref = rest[-1]
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[0] if per_x else x_ref[:]
+    acc_ref[:] = _tile_update(bits, tk, tn, sb, dot_dtype, x,
+                              scale_ref[0], zoff_ref[0],
+                              [w[0] for w in word_refs], acc_ref[:])
+
+    @pl.when(kt == n_kt - 1)
+    def _():
+        out_ref[0] = acc_ref[:]
 
 
 def _stream_kernel(fb, sh8_off, tk, tn, n_ck, sb, dot_dtype, ng, g,
@@ -391,6 +427,131 @@ def _matmul_pallas(x: jax.Array, pw: PackedWeight, tk: int = 0, tn: int = 0,
         interpret=interpret,
     )(x, pw.scale[:, None, :], pw.zoff[:, None, :], *pw.words)
     return out
+
+
+def _resolve_tiles(K: int, N: int, groupsize: int, M: int,
+                   tk: int = 0, tn: int = 0) -> tuple[int, int, int]:
+    """(tk, tn, sb) tile sizes for the fused dequant kernels (decode
+    shapes get big tiles, large-M keeps the (M, t) VMEM blocks small)."""
+    sb = subblock(K, groupsize)
+    if not tk or not tn:
+        tk, tn = (2048, 1024) if M <= 64 else (512, 256)
+    tk = _pick_tile(K, tk) if K % tk else min(tk, K)
+    tk = max(tk, sb)
+    tn = _pick_tile(N, tn) if N % tn else min(tn, N)
+    assert K % tk == 0 and N % tn == 0 and tk % sb == 0, (K, tk, N, tn, sb)
+    return tk, tn, sb
+
+
+def dequant_experts(pe) -> jax.Array:
+    """Materialize the dequantized (E, K, N) expert bank (oracle/CPU)."""
+    from gptq_tpu.ops.pack import unpack_codes
+
+    def one(words, s, z):
+        codes = unpack_codes(words, pe.bits, pe.groupsize).astype(jnp.float32)
+        g = pe.Kp // s.shape[0]
+        return (codes * jnp.repeat(s, g, axis=0)
+                - jnp.repeat(z, g, axis=0))
+
+    w = jax.vmap(one)(pe.words, pe.scale, pe.zoff)  # (E, Kp, Np)
+    return w[:, :pe.K, :pe.N]
+
+
+def expert_dequant_matmul(
+    x: jax.Array,
+    pe,
+    impl: str = "auto",
+    interpret: bool = False,
+) -> jax.Array:
+    """y[e] = x[e] @ dequant(pe.expert(e)) for a whole PackedExperts bank
+    in ONE kernel launch (expert = leading grid dim).
+
+    x: (M, K) shared across experts (gate/up consume the same tokens) or
+    (E, M, K) per-expert (down consumes per-expert GLU activations).
+    Returns (E, M, N) f32. The TPU counterpart of serving each expert
+    through its own launch: same bytes, one pipeline."""
+    per_x = x.ndim == 3
+    E = pe.words[0].shape[0]
+    M = x.shape[-2]
+    K = x.shape[-1]
+    if impl == "auto":
+        import os
+
+        impl = os.environ.get(
+            "GPTQ_TPU_MATMUL_IMPL",
+            "pallas" if jax.default_backend() == "tpu" else "xla")
+        if impl == "streamed":
+            impl = "pallas"  # no streamed variant for the expert bank
+        if impl not in ("pallas", "xla"):
+            raise ValueError(f"GPTQ_TPU_MATMUL_IMPL={impl!r}")
+    if impl == "xla":
+        w = dequant_experts(pe)  # (E, K, N)
+        eq = "mk,ekn->emn" if not per_x else "emk,ekn->emn"
+        return jnp.einsum(eq, x.astype(jnp.float32), w,
+                          preferred_element_type=jnp.float32)
+
+    Mp = max(8, ((M + 7) // 8) * 8)
+    if Mp != M or pe.Kp != K:
+        pad = [(0, Mp - M), (0, pe.Kp - K)]
+        x = jnp.pad(x, ([(0, 0)] if per_x else []) + pad)
+    Kp, Np = pe.Kp, pe.Np
+    tk, tn, sb = _resolve_tiles(Kp, Np, pe.groupsize, Mp)
+    n_kt, n_nt = Kp // tk, Np // tn
+    ng = pe.scale.shape[1]
+    g = Kp // ng
+    if tk % g == 0:
+        ng_tile = tk // g
+        smap = lambda e, nt, kt: (e, kt, 0, nt)
+    else:
+        assert g % tk == 0, (g, tk)
+        ng_tile = 1
+        smap = lambda e, nt, kt: (e, (kt * tk) // g, 0, nt)
+
+    if x.dtype == jnp.int8:
+        dot_dtype = jnp.int8
+    elif x.dtype == jnp.bfloat16:
+        dot_dtype = jnp.bfloat16
+    else:
+        dot_dtype = jnp.float32
+
+    if per_x:
+        x_spec = pl.BlockSpec((1, Mp, tk), lambda e, nt, kt: (e, 0, kt),
+                              memory_space=pltpu.VMEM)
+    else:
+        x_spec = pl.BlockSpec((Mp, tk), lambda e, nt, kt: (0, kt),
+                              memory_space=pltpu.VMEM)
+    in_specs = [
+        x_spec,
+        pl.BlockSpec((1, ng_tile, 1, tn), smap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ng_tile, 1, tn), smap, memory_space=pltpu.VMEM),
+    ]
+    for (fb, _sh), warr in zip(FIELD_SPLITS[pe.bits], pe.words):
+        P = 32 // fb
+        in_specs.append(
+            pl.BlockSpec((1, tk // P, tn), lambda e, nt, kt: (e, kt, nt),
+                         memory_space=pltpu.VMEM))
+    kernel = functools.partial(_qmm_expert_kernel, pe.bits, tk, tn, n_kt,
+                               sb, dot_dtype, per_x)
+    out = pl.pallas_call(
+        kernel,
+        grid=(E, n_nt, n_kt),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, Mp, tn), lambda e, nt, kt: (e, 0, nt),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, Mp, Np), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Mp, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * E * Mp * Kp * Np,
+            bytes_accessed=(E * Kp * Np * pe.bits) // 8
+            + (E if per_x else 1) * Mp * Kp * 4 + E * Mp * Np * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, pe.scale[:, :, None, :], pe.zoff[:, :, None, :], *pe.words)
+    return out[:, :M, :pe.N]
 
 
 def quantize_acts_int8(x2: jax.Array) -> tuple[jax.Array, jax.Array]:

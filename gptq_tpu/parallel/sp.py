@@ -620,6 +620,9 @@ def make_sp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
                     f"(prompt {Tc * sp} + headroom {(ml - Tc) * sp})")
         return step_jit(cache, token)
 
+    step.inner = _step  # unguarded: for on-device chained loops
+    # (engine/serving.py lax.scans over it; guards run once on the host)
+    step.capacity = lambda cache: (Tc * sp + (ml - Tc) * sp)
     return step
 
 
@@ -811,4 +814,6 @@ def make_sp_tp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
                     f"(prompt {Tc * sp} + headroom {(ml - Tc) * sp})")
         return step_jit(local_params, cache, token)
 
+    step.inner = _step  # unguarded: for on-device chained loops
+    step.capacity = lambda cache: (Tc * sp + (ml - Tc) * sp)
     return local, step

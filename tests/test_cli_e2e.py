@@ -131,3 +131,95 @@ def test_cli_mixtral_quant_experts_cycle(tmp_path, monkeypatch, capsys):
     with open(log) as f:
         ppl1 = float(f.read().strip().splitlines()[-1].split(":")[-1])
     assert abs(ppl1 - ppl0) / ppl0 < 0.05
+
+
+def test_cli_sp_tp_int8_spcache_benchmark(tmp_path, monkeypatch, capsys):
+    """Long-context serving from the CLI (VERDICT r2 #1): quantize + pack
+    a tiny llama for tp=2, then serve the packed checkpoint through
+    --benchmark --sp 2 --tp 2 --int8_kv --faster-kernel — ring-attention
+    prefill, never-gathered int8 SPCache decode, fused-a8 weights over tp,
+    all entered through gptq_tpu.cli rather than the library."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(2)
+    cfg = LlamaConfig(vocab_size=VOCAB, hidden_size=1024,
+                      num_hidden_layers=1, intermediate_size=1024,
+                      num_attention_heads=4, num_key_value_heads=4,
+                      max_position_embeddings=64)
+    model = LlamaForCausalLM(cfg)
+    d = tmp_path / "tiny-llama"
+    model.save_pretrained(d)
+
+    rows = [" ".join(f"w{i}_{j}" for j in range(30)) for i in range(50)]
+    fake_ds = types.SimpleNamespace(
+        load_dataset=lambda *a, **k: FakeSplit(rows, "text"))
+    monkeypatch.setitem(sys.modules, "datasets", fake_ds)
+
+    import transformers
+
+    monkeypatch.setattr(
+        transformers.AutoTokenizer, "from_pretrained",
+        classmethod(lambda cls, *a, **k: FakeTokenizer()))
+
+    ckpt = str(tmp_path / "q.npz")
+    log = str(tmp_path / "ppl.txt")
+    rc = main([str(d), "wikitext2", "--wbits", "4", "--nsamples", "2",
+               "--groupsize", "128", "--tp", "2", "--save", ckpt,
+               "--results_log", log])
+    assert rc == 0
+
+    rc = main([str(d), "wikitext2", "--load", ckpt, "--benchmark", "24",
+               "--sp", "2", "--tp", "2", "--int8_kv", "--faster-kernel",
+               "--check", "--results_log", log])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "sp=2 tp=2 cache=int8" in out
+    assert "PPL:" in out
+    with open(log) as f:
+        last = f.read().strip().splitlines()[-1]
+    assert "protocol = chained-sp2xtp2" in last
+    ppl = float(last.split(":")[-1])
+    assert np.isfinite(ppl) and ppl > 0
+
+
+def test_cli_ep_benchmark(tmp_path, monkeypatch, capsys):
+    """MoE serving from the CLI: --quant_experts rtn checkpoint served
+    through --benchmark --ep 2 (expert stacks sharded over the ep axis)."""
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    torch.manual_seed(3)
+    cfg = MixtralConfig(vocab_size=VOCAB, hidden_size=32,
+                        num_hidden_layers=2, intermediate_size=64,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        max_position_embeddings=64, num_local_experts=4,
+                        num_experts_per_tok=2)
+    model = MixtralForCausalLM(cfg)
+    d = tmp_path / "tiny-mixtral"
+    model.save_pretrained(d)
+
+    rows = [" ".join(f"w{i}_{j}" for j in range(30)) for i in range(50)]
+    fake_ds = types.SimpleNamespace(
+        load_dataset=lambda *a, **k: FakeSplit(rows, "text"))
+    monkeypatch.setitem(sys.modules, "datasets", fake_ds)
+
+    import transformers
+
+    monkeypatch.setattr(
+        transformers.AutoTokenizer, "from_pretrained",
+        classmethod(lambda cls, *a, **k: FakeTokenizer()))
+
+    ckpt = str(tmp_path / "moe.npz")
+    log = str(tmp_path / "ppl.txt")
+    rc = main([str(d), "wikitext2", "--wbits", "4", "--nsamples", "2",
+               "--quant_experts", "rtn", "--save", ckpt,
+               "--results_log", log])
+    assert rc == 0
+
+    rc = main([str(d), "wikitext2", "--load", ckpt, "--benchmark", "16",
+               "--ep", "2", "--results_log", log])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ep=2 tp=1:" in out
+    with open(log) as f:
+        last = f.read().strip().splitlines()[-1]
+    assert "protocol = chained-ep2" in last
