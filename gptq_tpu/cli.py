@@ -59,9 +59,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quant_experts", default="none",
                    choices=["none", "rtn", "gptq"],
                    help="quantize MoE expert stacks (Mixtral-style models): "
-                        "rtn = int8 codes + per-row scales; gptq = per-"
-                        "expert Hessians from dispatched calibration slots "
-                        "first, then int8 storage (models/moe.py)")
+                        "rtn = calibration-free grids; gptq = per-expert "
+                        "Hessians from dispatched calibration slots first "
+                        "(models/moe.py). Storage format from --expert_bits")
+    p.add_argument("--expert_bits", type=int, default=8,
+                   choices=[2, 3, 4, 8],
+                   help="expert storage width for --quant_experts: 8 = "
+                        "int8 codes + per-row scales; 2/3/4 = sub-byte "
+                        "byteplane PackedExperts banks served by the "
+                        "batched-expert Pallas kernel (2-4x less expert "
+                        "HBM than int8)")
     p.add_argument("--int8_kv", action="store_true",
                    help="serve with the int8 KV cache (dynamic per-token-"
                         "head scales; fused dequant attention kernel) — "
@@ -347,7 +354,8 @@ def main(argv=None) -> int:
             from gptq_tpu.models.moe import gptq_quantize_experts
 
             gptq_quantize_experts(spec, params, jnp.asarray(calib), cfg,
-                                  log=print)
+                                  log=print,
+                                  keep_grids=args.expert_bits < 8)
 
         if args.eval_pack or args.save:
             from gptq_tpu.pipeline import pack_model
@@ -361,14 +369,22 @@ def main(argv=None) -> int:
                     print(f"lm_head quantized to {args.quant_lm_head} bits")
 
     if args.quant_experts != "none":
-        # int8 storage compression runs outside the calibration block so
+        # storage compression runs outside the calibration block so
         # calibration-free rtn works at --wbits 16 too (fp attention +
-        # int8 experts)
-        from gptq_tpu.models.moe import quantize_experts
+        # compressed experts)
+        if args.expert_bits < 8:
+            from gptq_tpu.models.moe import pack_experts
 
-        quantize_experts(params, bits=8)
-        print(f"expert stacks quantized ({args.quant_experts} -> int8 "
-              f"codes + per-row scales)")
+            pack_experts(params, bits=args.expert_bits,
+                         groupsize=args.groupsize)
+            print(f"expert stacks packed ({args.quant_experts} -> "
+                  f"{args.expert_bits}-bit byteplane banks)")
+        else:
+            from gptq_tpu.models.moe import quantize_experts
+
+            quantize_experts(params, bits=8)
+            print(f"expert stacks quantized ({args.quant_experts} -> int8 "
+                  f"codes + per-row scales)")
 
     if args.save and not args.load:
         save_checkpoint(args.save, spec, params, cfg)

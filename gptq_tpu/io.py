@@ -23,7 +23,7 @@ import numpy as np
 
 from gptq_tpu.config import QuantConfig
 from gptq_tpu.models.common import ArchSpec
-from gptq_tpu.ops.pack import PackedWeight
+from gptq_tpu.ops.pack import PackedExperts, PackedWeight
 
 
 def enable_compilation_cache() -> None:
@@ -64,6 +64,17 @@ def _flatten(tree, prefix="", out=None, meta=None):
             v = getattr(tree, f)
             if v is not None:
                 out[f"{prefix}.{f}"] = np.asarray(v)
+        return out, meta
+    if isinstance(tree, PackedExperts):
+        meta[prefix] = {
+            "packed": True, "experts": True, "bits": tree.bits,
+            "K": tree.K, "N": tree.N, "groupsize": tree.groupsize,
+            "n_words": len(tree.words),
+        }
+        for i, w in enumerate(tree.words):
+            out[f"{prefix}.words{i}"] = np.asarray(w)
+        out[f"{prefix}.scale"] = np.asarray(tree.scale)
+        out[f"{prefix}.zoff"] = np.asarray(tree.zoff)
         return out, meta
     if isinstance(tree, dict):
         for k, v in tree.items():
@@ -158,6 +169,11 @@ def load_checkpoint(path: str):
         m = packed_meta[prefix]
         f = packed_fields[prefix]
         words = tuple(jnp.asarray(f[f"words{i}"]) for i in range(m["n_words"]))
+        if m.get("experts"):
+            return PackedExperts(
+                words=words, scale=jnp.asarray(f["scale"]),
+                zoff=jnp.asarray(f["zoff"]), bits=m["bits"], K=m["K"],
+                N=m["N"], groupsize=m["groupsize"])
         if m["fmt"] == "bcq" and m["n_words"] == 1:
             pass
         return PackedWeight(

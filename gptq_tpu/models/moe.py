@@ -151,6 +151,23 @@ def moe_ffn(spec, p: dict, x: jax.Array, ep_axis: str | None = None,
                                                     axis=1)
             combine = jax.lax.dynamic_slice_in_dim(combine, e0, el, axis=1)
 
+    from gptq_tpu.ops.pack import PackedExperts
+
+    if isinstance(ex["gate"], PackedExperts):
+        # sub-byte packed expert bank (pack_experts): 2-4x less expert
+        # HBM than int8/bf16, served through the batched-expert Pallas
+        # grid (small N) or per-expert fused kernels (prefill)
+        if not dropless:
+            raise ValueError(
+                "packed expert banks serve the dropless path (C >= N); "
+                "capacity-bound GShard routing is a training regime — "
+                "keep dense/int8 stacks there")
+        y = _packed_expert_ffn(ex, xt, w, activation,
+                               top_k=spec.expert_top_k)
+        if ep_axis is not None and ep_size > 1:
+            y = jax.lax.psum(y, ep_axis)
+        return y.reshape(B, T, D).astype(x.dtype)
+
     # expert matmuls run in the weights' NATIVE dtype (bf16 on the serving
     # path — full-rate MXU, no transient f32 copy of the expert stacks)
     # with f32 accumulation; only router/softmax/combine math stays f32.
@@ -205,6 +222,129 @@ def moe_ffn(spec, p: dict, x: jax.Array, ep_axis: str | None = None,
     if ep_axis is not None and ep_size > 1:
         y = jax.lax.psum(y, ep_axis)
     return y.reshape(B, T, D).astype(x.dtype)
+
+
+def _packed_expert_ffn(ex: dict, xt: jax.Array, w: jax.Array,
+                       activation, top_k: int = 0) -> jax.Array:
+    """Dropless routed GLU over a PackedExperts bank.
+
+    xt: (N, D) tokens, w: (N, el) routing weights (this shard's expert
+    columns). Three regimes:
+    * N == 1 (single-token decode): only top_k routing weights are
+      nonzero, so only those experts' weights are READ — dynamic expert
+      views (one dynamic-slice on the bank's leading dim per selection)
+      cut decode expert HBM to k/el of the bank; zero-weight selections
+      (the token's experts live on another ep shard) contribute exact 0.
+    * 1 < N <= 32: every projection as ONE batched-expert kernel launch
+      (expert = leading grid dim — ops/qmatmul.expert_dequant_matmul).
+    * larger N: per-expert fused launches so the (el, N, F)
+      intermediates stay one expert wide."""
+    from gptq_tpu.ops.qmatmul import dequant_matmul, expert_dequant_matmul
+
+    gate_pe, up_pe, down_pe = ex["gate"], ex["up"], ex["down"]
+    el = gate_pe.words[0].shape[0]
+    N = xt.shape[0]
+    cdt = xt.dtype
+    if N == 1 and 0 < top_k < el:
+        import os
+
+        from gptq_tpu.ops.qmatmul import expert_dequant_matmul_select
+
+        impl = os.environ.get(
+            "GPTQ_TPU_MATMUL_IMPL",
+            "pallas" if jax.default_backend() == "tpu" else "xla")
+        kernel_sel = impl in ("pallas", "streamed")
+
+        def mm(xx, pe, e):
+            if kernel_sel:
+                # scalar-prefetch select: the kernel reads the chosen
+                # expert's blocks straight from the bank (no slice copy)
+                return expert_dequant_matmul_select(xx, pe, e)
+            return dequant_matmul(xx, pe.expert(e)).astype(jnp.float32)
+
+        wv, wi = jax.lax.top_k(w[0], top_k)  # local routing weights
+        y = jnp.zeros((1, down_pe.N), jnp.float32)
+        for j in range(top_k):
+            e = wi[j]
+            g = mm(xt, gate_pe, e)
+            u = mm(xt, up_pe, e)
+            inner = (activation(g) if activation is not None
+                     else jax.nn.silu(g)) * u
+            ye = mm(inner.astype(cdt), down_pe, e)
+            y = y + wv[j] * ye.astype(jnp.float32)
+        return y
+    if N <= 32:
+        g = expert_dequant_matmul(xt, gate_pe)  # (el, N, F) f32
+        u = expert_dequant_matmul(xt, up_pe)
+        inner = (activation(g) if activation is not None
+                 else jax.nn.silu(g)) * u
+        ye = expert_dequant_matmul(inner.astype(cdt), down_pe)  # (el, N, D)
+        return jnp.einsum("ne,end->nd", w, ye,
+                          preferred_element_type=jnp.float32)
+    y = jnp.zeros((N, down_pe.N), jnp.float32)
+    for e in range(el):
+        g = dequant_matmul(xt, gate_pe.expert(e)).astype(jnp.float32)
+        u = dequant_matmul(xt, up_pe.expert(e)).astype(jnp.float32)
+        inner = (activation(g) if activation is not None
+                 else jax.nn.silu(g)) * u
+        ye = dequant_matmul(inner.astype(cdt), down_pe.expert(e))
+        y = y + w[:, e:e + 1] * ye.astype(jnp.float32)
+    return y
+
+
+def _rtn_expert_grids(W: jax.Array, bits: int, groupsize: int = -1):
+    """Per-(expert, row[, group]) asymmetric min-max grids for an
+    (E, F, D) stack — uniform find_params semantics (range clamped to
+    include 0; reference quant.py:37-119). Returns scale/zero (E, ng, F)."""
+    E, F, D = W.shape
+    g = groupsize if groupsize > 0 else D
+    ng = D // g
+    maxq = (1 << bits) - 1
+    Wg = W.reshape(E, F, ng, g)
+    xmin = jnp.minimum(Wg.min(axis=-1), 0.0)
+    xmax = jnp.maximum(Wg.max(axis=-1), 0.0)
+    scale = (xmax - xmin) / maxq
+    scale = jnp.where(scale <= 0, 1.0, scale)
+    zero = jnp.round(-xmin / scale)
+    return scale.transpose(0, 2, 1), zero.transpose(0, 2, 1)
+
+
+def pack_experts(params: dict, bits: int = 4, groupsize: int = -1) -> None:
+    """In-place sub-byte packing of every MoE layer's expert stacks into
+    PackedExperts banks (the byteplane layout of ops/pack.py, stacked on
+    a leading expert dim).
+
+    Grids come from the GPTQ pass when gptq_quantize_experts(...,
+    keep_grids=True) stashed them at matching bits (exact code recovery,
+    like pipeline.pack_model reusing solver grids); otherwise per-row RTN
+    min-max grids refit on the (possibly fake-quantized) dense values.
+    Expert weight HBM drops to bits/16 of bf16 — the saving the dense
+    linears already had, now where MoE weights are largest (E stacks per
+    layer). Serving goes through the batched-expert Pallas grid
+    (ops/qmatmul.expert_dequant_matmul)."""
+    from gptq_tpu.ops.pack import PackedExperts, pack_expert_stack
+
+    if bits not in (2, 3, 4, 8):
+        raise ValueError(f"bits={bits} not in (2, 3, 4, 8)")
+    for bp in params["layers"]:
+        ex = bp.get("experts")
+        if ex is None or isinstance(ex.get("gate"), PackedExperts):
+            continue
+        if ex["gate"].dtype == jnp.int8:
+            raise ValueError(
+                "expert stacks are already int8-compressed "
+                "(quantize_experts); pack_experts needs the dense values "
+                "— run it instead of, not after, the int8 compression")
+        grids = ex.pop("_grids", None)
+        grid_ok = (grids is not None and grids.get("bits") == bits
+                   and grids.get("groupsize", -1) == groupsize)
+        for name in ("gate", "up", "down"):
+            W = jnp.asarray(ex[name], jnp.float32)  # (E, out, in)
+            if grid_ok and name in grids:
+                s, z = grids[name]["scale"], grids[name]["zero"]
+            else:
+                s, z = _rtn_expert_grids(W, bits, groupsize)
+            ex[name] = pack_expert_stack(W, s, z, bits, groupsize)
 
 
 def init_moe_params(spec, key: jax.Array, dtype=jnp.float32) -> dict:
@@ -263,7 +403,8 @@ def quantize_experts(params: dict, bits: int = 8) -> None:
 
 
 def gptq_quantize_experts(spec, params: dict, calib_ids, cfg,
-                          log=lambda s: None) -> dict:
+                          log=lambda s: None,
+                          keep_grids: bool = False) -> dict:
     """Hessian-aware GPTQ quantization of every MoE layer's expert stacks
     (in place, fake-quantized dense values like pipeline.quantize_model).
 
@@ -345,6 +486,15 @@ def gptq_quantize_experts(spec, params: dict, calib_ids, cfg,
         states, _ = jax.lax.scan(fold, init, ms)
         return states
 
+    # grids stash for pack_experts: only meaningful when the solver grid
+    # is positionally stable in the original column order (one group, or
+    # no act-order permutation) and the mode produces uniform grids
+    stash_grids = keep_grids and scfg.mode == "uniform" and (
+        not scfg.actorder or scfg.groupsize <= 0)
+    if keep_grids and not stash_grids:
+        log("expert grids not stashed (non-uniform mode or act-order "
+            "groups); pack_experts will refit RTN grids")
+
     losses: dict[str, float] = {}
     for li, bp in enumerate(params["layers"]):
         ex = bp.get("experts")
@@ -356,6 +506,7 @@ def gptq_quantize_experts(spec, params: dict, calib_ids, cfg,
         ms = ms.reshape(nsamples, -1, ms.shape[-1])
         hg = expert_hessians(bp["router"]["w"], ms)
         E = spec.n_experts
+        grids: dict = {"bits": scfg.bits, "groupsize": scfg.groupsize}
         for e in range(E):
             He = (hg[0][e], hg[1][e], hg[2][e])
             for name in ("gate", "up"):
@@ -364,6 +515,10 @@ def gptq_quantize_experts(spec, params: dict, calib_ids, cfg,
                 ex[name] = jnp.asarray(ex[name]).at[e].set(
                     r["Q"].astype(ex[name].dtype))
                 losses[f"layer.{li}.expert{e}.{name}"] = float(r["loss"])
+                if stash_grids:
+                    g = grids.setdefault(name, {"scale": [], "zero": []})
+                    g["scale"].append(r["scale"])
+                    g["zero"].append(r["zero"])
 
         # down's Hessian from the GLU inner computed with the QUANTIZED
         # gate/up (true-sequential ordering)
@@ -374,6 +529,16 @@ def gptq_quantize_experts(spec, params: dict, calib_ids, cfg,
             ex["down"] = jnp.asarray(ex["down"]).at[e].set(
                 r["Q"].astype(ex["down"].dtype))
             losses[f"layer.{li}.expert{e}.down"] = float(r["loss"])
+            if stash_grids:
+                g = grids.setdefault("down", {"scale": [], "zero": []})
+                g["scale"].append(r["scale"])
+                g["zero"].append(r["zero"])
+        if stash_grids:
+            ex["_grids"] = {
+                k: (v if not isinstance(v, dict) else
+                    {"scale": jnp.stack(v["scale"]),
+                     "zero": jnp.stack(v["zero"])})
+                for k, v in grids.items()}
         # re-propagate through the quantized layer (reference replays
         # forwards after quantizing, opt.py:216-217)
         inps, _ = layer_pass(bp, inps)

@@ -388,6 +388,10 @@ def pack_expert_stack(W: jax.Array, scale: jax.Array, zero: jax.Array,
     scale = scale.astype(jnp.float32)
     zoff = (scale * zero).astype(jnp.float32)
     Kp, Np = pad_dim(K, groupsize, 512), pad_dim(Nn, -1, 512)
+    if Kp % 32:
+        # pack_codes needs 32 | K; pad rows store code 0, which dequants
+        # to -zoff — harmless because the runtime x pad rows are zero
+        Kp = -(-Kp // 32) * 32
     if (Kp, Np) != (K, Nn):
         codes = jnp.pad(codes, ((0, 0), (0, Kp - K), (0, Np - Nn)))
         ng_p = Kp // groupsize if groupsize > 0 else 1

@@ -223,3 +223,55 @@ def test_cli_ep_benchmark(tmp_path, monkeypatch, capsys):
     with open(log) as f:
         last = f.read().strip().splitlines()[-1]
     assert "protocol = chained-ep2" in last
+
+
+def test_cli_mixtral_packed_experts_cycle(tmp_path, monkeypatch, capsys):
+    """--quant_experts gptq --expert_bits 4: per-expert-Hessian GPTQ with
+    stashed grids, sub-byte PackedExperts banks, checkpoint round-trip,
+    and re-eval of the packed bank within tolerance."""
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    torch.manual_seed(4)
+    cfg = MixtralConfig(vocab_size=VOCAB, hidden_size=32,
+                        num_hidden_layers=2, intermediate_size=64,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        max_position_embeddings=64, num_local_experts=4,
+                        num_experts_per_tok=2)
+    model = MixtralForCausalLM(cfg)
+    d = tmp_path / "tiny-mixtral"
+    model.save_pretrained(d)
+
+    rows = [" ".join(f"w{i}_{j}" for j in range(30)) for i in range(50)]
+    fake_ds = types.SimpleNamespace(
+        load_dataset=lambda *a, **k: FakeSplit(rows, "text"))
+    monkeypatch.setitem(sys.modules, "datasets", fake_ds)
+
+    import transformers
+
+    monkeypatch.setattr(
+        transformers.AutoTokenizer, "from_pretrained",
+        classmethod(lambda cls, *a, **k: FakeTokenizer()))
+
+    ckpt = str(tmp_path / "moe4.npz")
+    log = str(tmp_path / "ppl.txt")
+    rc = main([str(d), "wikitext2", "--wbits", "4", "--nsamples", "2",
+               "--quant_experts", "gptq", "--expert_bits", "4",
+               "--save", ckpt, "--results_log", log])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "expert stacks packed (gptq -> 4-bit byteplane banks)" in out
+    with open(log) as f:
+        ppl0 = float(f.read().strip().splitlines()[0].split(":")[-1])
+
+    from gptq_tpu.io import load_checkpoint
+    from gptq_tpu.ops.pack import PackedExperts
+
+    _, params2, _ = load_checkpoint(ckpt)
+    assert isinstance(params2["layers"][0]["experts"]["gate"],
+                      PackedExperts)
+
+    rc = main([str(d), "wikitext2", "--load", ckpt, "--results_log", log])
+    assert rc == 0
+    with open(log) as f:
+        ppl1 = float(f.read().strip().splitlines()[-1].split(":")[-1])
+    assert abs(ppl1 - ppl0) / ppl0 < 0.05
