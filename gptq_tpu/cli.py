@@ -206,8 +206,18 @@ def main(argv=None) -> int:
         return 0
 
     if args.load:
-        spec, params, _ = load_checkpoint(args.load)
+        spec, params, loaded_cfg = load_checkpoint(args.load)
         print(f"loaded packed checkpoint {args.load}")
+        if loaded_cfg is not None:
+            # result-log fidelity: a loaded checkpoint's lines must carry
+            # ITS quantization config, not this invocation's defaults (a
+            # w4a8 benchmark was logged as "wbits = 16" before this)
+            for f in ("wbits", "groupsize", "lut_eval", "columnwise",
+                      "non_linear", "trits", "sym", "hyperbits",
+                      "exploreBits", "exploreSplit", "bcq_round",
+                      "apot_nums", "use_bst"):
+                if hasattr(loaded_cfg, f):
+                    setattr(args, f, getattr(loaded_cfg, f))
         if args.quant_lm_head:
             from gptq_tpu.pipeline import quantize_lm_head
 

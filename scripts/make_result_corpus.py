@@ -1,0 +1,152 @@
+"""Generate the checked-in structured result corpus (VERDICT r2 #4):
+tiny deterministic models quantized across the flag matrix, evaluated on
+the seeded synthetic stream, appended as protocol-tagged result lines —
+the offline mirror of the reference's quant_bit/*_ppl.txt discipline
+(reference: opt.py:335-357) plus a recorded per-module sensitivity log
+(reference: sensitivity/*.txt). Deterministic end to end (seeded params,
+seeded data), so the files double as regression baselines:
+tests/test_result_corpus.py re-runs one row and matches it.
+
+Run: /opt/venv/bin/python scripts/make_result_corpus.py
+Writes: results/tiny_corpus/{ppl.txt,sensitivity-tiny-llama-4bit.txt}
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=1").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import copy  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+OUT_DIR = "results/tiny_corpus"
+
+# the flag matrix, mirroring the reference recipes (script/eval_opt.sh):
+# (tag, QuantConfig overrides)
+CONFIGS = [
+    ("fp16", dict(wbits=16)),
+    ("w4", dict(wbits=4)),
+    ("w3", dict(wbits=3)),
+    ("w2", dict(wbits=2)),
+    ("w4-g32", dict(wbits=4, groupsize=32)),
+    ("w3-g32-actorder", dict(wbits=3, groupsize=32, act_order=True,
+                             static_groups=True)),
+    ("w4-rtn", dict(wbits=4, nearest=True)),
+    ("w3-columnwise-apot2", dict(wbits=3, columnwise=True, apot_nums=2)),
+    ("w3-lut-bcq", dict(wbits=3, lut_eval=True, bcq_round=2)),
+    ("w4-nonlinear-h5", dict(wbits=4, non_linear=True, hyperbits=5)),
+    ("w3-trits", dict(wbits=2, trits=True)),
+]
+
+
+def corpus_models():
+    from gptq_tpu.models.common import ArchSpec
+
+    tiny_opt = ArchSpec(arch="opt", n_layers=2, hidden=64, n_heads=4,
+                        n_kv_heads=4, ffn=128, vocab=256, max_pos=128,
+                        act="relu", pos="learned", norm_type="layernorm",
+                        linear_bias=True, tie_embeddings=True)
+    tiny_llama = ArchSpec(arch="llama", n_layers=2, hidden=64, n_heads=4,
+                          n_kv_heads=2, ffn=128, vocab=256, max_pos=128,
+                          act="silu", pos="rope", norm_type="rmsnorm",
+                          linear_bias=False, tie_embeddings=False)
+    tiny_bloom = ArchSpec(arch="bloom", n_layers=2, hidden=64, n_heads=4,
+                          n_kv_heads=4, ffn=128, vocab=256, max_pos=128,
+                          act="gelu_tanh", pos="alibi",
+                          norm_type="layernorm", linear_bias=True,
+                          tie_embeddings=True)
+    return [("tiny-opt", tiny_opt), ("tiny-llama", tiny_llama),
+            ("tiny-bloom", tiny_bloom)]
+
+
+def main() -> int:
+    from gptq_tpu.config import QuantConfig
+    from gptq_tpu.data import synthetic_stream
+    from gptq_tpu.eval.ppl import eval_ppl
+    from gptq_tpu.models.common import init_params
+    from gptq_tpu.pipeline import quantize_model
+
+    from gptq_tpu.finetune import make_optimizer, make_train_step
+
+    def trained_base(spec, steps: int = 700):
+        """Deterministically train the tiny model on the synthetic stream
+        so its PPL is far below uniform — random-init weights quantize to
+        indistinguishable near-uniform PPLs, which carries no regression
+        signal; a trained model's PPL separates the quant configs."""
+        params = init_params(spec, jax.random.PRNGKey(0))
+        opt = make_optimizer("adamw", lr=5e-4)
+        init, step = make_train_step(spec, opt)
+        st = init(params)
+        T = spec.max_pos
+        data = synthetic_stream(spec.vocab, 8 * T * steps // 64 + 8 * T,
+                                seed=7)
+        for i in range(steps):
+            off = (i * 8 * T) % (len(data) - 8 * T)
+            batch = jnp.asarray(data[off:off + 8 * T].reshape(8, T))
+            params, st, loss = step(params, st, batch)
+        return params
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    ppl_path = os.path.join(OUT_DIR, "ppl.txt")
+    lines = []
+    for mname, spec in corpus_models():
+        base = trained_base(spec)
+        T = spec.max_pos
+        calib = jnp.asarray(
+            synthetic_stream(spec.vocab, 4 * T, seed=1).reshape(4, T))
+        test = jnp.asarray(
+            synthetic_stream(spec.vocab, 8 * T, seed=2).reshape(1, -1))
+        for tag, over in CONFIGS:
+            params = copy.deepcopy(base)
+            cfg = QuantConfig(nsamples=4, seed=0, dataset="synthetic",
+                              **over)
+            if cfg.wbits < 16 or cfg.trits:
+                quantize_model(spec, params, calib, cfg,
+                               log=lambda s: None)
+            ppl = eval_ppl(spec, params, test, T)
+            line = (f"model = {mname}, dataset = synthetic-s2, "
+                    f"config = {tag}, wbits = {cfg.wbits}, "
+                    f"groupsize = {cfg.groupsize}, lut = {cfg.lut_eval}, "
+                    f"nonLinear = {cfg.non_linear}, "
+                    f"columnwise = {cfg.columnwise}, protocol = eval"
+                    f"   :   {ppl:.4f}")
+            print(line)
+            lines.append(line)
+    with open(ppl_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    # recorded per-module sensitivity corpus (reference sensitivity/*.txt:
+    # "0.self_attn.k_proj: 53833.6...")
+    from gptq_tpu.analysis import save_sensitivity_log
+    from gptq_tpu.config import QuantConfig as QC
+
+    _, spec = corpus_models()[1]
+    params = trained_base(spec)
+    calib = jnp.asarray(
+        synthetic_stream(spec.vocab, 4 * spec.max_pos, seed=1)
+        .reshape(4, spec.max_pos))
+    res = quantize_model(spec, params, calib, QC(wbits=4, nsamples=4),
+                         log=lambda s: None)
+    save_sensitivity_log(res.losses,
+                         os.path.join(OUT_DIR,
+                                      "sensitivity-tiny-llama-4bit.txt"))
+    print(f"wrote {OUT_DIR}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

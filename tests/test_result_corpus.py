@@ -1,0 +1,94 @@
+"""The checked-in tiny result corpus (results/tiny_corpus/ppl.txt,
+scripts/make_result_corpus.py) is a determinism regression baseline:
+re-running a row must reproduce its recorded PPL. Counterpart of the
+reference's recorded quant_bit/*_ppl.txt + sensitivity/*.txt corpora
+(reference: opt.py:335-357, sensitivity/opt-125m-3bit.txt)."""
+
+import os
+import re
+
+import numpy as np
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CORPUS = os.path.join(REPO, "results", "tiny_corpus", "ppl.txt")
+
+
+def _recorded(model: str, config: str) -> float:
+    with open(CORPUS) as f:
+        for line in f:
+            if f"model = {model}," in line and f"config = {config}," in line:
+                return float(line.split(":")[-1])
+    raise AssertionError(f"{model}/{config} not in corpus")
+
+
+def test_corpus_row_reproduces():
+    """Re-run the tiny-opt w4 row end-to-end (train -> GPTQ -> eval) and
+    match the recorded PPL — catches silent drift anywhere in the
+    training step, solver, or eval."""
+    import copy
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import make_result_corpus as mrc
+
+    from gptq_tpu.config import QuantConfig
+    from gptq_tpu.data import synthetic_stream
+    from gptq_tpu.eval.ppl import eval_ppl
+    from gptq_tpu.pipeline import quantize_model
+
+    name, spec = mrc.corpus_models()[0]  # tiny-opt
+    # rebuild exactly as the script does (main() wraps this flow)
+    from gptq_tpu.finetune import make_optimizer, make_train_step
+    from gptq_tpu.models.common import init_params
+    import jax
+
+    params = init_params(spec, jax.random.PRNGKey(0))
+    opt = make_optimizer("adamw", lr=5e-4)
+    init, step = make_train_step(spec, opt)
+    st = init(params)
+    T = spec.max_pos
+    steps = 700
+    data = synthetic_stream(spec.vocab, 8 * T * steps // 64 + 8 * T, seed=7)
+    for i in range(steps):
+        off = (i * 8 * T) % (len(data) - 8 * T)
+        batch = jnp.asarray(data[off:off + 8 * T].reshape(8, T))
+        params, st, _ = step(params, st, batch)
+
+    calib = jnp.asarray(synthetic_stream(spec.vocab, 4 * T, seed=1)
+                        .reshape(4, T))
+    test = jnp.asarray(synthetic_stream(spec.vocab, 8 * T, seed=2)
+                       .reshape(1, -1))
+    qp = copy.deepcopy(params)
+    quantize_model(spec, qp, calib, QuantConfig(wbits=4, nsamples=4),
+                   log=lambda s: None)
+    ppl = eval_ppl(spec, qp, test, T, log=lambda s: None)
+    want = _recorded(name, "w4")
+    assert abs(ppl - want) / want < 5e-3, (ppl, want)
+
+
+def test_corpus_covers_flag_matrix():
+    """Every config x model row exists and parses."""
+    with open(CORPUS) as f:
+        text = f.read()
+    for m in ("tiny-opt", "tiny-llama", "tiny-bloom"):
+        for c in ("fp16", "w4", "w3", "w2", "w4-g32", "w3-g32-actorder",
+                  "w4-rtn", "w3-columnwise-apot2", "w3-lut-bcq",
+                  "w4-nonlinear-h5", "w3-trits"):
+            pat = rf"model = {m}, .*config = {c}, .*:   ([\d.]+)"
+            mt = re.search(pat, text)
+            assert mt, (m, c)
+            assert np.isfinite(float(mt.group(1)))
+
+
+def test_sensitivity_corpus_recorded():
+    path = os.path.join(REPO, "results", "tiny_corpus",
+                        "sensitivity-tiny-llama-4bit.txt")
+    with open(path) as f:
+        lines = [l for l in f.read().splitlines() if l.strip()]
+    # 2 layers x 7 llama linears, "layer.name: loss" like the reference's
+    # sensitivity/opt-125m-3bit.txt
+    assert len(lines) >= 14
+    for l in lines:
+        name, val = l.rsplit(":", 1)
+        assert np.isfinite(float(val))
