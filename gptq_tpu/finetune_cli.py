@@ -51,6 +51,16 @@ def main(argv=None) -> int:
     p.add_argument("--num_train_epochs", type=float, default=1.0)
     p.add_argument("--max_steps", type=int, default=-1)
     p.add_argument("--output_dir", required=True)
+    p.add_argument("--bf16", action="store_true",
+                   help="train in bfloat16 (reference recipe: "
+                        "--torch_dtype bfloat16 --bf16, finetune/train.sh)")
+    p.add_argument("--save_strategy", default="steps",
+                   choices=["steps", "epoch"],
+                   help="epoch = checkpoint at epoch boundaries "
+                        "(reference train.sh save_strategy)")
+    p.add_argument("--save_total_limit", type=int, default=0,
+                   help="keep only the newest N checkpoints (0 = all; "
+                        "reference train.sh --save_total_limit)")
     p.add_argument("--save_steps", type=int, default=500)
     p.add_argument("--eval_steps", type=int, default=500)
     p.add_argument("--seed", type=int, default=42)
@@ -81,6 +91,11 @@ def main(argv=None) -> int:
     from datasets import load_dataset
 
     spec, params = params_from_dir(args.model_name_or_path)
+    if args.bf16:
+        params = jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.bfloat16)
+            if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating) else v,
+            params)
     tokenizer = AutoTokenizer.from_pretrained(args.model_name_or_path, use_fast=False)
 
     raw = load_dataset(args.dataset_name, args.dataset_config_name)
@@ -216,7 +231,9 @@ def main(argv=None) -> int:
         if (s + 1) % args.eval_steps == 0:
             ppl, acc = evaluate()
             print(f"eval ppl = {ppl:.4f} accuracy = {acc:.4f}")
-        if (s + 1) % args.save_steps == 0 or s + 1 == total_steps:
+        save_every = (max(1, steps_per_epoch)
+                      if args.save_strategy == "epoch" else args.save_steps)
+        if (s + 1) % save_every == 0 or s + 1 == total_steps:
             ck = os.path.join(args.output_dir, f"checkpoint-{s+1}")
             os.makedirs(ck, exist_ok=True)
             save_checkpoint(os.path.join(ck, "model"), spec, to_flat(params))
@@ -224,6 +241,16 @@ def main(argv=None) -> int:
             with open(os.path.join(ck, "state.json"), "w") as f:
                 json.dump({"step": s + 1}, f)
             print(f"saved {ck}")
+            if args.save_total_limit > 0:
+                import shutil
+
+                cks = sorted(
+                    (d for d in os.listdir(args.output_dir)
+                     if d.startswith("checkpoint-")),
+                    key=lambda d: int(d.split("-")[1]))
+                for old in cks[:-args.save_total_limit]:
+                    shutil.rmtree(os.path.join(args.output_dir, old))
+                    print(f"pruned {old} (save_total_limit)")
 
     ppl, acc = evaluate()
     print(f"final eval ppl = {ppl:.4f} accuracy = {acc:.4f}")

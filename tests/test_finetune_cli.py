@@ -138,3 +138,36 @@ def test_finetune_cli_moe_model(tmp_path, monkeypatch):
     spec2, params2, _ = load_checkpoint(ckpt[-1])
     assert spec2.n_experts == 4
     assert params2["layers"][0]["experts"]["gate"].shape == (4, 64, 32)
+
+
+def test_finetune_cli_reference_recipe(tmp_path, monkeypatch, capsys):
+    """The reference recipe, offline-tiny (reference finetune/train.sh:
+    wikitext-2, adafactor, bf16, epoch schedule + save_strategy=epoch +
+    save_total_limit=1, lr 8e-4): epoch-based total steps, bf16 params,
+    epoch-boundary checkpoints with only the newest kept."""
+    _install_stubs(monkeypatch)
+    out = str(tmp_path / "recipe")
+    argv = ["--model_name_or_path", "facebook/opt-125m-stub",
+            "--dataset_name", "wikitext",
+            "--dataset_config_name", "wikitext-2-raw-v1",
+            "--num_train_epochs", "2", "--block_size", "512",
+            "--batch_size", "1", "--gradient_accumulation_steps", "1",
+            "--optim", "adafactor", "--learning_rate", "8e-4",
+            "--bf16", "--save_strategy", "epoch",
+            "--save_total_limit", "1", "--eval_steps", "7",
+            "--overwrite_output_dir", "--output_dir", out]
+    assert ft_cli.main(argv) == 0
+    txt = capsys.readouterr().out
+    # 4000 stub tokens / block 512 = 7 blocks -> 7 steps/epoch, 2 epochs
+    cks = sorted(os.listdir(out))
+    assert cks == ["checkpoint-14"], cks  # epoch saves, older one pruned
+    assert "pruned checkpoint-7 (save_total_limit)" in txt
+    assert "eval ppl" in txt and "accuracy" in txt
+    # checkpointed weights are bf16
+    from gptq_tpu.io import load_checkpoint
+
+    _, loaded, _ = load_checkpoint(os.path.join(out, "checkpoint-14",
+                                                "model"))
+    import jax.numpy as jnp
+
+    assert loaded["layers"][0]["q"]["w"].dtype == jnp.bfloat16
