@@ -115,14 +115,19 @@ def synth_dense_params(spec, dtype=None, seed=0):
 
 
 def measure_decode(spec, params, n_tokens=96, max_len=256, reps=5,
-                   a8=False, cache_dtype=None):
+                   a8=False, cache_dtype=None, batch=1, prefix=0):
     """Median per-token decode latency with the token loop ON-DEVICE.
 
     A host-synced per-token loop measures the relay round-trip (~30 ms
     here), not the chip. The serving loop belongs on device (lax.scan);
     differencing a full- and half-length chained run cancels the one
     remaining dispatch round-trip. Protocol parity with the reference
-    (batch-1 greedy decode, KV cache, median; reference: opt.py:440-507)."""
+    (batch-1 greedy decode, KV cache, median; reference: opt.py:440-507).
+
+    batch > 1 runs lock-step batched decode (per-STEP latency returned —
+    tokens/s = batch/step). prefix > 0 marks that many cache slots as
+    already filled, so every step attends a long context (the
+    long-context protocol; zero-valued slots cost what real ones do)."""
     import jax
     import jax.numpy as jnp
 
@@ -134,8 +139,11 @@ def measure_decode(spec, params, n_tokens=96, max_len=256, reps=5,
     def make_run(length):
         @jax.jit
         def run(params):
-            cache = KVCache.init(spec, 1, max_len, cdt)
-            tok = jnp.zeros((1, 1), jnp.int32)
+            cache = KVCache.init(spec, batch, max_len, cdt)
+            if prefix:
+                cache = cache._replace(
+                    length=jnp.asarray(prefix, jnp.int32))
+            tok = jnp.zeros((batch, 1), jnp.int32)
 
             def body(carry, _):
                 tok, cache = carry
@@ -232,6 +240,24 @@ def main():
         t_fast16 = _retry(lambda: measure_decode(spec, params_q))
         t_kv16 = _retry(lambda: measure_decode(spec, params_q,
                                                cache_dtype=jnp.int8))
+        # long-context legs (VERDICT r2 #6): 1900-token prefix in a 2048
+        # cache, every step attends the full buffer — captures the int8-KV
+        # win (fused dequant attention kernel halves the cache read) in
+        # the driver artifact instead of ad hoc notes
+        t_long_kv8 = _retry(lambda: measure_decode(
+            spec, params_q, a8=True, cache_dtype=jnp.int8, max_len=2048,
+            prefix=1900, n_tokens=64, reps=3))
+        t_long_bf16 = _retry(lambda: measure_decode(
+            spec, params_q, a8=True, max_len=2048, prefix=1900,
+            n_tokens=64, reps=3))
+        # batched lock-step decode legs (weight streams amortize across
+        # the batch; the reference kernels are strictly batch-1,
+        # quant.py:203)
+        t_b8 = _retry(lambda: measure_decode(spec, params_q, a8=True,
+                                             batch=8, n_tokens=64, reps=3))
+        t_b32 = _retry(lambda: measure_decode(spec, params_q, a8=True,
+                                              batch=32, n_tokens=64,
+                                              reps=3))
         del params_q
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"metric": "llama7b-4bit decode", "value": 0,
@@ -274,6 +300,10 @@ def main():
             "median_token_s_w4a16_head8_int8kv": round(t_kv16, 6),
             "median_token_s_bf16": round(t_d, 6) if t_d else None,
             "speedup_vs_bf16": round(speedup, 3) if speedup else None,
+            "median_token_s_longctx_int8kv": round(t_long_kv8, 6),
+            "median_token_s_longctx_bf16kv": round(t_long_bf16, 6),
+            "toks_chip_b8": round(8.0 / t_b8, 1),
+            "toks_chip_b32": round(32.0 / t_b32, 1),
         },
     }
     print(json.dumps(out))

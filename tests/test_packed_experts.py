@@ -204,3 +204,31 @@ def test_expert_select_kernel_matches_dense(groupsize):
         want = jnp.einsum("mk,fk->mf", x, Wq[e])
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_ep_tp_decode_packed_experts_matches_flat():
+    """The 2-D (ep, tp) serving composition over a packed bank:
+    attention over tp, PackedExperts leaves sliced on their leading
+    expert dim over ep."""
+    from jax.sharding import Mesh
+    from gptq_tpu.parallel.ep import make_ep_tp_decode_step
+
+    params = init_params(MOE_SPEC, jax.random.PRNGKey(10))
+    pack_experts(params, bits=4)
+    prompt = jnp.asarray(np.random.default_rng(11).integers(
+        0, MOE_SPEC.vocab, size=(1, 6)))
+    tok = jnp.asarray([[3]])
+
+    c_ref = KVCache.init(MOE_SPEC, 1, 16, jnp.float32)
+    want1, c_ref = model_forward(MOE_SPEC, params, prompt, c_ref)
+    want2, _ = model_forward(MOE_SPEC, params, tok, c_ref)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("ep", "tp"))
+    local, step = make_ep_tp_decode_step(MOE_SPEC, params, mesh)
+    cache = KVCache.init(MOE_SPEC, 1, 16, jnp.float32)
+    got1, cache = step(local, cache, prompt)
+    got2, _ = step(local, cache, tok)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want1[:, -1]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2[:, -1]),
+                               rtol=2e-4, atol=2e-4)
