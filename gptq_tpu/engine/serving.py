@@ -147,12 +147,10 @@ class SPEngine:
         return logits[:, -1], cache
 
     def step(self, cache, token: jax.Array):
-        return self._step_for(cache.meta)(cache, jnp.asarray(token)) \
-            if self.tp == 1 else self._steps_tp(cache, token)
-
-    def _steps_tp(self, cache, token):
         step = self._step_for(cache.meta)
-        return step(self._local, cache, jnp.asarray(token))
+        if self.tp > 1:
+            return step(self._local, cache, jnp.asarray(token))
+        return step(cache, jnp.asarray(token))
 
     def _capacity(self, cache) -> int:
         Tc, ml = cache.meta
@@ -198,7 +196,7 @@ class SPEngine:
         n = int(np.prod(input_ids.shape))
         ids = jnp.asarray(np.asarray(input_ids).reshape(1, n))
         sp = self.sp
-        logits0, cache0 = self.prefill(ids[:, :sp])
+        _, cache0 = self.prefill(ids[:, :sp])
         if n > self._capacity(cache0):
             raise ValueError(f"{n} tokens exceed capacity "
                              f"{self._capacity(cache0)}")
