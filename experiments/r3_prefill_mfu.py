@@ -1,24 +1,29 @@
-"""Prefill MFU investigation (round 3, VERDICT r2 #7): the packed matmul
-measured ~70% of the bf16 dense rate at M=2048 in round 1. Candidates:
-tile shapes (the M>64 default is conservative), the XLA-fused
-unpack+dot, and two-step dequant-to-bf16 staging (materialize W once in
-HBM, then a full-rate dense dot — at M=2048 compute dominates, the extra
-2 bytes/weight of traffic is ~10% of the dot time).
+"""Prefill MFU (round 3, VERDICT r2 #7): the packed Pallas matmul measured
+~70% of the bf16 dense rate at M=2048 in round 1. Candidates measured here:
+
+  * bf16 dense dot                      — the roofline the VERDICT set
+  * Pallas fused unpack kernel          — the incumbent (bf16 / int8 acts)
+  * staged NATIVE s4 (ops/qmatmul._matmul_staged_native) — unpack words ->
+    re-centered jnp.int4 array (XLA stores s4 PACKED in HBM, layout
+    T(8,128)(8,1)) and one plain dot_general: the MXU ingests s4 natively
+    at the int8 dot rate, so with int8 activations the dot runs ~2x the
+    bf16 dense rate. Measured through dequant_matmul(a8=True) so the
+    per-row activation quant + staging pass are included.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site /opt/venv/bin/python experiments/r3_prefill_mfu.py
 """
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from gptq_tpu.ops.kernel_bench import chained_seconds
 from gptq_tpu.ops.pack import pack_quantized
-from gptq_tpu.ops.qmatmul import _matmul_pallas, dequant, dequant_matmul
+from gptq_tpu.ops.qmatmul import (_matmul_pallas, _matmul_staged_native,
+                                  dequant, dequant_matmul,
+                                  quantize_acts_int8)
 
 M = 2048
-SHAPES = [(4096, 4096), (4096, 11008)]  # (K, N_logical)
+SHAPES = [(4096, 4096), (4096, 11008)]
 
 rng = np.random.default_rng(0)
 for K, N in SHAPES:
@@ -30,43 +35,34 @@ for K, N in SHAPES:
     x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32)
                     ).astype(jnp.bfloat16)
     xp = jnp.pad(x, ((0, 0), (0, pw.Kp - pw.K)))
-    wd = dequant(pw).astype(jnp.bfloat16)  # (K, N) dense bf16
+    xq, _sx = quantize_acts_int8(x)
+    xqp = jnp.pad(xq, ((0, 0), (0, pw.Kp - pw.K)))
+    wd = dequant(pw).astype(jnp.bfloat16)
     flops = 2.0 * M * K * N
 
-    def tf(t):
-        return flops / t / 1e12
-
-    def dense(c):
-        return jnp.dot(c, wd, preferred_element_type=jnp.float32)
-
-    t_dense = chained_seconds(dense, x, iters=16)
-    print(f"[{K}x{N}] bf16 dense dot: {t_dense*1e3:.3f} ms "
-          f"({tf(t_dense):.1f} TF/s)  <- roofline")
-
-    def xla_path(c):
-        return dequant_matmul(c, pw, impl="xla")
-
-    t_xla = chained_seconds(xla_path, x, iters=8)
-    print(f"[{K}x{N}] XLA fused unpack+dot: {t_xla*1e3:.3f} ms "
-          f"({tf(t_xla):.1f} TF/s)")
-
-    def staged(c):
-        w = dequant(pw).astype(jnp.bfloat16)
-        return jnp.dot(c, w, preferred_element_type=jnp.float32)
-
-    t_staged = chained_seconds(staged, x, iters=8)
-    print(f"[{K}x{N}] dequant->bf16 staged + dense: {t_staged*1e3:.3f} ms "
-          f"({tf(t_staged):.1f} TF/s)")
-
-    for tk, tn in [(0, 0), (512, 512), (1024, 512), (512, 1024),
-                   (1024, 1024), (2048, 512)]:
-        label = f"tiles {tk}x{tn}" if tk else "tiles default"
+    def leg(label, fn, a, iters=24):
         try:
-            fn = functools.partial(_matmul_pallas, tk=tk, tn=tn)
-            t = chained_seconds(lambda c: fn(c, pw), xp, iters=8)
-            print(f"[{K}x{N}] pallas {label}: {t*1e3:.3f} ms "
-                  f"({tf(t):.1f} TF/s)")
+            t = chained_seconds(fn, a, iters=iters)
+            print(f"[{K}x{N}] {label}: {t*1e3:.3f} ms "
+                  f"({flops/t/1e12:.1f} TF/s)")
+            return t
         except Exception as e:  # noqa: BLE001
-            print(f"[{K}x{N}] pallas {label}: FAILED "
-                  f"{type(e).__name__}: {str(e)[:120]}")
+            print(f"[{K}x{N}] {label}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:120]}")
+            return None
+
+    t_dense = leg("bf16 dense dot            ",
+                  lambda c: jnp.dot(c, wd,
+                                    preferred_element_type=jnp.float32), x)
+    leg("pallas kernel, bf16 acts  ", lambda c: _matmul_pallas(c, pw), xp)
+    leg("pallas kernel, int8 acts  ", lambda c: _matmul_pallas(c, pw), xqp)
+    leg("staged s4, bf16 acts      ",
+        lambda c: _matmul_staged_native(c, pw), x)
+    t_s4 = leg("staged s4, int8 acts      ",
+               lambda c: _matmul_staged_native(c, pw), xq)
+    t_e2e = leg("dequant_matmul a8 e2e     ",
+                lambda c: dequant_matmul(c, pw, a8=True), x)
+    if t_dense and t_e2e:
+        print(f"[{K}x{N}] a8 e2e vs bf16-dense roofline: "
+              f"{t_dense/t_e2e:.2f}x (VERDICT r2 #7 target was >=0.85x)")
 print("DONE")

@@ -16,6 +16,9 @@ import jax
 import jax.numpy as jnp
 
 from bench import synth_packed_params
+from gptq_tpu.io import enable_compilation_cache
+
+enable_compilation_cache()
 from gptq_tpu.models.common import ArchSpec, KVCache, fuse_serving, model_forward
 
 spec = ArchSpec(arch="llama", n_layers=8, hidden=4096, n_heads=32,

@@ -333,6 +333,79 @@ def _matmul_streamed(x: jax.Array, pw: PackedWeight, tk: int = 0,
     return out
 
 
+def _matmul_staged_native(x: jax.Array, pw: PackedWeight) -> jax.Array:
+    """Large-M (prefill / calibration) path through XLA's NATIVE sub-byte
+    dot: unpack the packed words to integer codes, re-center to a signed
+    s4 (or s8) array, and run plain dot_generals with the group-scale
+    epilogue on the (M, N) partials.
+
+    Why this beats the Pallas unpack kernel at large M: XLA stores s4
+    packed (2 codes/byte in HBM — layout T(8,128)(8,1)) and the MXU
+    ingests it natively at the int8 dot rate, so the big dot runs at
+    ~227 TF/s at llama-7B prefill shapes vs 114 TF/s for the bf16 dense
+    dot and ~80 TF/s for the in-kernel byteplane unpack (chip-measured,
+    M=2048; see experiments/r3_prefill_mfu.py). The staging pass
+    (unpack + re-center + s4 cast, one fused XLA loop writing the packed
+    s4 array) is O(K*N) bytes and amortizes to <10% of the dot.
+
+    At decode M the same dot streams at ~700 GB/s of packed bytes —
+    slightly UNDER the 790 GB/s the fused Pallas kernels sustain — and
+    per-call staging would double the weight traffic, so this path only
+    engages above a row threshold (see dequant_matmul).
+
+    Math per group g (off = 2^(bits-1), the re-centering shift):
+        y = sum_g [ (x_g @ (C_g - off)) * s_g + (sum_k x_gk) * (off*s_g - zoff_g) ]
+    Exact for int8 activations (integer dot, int32 accumulation; the
+    epilogue is the same algebra the Pallas kernel applies).
+
+    x: (M, K) int8 or bf16/f32, K logical (perm already applied).
+    Returns (M, N) f32."""
+    M = x.shape[0]
+    Kp, Np = pw.Kp, pw.Np
+    codes = unpack_codes(pw.words, pw.bits, pw.groupsize)  # (Kp, Np) i32
+    if pw.bits <= 4:
+        off = 1 << (pw.bits - 1)
+        cs4 = (codes - off).astype(jnp.int4)
+    else:
+        off = 1 << (pw.bits - 1)
+        cs4 = (codes - off).astype(jnp.int8)
+    if Kp != x.shape[1]:
+        x = jnp.pad(x, ((0, 0), (0, Kp - x.shape[1])))
+    int_acts = x.dtype == jnp.int8
+    acc_t = jnp.int32 if int_acts else jnp.float32
+    if not int_acts and x.dtype != jnp.bfloat16:
+        x = x.astype(jnp.bfloat16)
+    ng = pw.scale.shape[0]
+    xs_t = jnp.int32 if int_acts else jnp.float32
+    if ng == 1:
+        part = jax.lax.dot_general(x, cs4, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=acc_t)
+        xs = jnp.sum(x.astype(xs_t), axis=1, keepdims=True)  # (M, 1)
+        y = (part.astype(jnp.float32) * pw.scale[0]
+             + xs.astype(jnp.float32) * (off * pw.scale[0] - pw.zoff[0]))
+    else:
+        g = Kp // ng
+        xg = x.reshape(M, ng, g).transpose(1, 0, 2)  # (ng, M, g)
+        cg = cs4.reshape(ng, g, Np)
+        part = jax.lax.dot_general(xg, cg, (((2,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=acc_t)  # (ng,M,Np)
+        y = jnp.einsum("gmn,gn->mn", part.astype(jnp.float32), pw.scale,
+                       preferred_element_type=jnp.float32)
+        xs = jnp.sum(x.reshape(M, ng, g).astype(xs_t), axis=2)  # (M, ng)
+        y = y + jnp.dot(xs.astype(jnp.float32), off * pw.scale - pw.zoff,
+                        preferred_element_type=jnp.float32)
+    return y[:, :pw.N]
+
+
+def _stage_threshold() -> int:
+    """Row count at which dequant_matmul switches from the Pallas unpack
+    kernel to the staged native-s4 dot (GPTQ_TPU_STAGE_M overrides;
+    0 disables). Chip A/B: see experiments/r3_prefill_mfu.py."""
+    import os
+
+    return int(os.environ.get("GPTQ_TPU_STAGE_M", "256"))
+
+
 def _pick_tile(dim: int, prefer: int, minimum: int = 128) -> int:
     """Largest power-of-two-ish tile <= prefer that divides dim."""
     t = min(prefer, dim)
@@ -673,18 +746,31 @@ def dequant_matmul(
     if pw.perm is not None:
         x2 = x2[:, pw.perm]
     M = x2.shape[0]
-    if impl == "auto":
+    auto = impl == "auto"
+    if auto:
         import os
 
         impl = os.environ.get(
             "GPTQ_TPU_MATMUL_IMPL",
             "pallas" if jax.default_backend() == "tpu" else "xla")
+        if impl == "staged":
+            impl = "pallas"  # staged engages below via the M threshold
         if impl not in ("pallas", "streamed", "xla"):
             raise ValueError(f"GPTQ_TPU_MATMUL_IMPL={impl!r}: "
-                             f"expected pallas/streamed/xla")
+                             f"expected pallas/streamed/staged/xla")
     sx = None
     if a8:
         x2, sx = quantize_acts_int8(x2)
+    if (auto and impl == "pallas" and pw.fmt == "uniform"
+            and (t := _stage_threshold()) and M >= t):
+        # large-M (prefill/calibration): stage to a native s4/s8 array and
+        # let the MXU ingest it directly (see _matmul_staged_native)
+        y = _matmul_staged_native(x2, pw)
+        if sx is not None:
+            y = y * sx
+        if pw.bias is not None:
+            y = y + pw.bias
+        return y.reshape(*lead, pw.N).astype(orig_dtype)
     if impl in ("pallas", "streamed"):
         # pad rows to the f32 sublane minimum and K to the stored pad
         Mp = max(8, ((M + 7) // 8) * 8)

@@ -95,6 +95,93 @@ def test_pallas_matmul_matches_xla(bits, groupsize):
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("bits", [2, 3, 4, 8])
+@pytest.mark.parametrize("groupsize", [-1, 64])
+def test_staged_native_matches_xla(bits, groupsize):
+    """Large-M staged native-s4 path vs the XLA oracle (int8 activations:
+    the integer dot is exact, only the f32 epilogue order differs)."""
+    from gptq_tpu.ops.qmatmul import _matmul_staged_native, quantize_acts_int8
+
+    pw, _ = make_packed(bits=bits, K=512, N=256, groupsize=groupsize)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(300, 512)).astype(np.float32))
+    xq, sx = quantize_acts_int8(x)
+    y_ref = np.asarray(_matmul_xla_a8_oracle(xq, sx, pw))
+    y = np.asarray(_matmul_staged_native(xq, pw)) * np.asarray(sx)
+    # integer dot is exact; only the f32 scale-epilogue order differs
+    np.testing.assert_allclose(y, y_ref, rtol=5e-3, atol=5e-3)
+
+
+def _matmul_xla_a8_oracle(xq, sx, pw):
+    w = dequant(pw)
+    return (jnp.dot(xq.astype(jnp.float32), w,
+                    preferred_element_type=jnp.float32) * sx)
+
+
+def test_staged_native_bf16_and_padding():
+    """bf16-activation staged dot + padded dims (11008-style K pad)."""
+    from gptq_tpu.ops.qmatmul import _matmul_staged_native
+
+    pw, W_dense = make_packed(bits=4, K=1376, N=256, groupsize=-1)
+    assert pw.Kp != pw.K  # pad_dim engaged
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(260, 1376)).astype(np.float32))
+    y = np.asarray(_matmul_staged_native(x, pw))
+    want = np.asarray(x).astype(np.float32) @ W_dense.T
+    # activations round to bf16 (the serving dtype); bound the RMS error
+    rel = np.linalg.norm(y - want) / np.linalg.norm(want)
+    assert rel < 5e-3, rel
+
+
+def test_staged_threshold_routes_dequant_matmul(monkeypatch):
+    """impl=auto routes rows >= GPTQ_TPU_STAGE_M through the staged path
+    (and below stays on the kernel path) with identical results."""
+    monkeypatch.setenv("GPTQ_TPU_MATMUL_IMPL", "pallas")
+    monkeypatch.setenv("GPTQ_TPU_STAGE_M", "16")
+    pw, _ = make_packed(bits=4, K=512, N=256)
+    rng = np.random.default_rng(5)
+    y_ref = None
+    for m in (8, 64):  # below / above the threshold
+        x = jnp.asarray(rng.normal(size=(m, 512)).astype(np.float32))
+        if m < 16 and not ON_TPU:
+            continue  # interpret-mode kernel isn't reachable via auto
+        y = dequant_matmul(x, pw, a8=True)
+        ref = dequant_matmul(x, pw, impl="xla", a8=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-3, atol=1e-3)
+        y_ref = y
+    assert y_ref is not None
+
+
+def test_staged_inside_shard_map(monkeypatch):
+    """The sp ring prefill calls dequant_matmul inside shard_map with
+    per-shard rows >= the stage threshold — the staged s4 path must
+    compose with shard_map (it is plain XLA, no custom call)."""
+    from functools import partial
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    monkeypatch.setenv("GPTQ_TPU_MATMUL_IMPL", "pallas")
+    monkeypatch.setenv("GPTQ_TPU_STAGE_M", "16")
+    pw, _ = make_packed(bits=4, K=512, N=256)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(128, 512)).astype(np.float32))
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("sp",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("sp", None)))
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("sp", None), P()),
+             out_specs=P("sp", None), check_rep=False)
+    def fwd(xl, w):
+        return dequant_matmul(xl, w, a8=True)
+
+    y = jax.jit(fwd)(xs, pw)
+    ref = dequant_matmul(x, pw, impl="xla", a8=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
+
+
 @pytest.mark.parametrize("K,N", [(1376, 256), (256, 1376)])
 def test_padded_dims_match_dense(K, N):
     """Non-512-multiple dims get zero-padded storage (pad_dim, e.g.
