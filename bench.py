@@ -34,9 +34,12 @@ def llama7b_spec():
                     linear_bias=False, tie_embeddings=False)
 
 
-def synth_packed_params(spec, bits=4, groupsize=-1, dtype=None, seed=0):
+def synth_packed_params(spec, bits=4, groupsize=-1, dtype=None, seed=0,
+                        tp=1):
     """Random packed weights, generated ON DEVICE (host generation + relay
-    upload of multi-GB tensors dominates otherwise)."""
+    upload of multi-GB tensors dominates otherwise). tp>1 pads stored dims
+    so 1/tp shards slice on subblock boundaries (mirrors
+    pack_quantized(..., tp=...))."""
     import jax
     import jax.numpy as jnp
 
@@ -44,11 +47,12 @@ def synth_packed_params(spec, bits=4, groupsize=-1, dtype=None, seed=0):
 
     dtype = dtype or jnp.bfloat16
     key = jax.random.PRNGKey(seed)
+    unit = 512 * max(1, tp)
 
     def packed_linear(out_d, in_d, s):
         # stored dims are padded like pack_quantized pads (11008 -> 11264
         # buys >=512 kernel tiles); K/N stay logical
-        kp, np_ = pad_dim(in_d, groupsize), pad_dim(out_d)
+        kp, np_ = pad_dim(in_d, groupsize, unit), pad_dim(out_d, -1, unit)
         ng = 1 if groupsize <= 0 else kp // groupsize
         words = tuple(
             jax.random.randint(jax.random.fold_in(key, s * 4 + wi),

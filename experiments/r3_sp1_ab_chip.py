@@ -18,8 +18,10 @@ import jax.numpy as jnp
 from bench import synth_packed_params
 from gptq_tpu.io import enable_compilation_cache
 
+# ordering is load-bearing: the cache must be enabled before any module
+# import can trigger a jit compile, or those programs miss the cache
 enable_compilation_cache()
-from gptq_tpu.models.common import ArchSpec, KVCache, fuse_serving, model_forward
+from gptq_tpu.models.common import ArchSpec, KVCache, fuse_serving, model_forward  # noqa: E402
 
 spec = ArchSpec(arch="llama", n_layers=8, hidden=4096, n_heads=32,
                 n_kv_heads=32, ffn=11008, vocab=32000, max_pos=2048,

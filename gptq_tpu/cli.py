@@ -93,8 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated zero-shot tasks to run after quantization")
     p.add_argument("--analyse", action="store_true",
                    help="run sensitivity analysis instead of quantization")
-    p.add_argument("--data_dir", type=str, default="",
-                   help="local datasets cache for offline runs")
+    p.add_argument("--data_dir", type=str,
+                   default=os.environ.get("GPTQ_TPU_DATA_DIR", ""),
+                   help="local datasets cache for offline runs "
+                        "(default: $GPTQ_TPU_DATA_DIR)")
     p.add_argument("--eval_pack", action="store_true",
                    help="pack weights and evaluate through the serving kernels")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel ways")
@@ -272,11 +274,16 @@ def main(argv=None) -> int:
         except OSError:
             return False
 
+    from gptq_tpu.models.convert import resolve_model_path
+
+    # honor GPTQ_TPU_CKPT_DIR for the tokenizer too (a mounted checkpoint
+    # directory carries its tokenizer files alongside the weights)
+    tok_src = resolve_model_path(args.model)
     try:
         # local/cached first: skips hf-hub's ~30s retry backoff when the
         # hub is unreachable (offline serving hosts)
         tokenizer = AutoTokenizer.from_pretrained(
-            args.model, use_fast=False, local_files_only=True)
+            tok_src, use_fast=False, local_files_only=True)
     except Exception as e:  # noqa: BLE001
         if args.benchmark and args.load and not args.task:
             # packed decode on random ids needs no tokenizer
@@ -286,7 +293,7 @@ def main(argv=None) -> int:
             tokenizer = None
             if _hub_reachable():
                 try:
-                    tokenizer = AutoTokenizer.from_pretrained(args.model,
+                    tokenizer = AutoTokenizer.from_pretrained(tok_src,
                                                               use_fast=False)
                 except Exception:  # noqa: BLE001
                     pass
@@ -299,7 +306,7 @@ def main(argv=None) -> int:
             # the hub is unreachable instead of retrying for a minute
             if not _hub_reachable():
                 raise
-            tokenizer = AutoTokenizer.from_pretrained(args.model,
+            tokenizer = AutoTokenizer.from_pretrained(tok_src,
                                                       use_fast=False)
     seqlen = spec.max_pos
 

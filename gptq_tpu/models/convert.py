@@ -81,6 +81,22 @@ def params_from_hf_torch(model, dtype=jnp.float32) -> tuple[ArchSpec, dict]:
     return spec, params_from_state_dict(sd, spec, dtype)
 
 
+def resolve_model_path(path: str) -> str:
+    """Map a hub model id to a local checkpoint directory when
+    GPTQ_TPU_CKPT_DIR is set, so the golden-PPL harness (and any CLI run)
+    fires the moment weights are mounted, with no code changes:
+    $GPTQ_TPU_CKPT_DIR/<org>/<name> wins, then $GPTQ_TPU_CKPT_DIR/<name>;
+    otherwise the id passes through to the hub untouched."""
+    root = os.environ.get("GPTQ_TPU_CKPT_DIR")
+    if not root or os.path.exists(path):
+        return path
+    for cand in (os.path.join(root, path),
+                 os.path.join(root, path.split("/")[-1])):
+        if os.path.isdir(cand):
+            return cand
+    return path
+
+
 def params_from_dir(path: str, dtype=jnp.float32,
                     host: bool = False) -> tuple[ArchSpec, dict]:
     """host=True keeps per-block linear weights as numpy so multi-GB models
@@ -91,6 +107,7 @@ def params_from_dir(path: str, dtype=jnp.float32,
     script/convert_llama_weights_to_hf.py / convert_gemma_weights_to_hf.py):
     a directory with params.json + consolidated.*.pth is a Meta LLaMa
     checkpoint; a single *.ckpt file is a raw Gemma checkpoint."""
+    path = resolve_model_path(path)
     if os.path.isfile(path) and path.endswith(".ckpt"):
         from gptq_tpu.models.convert_meta import params_from_gemma_ckpt
 

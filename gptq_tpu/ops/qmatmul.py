@@ -753,16 +753,27 @@ def dequant_matmul(
         impl = os.environ.get(
             "GPTQ_TPU_MATMUL_IMPL",
             "pallas" if jax.default_backend() == "tpu" else "xla")
-        if impl == "staged":
-            impl = "pallas"  # staged engages below via the M threshold
-        if impl not in ("pallas", "streamed", "xla"):
-            raise ValueError(f"GPTQ_TPU_MATMUL_IMPL={impl!r}: "
-                             f"expected pallas/streamed/staged/xla")
+    if impl not in ("pallas", "streamed", "staged", "xla"):
+        src = "GPTQ_TPU_MATMUL_IMPL" if auto else "impl"
+        raise ValueError(f"{src}={impl!r}: "
+                         f"expected pallas/streamed/staged/xla")
+    staged_forced = False
+    if impl == "staged":
+        # via the env (a session default) "staged" means the documented
+        # threshold route; as a DIRECT argument it is an explicit request
+        # and dispatches unconditionally (A/B harnesses rely on this)
+        staged_forced = not auto
+        if staged_forced and pw.fmt != "uniform":
+            raise ValueError(
+                f"impl='staged' supports uniform-grid weights only "
+                f"(got fmt={pw.fmt!r})")
+        impl = "pallas"
     sx = None
     if a8:
         x2, sx = quantize_acts_int8(x2)
-    if (auto and impl == "pallas" and pw.fmt == "uniform"
-            and (t := _stage_threshold()) and M >= t):
+    if (impl == "pallas" and pw.fmt == "uniform"
+            and (staged_forced
+                 or (auto and (t := _stage_threshold()) and M >= t))):
         # large-M (prefill/calibration): stage to a native s4/s8 array and
         # let the MXU ingest it directly (see _matmul_staged_native)
         y = _matmul_staged_native(x2, pw)

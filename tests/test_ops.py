@@ -135,22 +135,61 @@ def test_staged_native_bf16_and_padding():
 
 def test_staged_threshold_routes_dequant_matmul(monkeypatch):
     """impl=auto routes rows >= GPTQ_TPU_STAGE_M through the staged path
-    (and below stays on the kernel path) with identical results."""
+    (and below stays on the kernel path): the routing itself is asserted
+    by recording _matmul_staged_native invocations, so the threshold
+    logic is exercised on the CPU mesh too (not just output parity)."""
+    import gptq_tpu.ops.qmatmul as qm
+
     monkeypatch.setenv("GPTQ_TPU_MATMUL_IMPL", "pallas")
     monkeypatch.setenv("GPTQ_TPU_STAGE_M", "16")
+    staged_calls = []
+    real_staged = qm._matmul_staged_native
+    monkeypatch.setattr(
+        qm, "_matmul_staged_native",
+        lambda x, pw: staged_calls.append(x.shape[0]) or real_staged(x, pw))
     pw, _ = make_packed(bits=4, K=512, N=256)
     rng = np.random.default_rng(5)
-    y_ref = None
-    for m in (8, 64):  # below / above the threshold
-        x = jnp.asarray(rng.normal(size=(m, 512)).astype(np.float32))
-        if m < 16 and not ON_TPU:
-            continue  # interpret-mode kernel isn't reachable via auto
-        y = dequant_matmul(x, pw, a8=True)
-        ref = dequant_matmul(x, pw, impl="xla", a8=True)
-        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+    # above the threshold: must route staged (and match the oracle)
+    x = jnp.asarray(rng.normal(size=(64, 512)).astype(np.float32))
+    y = dequant_matmul(x, pw, a8=True)
+    assert staged_calls == [64], staged_calls
+    ref = dequant_matmul(x, pw, impl="xla", a8=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
+    # below the threshold: must NOT route staged (kernel path; only
+    # reachable compiled — on CPU assert the routing via interpret-free
+    # shape: the pallas path would fail off-TPU, so only check on TPU)
+    if ON_TPU:
+        staged_calls.clear()
+        xs = jnp.asarray(rng.normal(size=(8, 512)).astype(np.float32))
+        ys = dequant_matmul(xs, pw, a8=True)
+        assert staged_calls == [], staged_calls
+        refs = dequant_matmul(xs, pw, impl="xla", a8=True)
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(refs),
                                    rtol=1e-3, atol=1e-3)
-        y_ref = y
-    assert y_ref is not None
+
+
+def test_staged_direct_impl_dispatches_unconditionally(monkeypatch):
+    """impl='staged' as a DIRECT argument dispatches the staged path at any
+    M (no threshold), while invalid impl values raise."""
+    import gptq_tpu.ops.qmatmul as qm
+
+    monkeypatch.setenv("GPTQ_TPU_STAGE_M", "1000000")  # threshold never hit
+    staged_calls = []
+    real_staged = qm._matmul_staged_native
+    monkeypatch.setattr(
+        qm, "_matmul_staged_native",
+        lambda x, pw: staged_calls.append(x.shape[0]) or real_staged(x, pw))
+    pw, _ = make_packed(bits=4, K=512, N=256)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(4, 512)).astype(np.float32))
+    y = dequant_matmul(x, pw, impl="staged", a8=True)
+    assert staged_calls == [4], staged_calls
+    ref = dequant_matmul(x, pw, impl="xla", a8=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
+    with pytest.raises(ValueError, match="impl="):
+        dequant_matmul(x, pw, impl="bogus")
 
 
 def test_staged_inside_shard_map(monkeypatch):
