@@ -8,6 +8,9 @@ CPU-mesh numbers are NOT performance (virtual devices share host cores;
 expect inverse scaling) — this exercises the measurement plumbing and
 records that every step function builds and runs at every width, so the
 same harness can produce the real table the day >= 2 chips exist.
+Its JSON is deliberately NOT checked in: the repo's multi-chip scaling
+evidence is results/scaling_hlo.json (scripts/scaling_hlo.py) — the
+compiled programs' communication volumes, which are host-independent.
 
 Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
      /opt/venv/bin/python scripts/scaling_dryrun.py [--iters N]

@@ -1,0 +1,285 @@
+"""Communication-volume scaling evidence from compiled HLO (VERDICT r3 #6).
+
+For each parallelism strategy (tp / sp / ep / pp) at 2/4/8 virtual
+devices, compile the actual step function and extract its collectives
+(gptq_tpu/parallel/hlo_report.py): per-device payload + ring-model sent
+bytes per step. Compiling the SAME program at two depths separates the
+per-layer collective cost from the fixed (embed/head) part, so the
+numbers project exactly to the flagship 32-layer llama-7B. The tp and sp
+strategies compile at REAL llama-7B layer dims (packed 4-bit weights);
+ep/pp compile at reduced dims (their collective COUNTS are
+dim-independent; payloads scale linearly with hidden).
+
+This replaces wall-clock on the virtual CPU mesh as the repo's multi-chip
+scaling evidence: virtual devices share host cores, so tp=8 *wall-clock*
+measures slower than tp=1 — anti-evidence. What the compiled SPMD program
+communicates is a property of the program, not of the host executing it.
+
+The analytical projection uses chip constants stated in the output:
+HBM_BW is the bandwidth the fused kernels actually sustain on this v5e
+(DESIGN.md: 788-800 GB/s); ICI_BW is the public one-way per-link v5e
+figure (4.5e10 B/s, one ring — conservative: the 2D torus has two axes).
+
+Matmul impl note: the compile host is CPU, so packed matmuls lower
+through the XLA dequant path, but the collective structure is identical
+under the Pallas kernels (psums live in _row_linear / the sp combine,
+outside the matmul impl).
+
+Run: /opt/venv/bin/python scripts/scaling_hlo.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+HBM_BW = 7.9e11  # B/s — chip-measured fused-kernel stream rate (DESIGN.md)
+ICI_BW = 4.5e10  # B/s — public v5e one-way per-link ICI, single ring
+
+FULL_LAYERS = 32  # llama-7B depth the two-depth diff projects to
+
+
+def spec7b(n_layers: int):
+    from gptq_tpu.models.common import ArchSpec
+
+    return ArchSpec(arch="llama", n_layers=n_layers, hidden=4096,
+                    n_heads=32, n_kv_heads=32, ffn=11008, vocab=32000,
+                    max_pos=2048, act="silu", pos="rope",
+                    norm_type="rmsnorm", linear_bias=False,
+                    tie_embeddings=False)
+
+
+def packed_bytes(tree) -> int:
+    """Total serving bytes of a params tree (packed words + grids + dense
+    leaves) — what a decode step streams from HBM."""
+    total = 0
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "dtype") and hasattr(leaf, "nbytes"):
+            total += leaf.nbytes
+    return total
+
+
+def _per_layer(rep2: dict, rep4: dict, key: str) -> tuple[float, float]:
+    """(per-layer, fixed) split of a scalar metric from depth-2/4 reports."""
+    per = (rep4[key] - rep2[key]) / 2.0
+    return per, rep2[key] - 2.0 * per
+
+
+def _count_split(rep2: dict, rep4: dict) -> dict:
+    out = {}
+    ops = set(rep2["counts"]) | set(rep4["counts"])
+    for op in ops:
+        c2 = rep2["counts"].get(op, 0)
+        c4 = rep4["counts"].get(op, 0)
+        per = (c4 - c2) / 2.0
+        out[op] = {"per_layer": per, "fixed": c2 - 2 * per}
+    return out
+
+
+def tp_reports(n: int, devs) -> dict:
+    from bench import synth_packed_params
+    from gptq_tpu.parallel.hlo_report import collective_report
+    from gptq_tpu.parallel.mesh import make_mesh
+    from gptq_tpu.parallel.tp import local_cache, make_tp_decode_step
+
+    mesh = make_mesh(tp=n, dp=1, devices=devs[:n])
+    tok = jnp.asarray([[1]])
+    reps = {}
+    for nl in (2, 4):
+        spec = spec7b(nl)
+        params = synth_packed_params(spec, bits=4, tp=n)
+        local, step = make_tp_decode_step(spec, params, mesh, fuse=True,
+                                          a8=True)
+        cache = local_cache(spec, n, 1, 256, jnp.bfloat16)
+        reps[nl] = collective_report(step, local, cache, tok, n_devices=n)
+        if nl == 4:
+            wbytes = packed_bytes(
+                {"layers": params["layers"]}) / 4.0 * FULL_LAYERS
+            wbytes += packed_bytes({k: v for k, v in params.items()
+                                    if k != "layers"})
+    per_b, fixed_b = _per_layer(reps[2], reps[4], "sent_bytes_per_device")
+    sent32 = FULL_LAYERS * per_b + fixed_b
+    t1 = wbytes / HBM_BW
+    tn = (wbytes / n) / HBM_BW + sent32 / ICI_BW
+    return {
+        "counts": _count_split(reps[2], reps[4]),
+        "sent_bytes_per_device_per_layer": per_b,
+        "sent_bytes_per_device_fixed": fixed_b,
+        "projection_llama7b": {
+            "weight_bytes": wbytes,
+            "sent_bytes_per_device_per_step": sent32,
+            "t_step_s_1dev": t1,
+            "t_step_s": tn,
+            "latency_speedup": t1 / tn,
+            "scaling_efficiency": t1 / (n * tn),
+        },
+    }
+
+
+def sp_reports(n: int, devs) -> dict:
+    from bench import synth_packed_params
+    from gptq_tpu.models.common import fuse_serving
+    from gptq_tpu.parallel.hlo_report import collective_report
+    from gptq_tpu.parallel.sp import (SPCache, _chunk_positions,
+                                      make_sp_decode_step, make_sp_mesh)
+
+    mesh = make_sp_mesh(n, devices=devs[:n])
+    tok = jnp.asarray([[1]])
+    reps = {}
+    ml_total, prefix = 2048, 1024
+    ml = ml_total // n  # per-device slots; cache arrays hold sp*ml global
+    for nl in (2, 4):
+        spec = spec7b(nl)
+        fused = fuse_serving(spec, synth_packed_params(spec, bits=4),
+                             a8=True)
+        kvh, hd = spec.kv_heads, spec.hd
+        spc = SPCache(
+            k=jnp.zeros((nl, 1, ml_total, kvh, hd), jnp.int8),
+            v=jnp.zeros((nl, 1, ml_total, kvh, hd), jnp.int8),
+            pos=jnp.asarray(_chunk_positions(prefix, n, ml)),
+            length=jnp.asarray(prefix, jnp.int32),
+            k_scale=jnp.zeros((nl, 1, ml_total, kvh), jnp.float32),
+            v_scale=jnp.zeros((nl, 1, ml_total, kvh), jnp.float32),
+            meta=(prefix // n, ml))
+        step = make_sp_decode_step(spec, fused, mesh, spc.meta,
+                                   int8_cache=True, check_capacity=False)
+        reps[nl] = collective_report(step, spc, tok, n_devices=n)
+    # the sp step SCANS layers (stacked params), so its per-layer
+    # collectives appear ONCE in the program text — identical counts at
+    # both depths confirm everything lives in the scan body and executes
+    # n_layers times per step
+    assert reps[2]["counts"] == reps[4]["counts"], (reps[2], reps[4])
+    per_b = reps[4]["sent_bytes_per_device"]
+    # sp's scaled resource is cache capacity: per-device cache bytes for a
+    # FULL max_len context shrink by 1/n (the point of the strategy)
+    cache_full = FULL_LAYERS * 2 * ml_total * 4096 * 1.03  # int8 + scales
+    return {
+        "counts_in_layer_scan": reps[4]["counts"],
+        "sent_bytes_per_device_per_layer": per_b,
+        "note": "layers run under lax.scan — the combine collectives "
+                "appear once in program text and execute n_layers times "
+                "per step",
+        "projection_llama7b": {
+            "sent_bytes_per_device_per_step": FULL_LAYERS * per_b,
+            "t_ici_s_per_step": FULL_LAYERS * per_b / ICI_BW,
+            "cache_bytes_per_device": cache_full / n,
+            "context_capacity_x": n,
+        },
+    }
+
+
+def ep_reports(n: int, devs) -> dict:
+    from gptq_tpu.models.common import ArchSpec, KVCache, init_params
+    from gptq_tpu.parallel.ep import make_ep_decode_step, make_ep_mesh
+    from gptq_tpu.parallel.hlo_report import collective_report
+
+    mesh = make_ep_mesh(n, devices=devs[:n])
+    tok = jnp.asarray([[1]])
+    reps = {}
+    for nl in (2, 4):
+        spec = ArchSpec(arch="llama", n_layers=nl, hidden=512, n_heads=8,
+                        n_kv_heads=8, ffn=1024, vocab=512, max_pos=256,
+                        act="silu", pos="rope", norm_type="rmsnorm",
+                        linear_bias=False, tie_embeddings=False,
+                        n_experts=8, expert_top_k=2)
+        params = init_params(spec, jax.random.PRNGKey(0))
+        step = make_ep_decode_step(spec, params, mesh)
+        cache = KVCache.init(spec, 1, 64, jnp.float32)
+        reps[nl] = collective_report(step, params, cache, tok, n_devices=n)
+    per_b, fixed_b = _per_layer(reps[2], reps[4], "sent_bytes_per_device")
+    return {
+        "counts": _count_split(reps[2], reps[4]),
+        "sent_bytes_per_device_per_layer": per_b,
+        "sent_bytes_per_device_fixed": fixed_b,
+        "note": "compiled at hidden=512; payloads scale linearly with "
+                "hidden (one psum of the token activations per MoE "
+                "layer), expert weights shard 1/n",
+    }
+
+
+def pp_reports(n: int, devs) -> dict:
+    import optax
+
+    from gptq_tpu.models.common import ArchSpec, init_params
+    from gptq_tpu.parallel.hlo_report import collective_report
+    from gptq_tpu.parallel.pp import (make_pp_mesh, make_pp_train_step,
+                                      stack_stage_params)
+
+    mesh = make_pp_mesh(pp=n, devices=devs[:n])
+    reps = {}
+    for nl in (n, 2 * n):
+        spec = ArchSpec(arch="llama", n_layers=nl, hidden=256, n_heads=4,
+                        n_kv_heads=4, ffn=512, vocab=512, max_pos=128,
+                        act="silu", pos="rope", norm_type="rmsnorm",
+                        linear_bias=False, tie_embeddings=False)
+        params = init_params(spec, jax.random.PRNGKey(0))
+        stacked = stack_stage_params(spec, params, n, mesh)
+        opt = optax.sgd(1e-3)
+        init_state, step = make_pp_train_step(spec, opt, mesh, n_micro=n)
+        opt_state = init_state(stacked)
+        batch = jnp.zeros((n, 32), jnp.int32)
+        reps[nl] = collective_report(step, stacked, opt_state, batch,
+                                     n_devices=n)
+    # pp collectives scale with microbatch hops, not layers — report raw
+    return {
+        "counts_shallow": reps[n]["counts"],
+        "counts_deep": reps[2 * n]["counts"],
+        "sent_bytes_per_device_shallow": reps[n]["sent_bytes_per_device"],
+        "sent_bytes_per_device_deep": reps[2 * n]["sent_bytes_per_device"],
+        "note": "GPipe: collective-permutes = microbatch boundary hops "
+                "(forward + reverse for grads), independent of depth; "
+                "compiled at hidden=256",
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="results/scaling_hlo.json")
+    ap.add_argument("--widths", default="2,4,8")
+    args = ap.parse_args(argv)
+    devs = jax.devices()
+
+    report: dict = {
+        "constants": {"hbm_bw_B_s": HBM_BW, "ici_bw_B_s": ICI_BW,
+                      "full_layers": FULL_LAYERS},
+        "note": "collective structure of the compiled SPMD step programs; "
+                "per-layer vs fixed split from a depth-2/4 diff",
+        "tp_decode": {}, "sp_decode": {}, "ep_decode": {}, "pp_train": {},
+    }
+    for n in (int(w) for w in args.widths.split(",")):
+        if len(devs) < n:
+            break
+        report["tp_decode"][n] = tp_reports(n, devs)
+        report["sp_decode"][n] = sp_reports(n, devs)
+        report["ep_decode"][n] = ep_reports(n, devs)
+        report["pp_train"][n] = pp_reports(n, devs)
+        eff = report["tp_decode"][n]["projection_llama7b"]
+        print(f"n={n}: tp decode latency speedup {eff['latency_speedup']:.2f}x "
+              f"(efficiency {eff['scaling_efficiency']:.1%}), "
+              f"sp sent/step {report['sp_decode'][n]['projection_llama7b']['sent_bytes_per_device_per_step']/1e6:.2f} MB")
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
