@@ -23,7 +23,7 @@ import numpy as np
 
 from gptq_tpu.ops.bcq_matmul import bcq_matmul
 from gptq_tpu.ops.pack import PackedWeight
-from gptq_tpu.ops.qmatmul import dequant_matmul
+from gptq_tpu.ops.qmatmul import StagedWeight, dequant_matmul, resident_matmul
 
 NEG_INF = -1e9
 
@@ -93,6 +93,11 @@ def linear_apply(lin: dict, x: jax.Array) -> jax.Array:
             y = dequant_matmul(x, w, a8=a8)
         # PackedWeight carries its own bias when packed with one; a separate
         # "b" entry (from the original linear) still applies.
+    elif isinstance(w, StagedWeight):
+        # resident-s4 serving mode (stage_serving): XLA-native signed
+        # codes, plain dots the compiler schedules freely
+        flags = lin.get("serve")
+        y = resident_matmul(x, w, a8=bool(flags and flags.a8))
     else:
         y = jnp.einsum("...k,nk->...n", x, w)
     if lin.get("b") is not None:
@@ -237,6 +242,35 @@ def attention(
     return out.reshape(B, T, H * hd).astype(q.dtype)
 
 
+def _attention_with_self(spec: ArchSpec, q, k_all, v_all, mask,
+                         k_new, v_new) -> jax.Array:
+    """Decode attention over existing cache slots PLUS the current
+    token's own (not yet written) k/v, merged exactly as one appended
+    softmax column — the deferred-cache-write path. q/k_new/v_new:
+    (B, 1, H|kvh, hd); mask: (*, *, 1, S) additive with NEG_INF beyond
+    the filled prefix (alibi folded in by the caller; the self column's
+    alibi bias is slope*0 = 0)."""
+    B, T, H, hd = q.shape
+    kvh = k_all.shape[2]
+    if kvh != H:
+        rep = H // kvh
+        k_all = jnp.repeat(k_all, rep, axis=2)
+        v_all = jnp.repeat(v_all, rep, axis=2)
+        k_new = jnp.repeat(k_new, rep, axis=2)
+        v_new = jnp.repeat(v_new, rep, axis=2)
+    qf = q.astype(jnp.float32) * spec.scale
+    sc = jnp.einsum("bthd,bshd->bhts", qf, k_all.astype(jnp.float32))
+    sc = sc + mask
+    s_self = jnp.sum(qf * k_new.astype(jnp.float32), axis=-1)  # (B, 1, H)
+    s_self = s_self.transpose(0, 2, 1)[..., None]  # (B, H, 1, 1)
+    full = jnp.concatenate([sc, s_self], axis=-1)
+    p = jax.nn.softmax(full, axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", p[..., :-1],
+                     v_all.astype(jnp.float32))
+    out = out + p[..., -1:].transpose(0, 2, 1, 3) * v_new.astype(jnp.float32)
+    return out.reshape(B, T, H * hd).astype(q.dtype)
+
+
 def causal_mask(T: int, S: int, dtype=jnp.float32) -> jax.Array:
     """(1, 1, T, S) additive mask; queries are the last T of S positions."""
     q_pos = jnp.arange(T)[:, None] + (S - T)
@@ -357,13 +391,43 @@ def fuse_serving(spec: ArchSpec, params: dict, a8: bool = False) -> dict:
         if a8:
             for key, val in lp.items():
                 w = val.get("w") if isinstance(val, dict) else None
-                if isinstance(w, PackedWeight):
+                if isinstance(w, (PackedWeight, StagedWeight)):
                     lp[key] = {**val, "serve": ServeFlags(a8=True)}
         new_layers.append(lp)
     out = {**params, "layers": new_layers}
     lm = params.get("lm_head")
-    if a8 and lm is not None and isinstance(lm.get("w"), PackedWeight):
+    if (a8 and lm is not None
+            and isinstance(lm.get("w"), (PackedWeight, StagedWeight))):
         out["lm_head"] = {**lm, "serve": ServeFlags(a8=True)}
+    return out
+
+
+def stage_serving(spec: ArchSpec, params: dict) -> dict:
+    """Convert every uniform-grid PackedWeight to a resident StagedWeight
+    (ops/qmatmul.stage_weight): the ALTERNATIVE serving mode — XLA-native
+    s4 codes staged once at load, every matmul a plain dot the compiler
+    schedules/fuses freely (no Pallas custom calls; the fused-kernel gates
+    all see non-PackedWeight entries and stand down). Same HBM bits.
+
+    Call AFTER fuse_serving so the q/k/v and gate/up fusions stage as
+    single wide dots. Chip A/B vs the fused-kernel mode:
+    experiments/r4_resident_ab.py."""
+    from gptq_tpu.ops.qmatmul import stage_weight
+
+    def stage_entry(val):
+        if not isinstance(val, dict):
+            return val
+        w = val.get("w")
+        if isinstance(w, PackedWeight) and w.fmt == "uniform":
+            return {**val, "w": stage_weight(w)}
+        return val
+
+    new_layers = []
+    for lp in params["layers"]:
+        new_layers.append({k: stage_entry(v) for k, v in lp.items()})
+    out = {**params, "layers": new_layers}
+    if params.get("lm_head") is not None:
+        out["lm_head"] = stage_entry(params["lm_head"])
     return out
 
 
@@ -459,12 +523,25 @@ def block_forward(
     ep_axis: str | None = None,  # expert-parallel axis (MoE layers)
     ep_size: int = 1,
     moe_aux: list | None = None,  # collects MoE load-balancing losses
+    defer_write: bool = False,  # decode: return fresh k/v instead of
+    # writing them (model_forward batches ONE cache update per step)
 ):
     """One decoder block. Returns (out, new_kv, captures).
 
     With `cache`, keys/values are written at [cache_len, cache_len+T) and
     attention runs against the full cache prefix (decode path); otherwise
     S = T (calibration/eval path).
+
+    With `defer_write` (T == 1, scalar cache_len), the block does NOT
+    write the cache: attention covers slots < cache_len from the buffer
+    plus the token's own k/v merged exactly (self softmax column /
+    in-kernel fresh pair), and new_kv returns the FRESH (B, 1, kvh, hd)
+    rows. model_forward stacks all layers' rows and issues one
+    (L, B, 1, kvh, hd) dynamic_update_slice per step — the per-layer
+    read-modify-write of the carried (L, B, S, kvh, hd) buffers defeated
+    XLA's in-place analysis and copied the whole cache every step
+    (chip-measured 5.8 ms/step at b32 S=256; experiments/
+    r4_batch_decomp.py).
 
     With `tp_axis` (inside shard_map), q/k/v/gate/up/fc1 weights are local
     column shards (local heads / local ffn), o/down/fc2 are local row
@@ -475,7 +552,7 @@ def block_forward(
     B, T, _ = x.shape
 
     residual = x
-    layer_a8 = (None if attn_fn is not None else
+    layer_a8 = (None if attn_fn is not None or defer_write else
                 _layer_fusion_ok(spec, p, tp_axis, captures, B, T,
                                  cache, cache_len))
     if layer_a8 is not None:
@@ -546,6 +623,43 @@ def block_forward(
                 "(k, v, k_scale, v_scale) (KVCache.init(dtype=int8) "
                 "provides them); casting values to int8 without scales "
                 "silently truncates")
+        if defer_write:
+            assert T == 1 and getattr(cache_len, "ndim", 0) == 0
+            new_kv = (k, v)  # FRESH rows; the caller writes them
+            if ks is not None:
+                if (spec.pos != "alibi" and attn_fn is None
+                        and _attn_int8_impl()):
+                    from gptq_tpu.ops.attention import decode_attention
+
+                    out = decode_attention(
+                        q[:, 0], ck, cv, cache_len, spec.scale,
+                        k_scale=ks, v_scale=vs,
+                        fresh_k=k[:, 0], fresh_v=v[:, 0],
+                        interpret=_attn_int8_impl() == "interpret")
+                    attn = out.reshape(B, 1, -1).astype(x.dtype)
+                    return _finish_block(spec, p, residual, attn,
+                                         captures, tp_axis, new_kv,
+                                         ep_axis, ep_size, moe_aux)
+                k_all = ck.astype(jnp.float32) * ks[..., None]
+                v_all = cv.astype(jnp.float32) * vs[..., None]
+            else:
+                if (spec.pos != "alibi" and attn_fn is None
+                        and _attn_bf16_impl()):
+                    from gptq_tpu.ops.attention import decode_attention
+
+                    out = decode_attention(
+                        q[:, 0], ck, cv, cache_len, spec.scale,
+                        fresh_k=k[:, 0], fresh_v=v[:, 0],
+                        interpret=_attn_bf16_impl() == "interpret")
+                    attn = out.reshape(B, 1, -1).astype(x.dtype)
+                    return _finish_block(spec, p, residual, attn,
+                                         captures, tp_axis, new_kv,
+                                         ep_axis, ep_size, moe_aux)
+                k_all, v_all = ck, cv
+            attn = _attention_with_self(spec, q, k_all, v_all, mask, k, v)
+            return _finish_block(spec, p, residual, attn, captures,
+                                 tp_axis, new_kv, ep_axis, ep_size,
+                                 moe_aux)
         if getattr(cache_len, "ndim", 0) == 1:
             # per-slot offsets (continuous batching): vmap the update over B
             if ks is not None:
@@ -1084,22 +1198,35 @@ def model_forward(
     shard_map) the layer weights are tensor-parallel local shards (see
     block_forward) and the cache holds this shard's kv heads."""
     B, T = input_ids.shape
+    # deferred cache write (single-token decode, scalar offset): blocks
+    # attend existing slots + their own fresh k/v, and ALL layers' fresh
+    # rows land in ONE (L, B, 1, kvh, hd) cache update per step. The
+    # per-layer read-modify-write of the (L, ...) carry defeated XLA's
+    # in-place analysis and copied the full cache each step (5.8 ms at
+    # b32 S=256, experiments/r4_batch_decomp.py). Layer fusion (opt-in)
+    # writes rows in-kernel, so it keeps the write-first path.
+    defer = (cache is not None and T == 1
+             and getattr(cache.length, "ndim", 0) == 0
+             and _layer_fusion_impl() is None)
     if cache is None:
         positions = jnp.broadcast_to(jnp.arange(T), (B, T))
         mask = build_mask(spec, T, T, tp_axis, tp_size)
     else:
         positions = cache.length + jnp.broadcast_to(jnp.arange(T), (B, T))
         S = cache.k.shape[2]
-        # mask out positions beyond the filled prefix + current tokens
+        # mask out positions beyond the filled prefix + current tokens;
+        # deferred decode masks STRICTLY below cache.length (the fresh
+        # token is merged separately, never read from the buffer)
         k_pos = jnp.arange(S)[None, :]
         q_pos = cache.length + jnp.arange(T)[:, None]
-        m = jnp.where(k_pos <= q_pos, 0.0, NEG_INF).astype(jnp.float32)
+        valid = k_pos < q_pos if defer else k_pos <= q_pos
+        m = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
         mask = m[None, None]
         if spec.pos == "alibi":
             slopes = _local_slopes(spec, tp_axis, tp_size)
             rel = k_pos.astype(jnp.float32) - q_pos.astype(jnp.float32)  # (T, S)
             bias = slopes[None, :, None, None] * rel[None, None]
-            mask = mask + jnp.where((k_pos <= q_pos)[None, None], bias, 0.0)
+            mask = mask + jnp.where(valid[None, None], bias, 0.0)
 
     h = embed_forward(spec, params, input_ids, positions)
     rope = rope_tables(spec, positions) if spec.pos == "rope" else None
@@ -1107,6 +1234,7 @@ def model_forward(
     cv = cache.v if cache is not None else None
     ks = cache.k_scale if cache is not None else None
     vs = cache.v_scale if cache is not None else None
+    fresh = []
     for i, bp in enumerate(params["layers"]):
         layer_cache = None
         clen = None
@@ -1119,8 +1247,11 @@ def model_forward(
             spec, bp, h, positions=positions, mask=mask,
             cache=layer_cache, cache_len=clen, tp_axis=tp_axis, rope=rope,
             ep_axis=ep_axis, ep_size=ep_size, moe_aux=moe_aux,
+            defer_write=defer,
         )
-        if new_kv is not None:
+        if defer:
+            fresh.append(new_kv)  # (k, v) fresh (B, 1, kvh, hd) rows
+        elif new_kv is not None:
             # write the updated layer slice back in place (a donated cache
             # buffer aliases; jnp.stack of all layers copied the full cache
             # every step)
@@ -1131,6 +1262,20 @@ def model_forward(
             if len(new_kv) == 4:
                 ks = jax.lax.dynamic_update_index_in_dim(ks, new_kv[2], i, 0)
                 vs = jax.lax.dynamic_update_index_in_dim(vs, new_kv[3], i, 0)
+    if defer:
+        fk = jnp.stack([f[0] for f in fresh])  # (L, B, 1, kvh, hd)
+        fv = jnp.stack([f[1] for f in fresh])
+        off = (0, 0, cache.length, 0, 0)
+        if ks is not None:
+            kq, ksn = jax.vmap(_quantize_kv)(fk)
+            vq, vsn = jax.vmap(_quantize_kv)(fv)
+            ck = jax.lax.dynamic_update_slice(ck, kq, off)
+            cv = jax.lax.dynamic_update_slice(cv, vq, off)
+            ks = jax.lax.dynamic_update_slice(ks, ksn, off[:-1])
+            vs = jax.lax.dynamic_update_slice(vs, vsn, off[:-1])
+        else:
+            ck = jax.lax.dynamic_update_slice(ck, fk.astype(ck.dtype), off)
+            cv = jax.lax.dynamic_update_slice(cv, fv.astype(cv.dtype), off)
     logits = head_forward(spec, params, h, tp_axis=tp_axis)
     new_cache = None
     if cache is not None:

@@ -37,8 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def _attn_kernel(sm_scale, G, Sb, n_sb, Hkv, hd, has_scales, len_ref,
-                 q_ref, k_ref, v_ref, *rest):
+def _attn_kernel(sm_scale, G, Sb, n_sb, Hkv, hd, has_scales, has_fresh,
+                 len_ref, q_ref, k_ref, v_ref, *rest):
     """One (batch, S-block) program; online softmax across S blocks.
 
     Everything stays 2-D inside the kernel (Mosaic restriction: >2-D
@@ -46,13 +46,24 @@ def _attn_kernel(sm_scale, G, Sb, n_sb, Hkv, hd, has_scales, len_ref,
     (B, S, Hkv*hd) so per-head slabs are static LANE slices, and the
     per-head work is a static loop of (G, hd) x (Sb, hd) MXU dots.
     has_scales: int8 cache with per-token-head scale planes; otherwise
-    the slabs are consumed as-is (bf16/f32 cache)."""
+    the slabs are consumed as-is (bf16/f32 cache).
+    has_fresh: the current token's own (un-written, exact f32) k/v pair
+    merges into the online softmax in the last block's epilogue — the
+    deferred-cache-write decode path (models.common) attends slots
+    < length from the buffer plus itself from registers, so the buffer
+    write can batch once per step instead of once per layer."""
+    idx = 0
+    if has_fresh:
+        fk_ref, fv_ref = rest[:2]
+        idx = 2
     if has_scales:
-        ks_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref = rest
+        ks_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref = rest[idx:]
     else:
-        out_ref, acc_ref, m_ref, l_ref = rest
+        out_ref, acc_ref, m_ref, l_ref = rest[idx:]
     sb = pl.program_id(1)
-    length = len_ref[0, 0]
+    # lens live in SMEM as the WHOLE (B, 1) array (a (1, 1) block fails
+    # Mosaic's block-shape check the moment B > 1); index by batch row
+    length = len_ref[pl.program_id(0), 0]
 
     @pl.when(sb == 0)
     def _():
@@ -103,6 +114,28 @@ def _attn_kernel(sm_scale, G, Sb, n_sb, Hkv, hd, has_scales, len_ref,
 
     @pl.when(sb == n_sb - 1)
     def _():
+        if has_fresh:
+            fk2 = fk_ref[0]  # (1, Hkv*hd) f32
+            fv2 = fv_ref[0]
+            for h in range(Hkv):
+                qh = q[h * G:(h + 1) * G]  # (G, hd)
+                kh = fk2[:, h * hd:(h + 1) * hd] * sm_scale  # (1, hd)
+                sc = jax.lax.dot_general(
+                    qh, kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (G, 1)
+                rows = slice(h * G, (h + 1) * G)
+                m_old = m_ref[rows, 0:1]
+                l_old = l_ref[rows, 0:1]
+                m_new = jnp.maximum(m_old, sc)
+                alpha = jnp.exp(m_old - m_new)
+                p = jnp.exp(sc - m_new)  # (G, 1)
+                l_new = l_old * alpha + p
+                vh = fv2[:, h * hd:(h + 1) * hd]  # (1, hd)
+                acc_ref[rows, :] = acc_ref[rows, :] * alpha + p * vh
+                m_ref[rows, :] = jnp.broadcast_to(m_new,
+                                                  (G, m_ref.shape[1]))
+                l_ref[rows, :] = jnp.broadcast_to(l_new,
+                                                  (G, l_ref.shape[1]))
         out_ref[0] = acc_ref[:] / l_ref[:, 0:1]
 
 
@@ -128,15 +161,21 @@ def decode_attention(
     sm_scale: float,
     k_scale: jax.Array | None = None,  # (B, S, Hkv) f32 per-token-head
     v_scale: jax.Array | None = None,  # scales (int8 cache only)
+    fresh_k: jax.Array | None = None,  # (B, Hkv, hd) the current token's
+    fresh_v: jax.Array | None = None,  # own k/v, NOT yet in the buffer
     interpret: bool = False,
 ) -> jax.Array:
     """Single-token flash-style decode attention straight off the cache
     slabs (no (T, S) score materialization, no cache dequant copy).
+    With fresh_k/fresh_v, the current token's pair merges into the online
+    softmax exactly (deferred-cache-write decode: slots < length come
+    from the buffer, the token itself from registers).
     Returns (B, H, hd) f32 attention output."""
     B, H, hd = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     G = H // Hkv
     has_scales = k_scale is not None
+    has_fresh = fresh_k is not None
     lens = jnp.broadcast_to(jnp.asarray(length, jnp.int32), (B,)).reshape(B, 1)
     Sb = _pick_sb(S, Hkv * hd * k.dtype.itemsize)
     n_sb = S // Sb
@@ -146,21 +185,26 @@ def decode_attention(
 
     slab = [pl.BlockSpec((1, Sb, Hkv * hd), lambda b, s: (b, s, 0),
                          memory_space=pltpu.VMEM)] * 2
+    fresh = [pl.BlockSpec((1, 1, Hkv * hd), lambda b, s: (b, 0, 0),
+                          memory_space=pltpu.VMEM)] * 2 if has_fresh else []
     scales = [pl.BlockSpec((1, Sb, Hkv), lambda b, s: (b, s, 0),
                            memory_space=pltpu.VMEM)] * 2 if has_scales else []
     operands = ([lens, q.astype(jnp.float32), k2, v2]
+                + ([fresh_k.astype(jnp.float32).reshape(B, 1, Hkv * hd),
+                    fresh_v.astype(jnp.float32).reshape(B, 1, Hkv * hd)]
+                   if has_fresh else [])
                 + ([k_scale, v_scale] if has_scales else []))
     grid = (B, n_sb)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, float(sm_scale), G, Sb, n_sb,
-                          Hkv, hd, has_scales),
+                          Hkv, hd, has_scales, has_fresh),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, s: (b, 0),
+            pl.BlockSpec((B, 1), lambda b, s: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, H, hd), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] + slab + scales,
+        ] + slab + fresh + scales,
         out_specs=pl.BlockSpec((1, H, hd), lambda b, s: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, hd), jnp.float32),

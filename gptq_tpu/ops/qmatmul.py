@@ -17,6 +17,7 @@ Both compute y[m,n] = sum_k x[m,k] * (scale[g(k),n] * c[k,n] - zoff[g(k),n]).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -333,6 +334,128 @@ def _matmul_streamed(x: jax.Array, pw: PackedWeight, tk: int = 0,
     return out
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StagedWeight:
+    """Resident native-s4/s8 serving weight: the packed words unpacked and
+    re-centered ONCE at load into an XLA-native signed s4 (or s8) array
+    that the MXU ingests directly at the int8 dot rate — zero per-call
+    unpack work, and XLA schedules/fuses the dots freely (no opaque custom
+    calls). Same 4 bits/weight in HBM (XLA stores s4 packed 2-codes/byte).
+
+    The alternative serving mode to the fused Pallas kernels
+    (models.common.stage_serving): per-kernel the Pallas stream is
+    slightly faster at matvec M (790 vs ~700 GB/s, DESIGN.md round-3),
+    but XLA can overlap these plain dots with attention and cache work
+    it cannot schedule around a custom call.
+
+    RELAY LIMITATION (round-4 finding): the relayed axon backend cannot
+    accept a sub-byte (s4) array as a jit ARGUMENT — `_array_shard_arg`
+    enters an infinite device_put relayout loop (RecursionError), for
+    eagerly-created AND jit-produced int4 arrays alike. The mode is
+    CPU-verified (tests/test_resident.py) and usable on directly-attached
+    TPU hosts; on the relay, serve through the fused kernels (default)
+    or the threshold-staged path, which keep weights in int32 words
+    across jit boundaries and materialize s4 only inside the program.
+
+    codes: (Kp, Np) s4/s8, value = stored_code - 2^(bits-1)
+    scale/zoff: (ng, Np) f32 grids (same meaning as PackedWeight)
+    """
+
+    codes: jax.Array
+    scale: jax.Array
+    zoff: jax.Array
+    bias: jax.Array | None = None
+    perm: jax.Array | None = None
+    bits: int = dataclasses.field(default=4, metadata=dict(static=True))
+    K: int = dataclasses.field(default=0, metadata=dict(static=True))
+    N: int = dataclasses.field(default=0, metadata=dict(static=True))
+    groupsize: int = dataclasses.field(default=-1,
+                                       metadata=dict(static=True))
+
+    @property
+    def Kp(self) -> int:
+        return self.codes.shape[0]
+
+    @property
+    def Np(self) -> int:
+        return self.codes.shape[1]
+
+
+def stage_weight(pw: PackedWeight) -> StagedWeight:
+    """PackedWeight (uniform grids) -> resident StagedWeight (one-time)."""
+    if pw.fmt != "uniform":
+        raise ValueError(f"stage_weight needs uniform grids, got {pw.fmt!r}")
+    codes = unpack_codes(pw.words, pw.bits, pw.groupsize)
+    off = 1 << (pw.bits - 1)
+    dt = jnp.int4 if pw.bits <= 4 else jnp.int8
+    return StagedWeight(codes=(codes - off).astype(dt), scale=pw.scale,
+                        zoff=pw.zoff, bias=pw.bias, perm=pw.perm,
+                        bits=pw.bits, K=pw.K, N=pw.N,
+                        groupsize=pw.groupsize)
+
+
+def _staged_dot(x: jax.Array, cs4: jax.Array, scale: jax.Array,
+                zoff: jax.Array, off: int, N: int) -> jax.Array:
+    """The shared native-s4 dot + group-scale epilogue. x: (M, Kp) int8 or
+    float (cast to bf16); cs4: (Kp, Np) signed codes. Returns (M, N) f32.
+
+    Math per group g (off = 2^(bits-1), the re-centering shift):
+        y = sum_g [ (x_g @ (C_g - off)) * s_g
+                    + (sum_k x_gk) * (off*s_g - zoff_g) ]
+    Exact for int8 activations (integer dot, int32 accumulation)."""
+    M = x.shape[0]
+    Kp, Np = cs4.shape
+    int_acts = x.dtype == jnp.int8
+    acc_t = jnp.int32 if int_acts else jnp.float32
+    if not int_acts and x.dtype != jnp.bfloat16:
+        x = x.astype(jnp.bfloat16)
+    ng = scale.shape[0]
+    xs_t = jnp.int32 if int_acts else jnp.float32
+    if ng == 1:
+        part = jax.lax.dot_general(x, cs4, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=acc_t)
+        xs = jnp.sum(x.astype(xs_t), axis=1, keepdims=True)  # (M, 1)
+        y = (part.astype(jnp.float32) * scale[0]
+             + xs.astype(jnp.float32) * (off * scale[0] - zoff[0]))
+    else:
+        g = Kp // ng
+        xg = x.reshape(M, ng, g).transpose(1, 0, 2)  # (ng, M, g)
+        cg = cs4.reshape(ng, g, Np)
+        part = jax.lax.dot_general(xg, cg, (((2,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=acc_t)
+        y = jnp.einsum("gmn,gn->mn", part.astype(jnp.float32), scale,
+                       preferred_element_type=jnp.float32)
+        xs = jnp.sum(x.reshape(M, ng, g).astype(xs_t), axis=2)  # (M, ng)
+        y = y + jnp.dot(xs.astype(jnp.float32), off * scale - zoff,
+                        preferred_element_type=jnp.float32)
+    return y[:, :N]
+
+
+def resident_matmul(x: jax.Array, sw: StagedWeight,
+                    a8: bool = False) -> jax.Array:
+    """y = x @ dequant(sw) (+ bias) through the resident s4 codes.
+
+    x: (..., K). Returns (..., N) in x's dtype."""
+    orig_dtype = x.dtype
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    if sw.perm is not None:
+        x2 = x2[:, sw.perm]
+    if sw.Kp != x2.shape[1]:
+        x2 = jnp.pad(x2, ((0, 0), (0, sw.Kp - x2.shape[1])))
+    sx = None
+    if a8:
+        x2, sx = quantize_acts_int8(x2)
+    y = _staged_dot(x2, sw.codes, sw.scale, sw.zoff,
+                    1 << (sw.bits - 1), sw.N)
+    if sx is not None:
+        y = y * sx
+    if sw.bias is not None:
+        y = y + sw.bias
+    return y.reshape(*lead, sw.N).astype(orig_dtype)
+
+
 def _matmul_staged_native(x: jax.Array, pw: PackedWeight) -> jax.Array:
     """Large-M (prefill / calibration) path through XLA's NATIVE sub-byte
     dot: unpack the packed words to integer codes, re-center to a signed
@@ -360,41 +483,13 @@ def _matmul_staged_native(x: jax.Array, pw: PackedWeight) -> jax.Array:
 
     x: (M, K) int8 or bf16/f32, K logical (perm already applied).
     Returns (M, N) f32."""
-    M = x.shape[0]
-    Kp, Np = pw.Kp, pw.Np
     codes = unpack_codes(pw.words, pw.bits, pw.groupsize)  # (Kp, Np) i32
-    if pw.bits <= 4:
-        off = 1 << (pw.bits - 1)
-        cs4 = (codes - off).astype(jnp.int4)
-    else:
-        off = 1 << (pw.bits - 1)
-        cs4 = (codes - off).astype(jnp.int8)
-    if Kp != x.shape[1]:
-        x = jnp.pad(x, ((0, 0), (0, Kp - x.shape[1])))
-    int_acts = x.dtype == jnp.int8
-    acc_t = jnp.int32 if int_acts else jnp.float32
-    if not int_acts and x.dtype != jnp.bfloat16:
-        x = x.astype(jnp.bfloat16)
-    ng = pw.scale.shape[0]
-    xs_t = jnp.int32 if int_acts else jnp.float32
-    if ng == 1:
-        part = jax.lax.dot_general(x, cs4, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=acc_t)
-        xs = jnp.sum(x.astype(xs_t), axis=1, keepdims=True)  # (M, 1)
-        y = (part.astype(jnp.float32) * pw.scale[0]
-             + xs.astype(jnp.float32) * (off * pw.scale[0] - pw.zoff[0]))
-    else:
-        g = Kp // ng
-        xg = x.reshape(M, ng, g).transpose(1, 0, 2)  # (ng, M, g)
-        cg = cs4.reshape(ng, g, Np)
-        part = jax.lax.dot_general(xg, cg, (((2,), (1,)), ((0,), (0,))),
-                                   preferred_element_type=acc_t)  # (ng,M,Np)
-        y = jnp.einsum("gmn,gn->mn", part.astype(jnp.float32), pw.scale,
-                       preferred_element_type=jnp.float32)
-        xs = jnp.sum(x.reshape(M, ng, g).astype(xs_t), axis=2)  # (M, ng)
-        y = y + jnp.dot(xs.astype(jnp.float32), off * pw.scale - pw.zoff,
-                        preferred_element_type=jnp.float32)
-    return y[:, :pw.N]
+    off = 1 << (pw.bits - 1)
+    dt = jnp.int4 if pw.bits <= 4 else jnp.int8
+    cs4 = (codes - off).astype(dt)
+    if pw.Kp != x.shape[1]:
+        x = jnp.pad(x, ((0, 0), (0, pw.Kp - x.shape[1])))
+    return _staged_dot(x, cs4, pw.scale, pw.zoff, off, pw.N)
 
 
 def _stage_threshold() -> int:
