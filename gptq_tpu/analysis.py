@@ -36,11 +36,15 @@ def analyse_model(spec: ArchSpec, params: dict, calib_ids: jax.Array,
     nsamples, T = calib_ids.shape
     positions = jnp.arange(T)[None]
     mask = build_mask(spec, T, T)
+    # embed params pass as an argument, not a closure (7B-scale closures
+    # overflow the relayed compile service; see pipeline._layer_scan)
     embed = jax.jit(
-        lambda ids: embed_forward(spec, params, ids,
-                                  jnp.broadcast_to(jnp.arange(T), ids.shape))
+        lambda ep, ids: embed_forward(spec, {"embed": ep}, ids,
+                                      jnp.broadcast_to(jnp.arange(T),
+                                                       ids.shape))
     )
-    inps = jnp.stack([embed(calib_ids[j: j + 1])[0] for j in range(nsamples)])
+    inps = jnp.stack([embed(params["embed"], calib_ids[j: j + 1])[0]
+                      for j in range(nsamples)])
 
     names = tuple(arch.linears.keys())
     results = {}

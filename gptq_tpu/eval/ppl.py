@@ -27,9 +27,12 @@ def eval_ppl(
     ids = np.asarray(test_ids).reshape(-1)
     nsamples = total // seqlen
 
+    # params pass as a jit ARGUMENT, not a closure: closed-over 7B-scale
+    # weights overflow the relayed compile service's request body
+    # (HTTP 413; see pipeline._layer_scan)
     @jax.jit
-    def window_nll(window):
-        logits, _ = model_forward(spec, params, window[None])
+    def window_nll(p, window):
+        logits, _ = model_forward(spec, p, window[None])
         logits = logits[0, :-1].astype(jnp.float32)
         targets = window[1:]
         logz = jax.nn.logsumexp(logits, axis=-1)
@@ -41,7 +44,7 @@ def eval_ppl(
     nlls = []
     for i in range(nsamples):
         w = jnp.asarray(ids[i * seqlen : (i + 1) * seqlen])
-        nlls.append(float(window_nll(w)))
+        nlls.append(float(window_nll(params, w)))
     ppl = float(np.exp(np.sum(nlls) / (nsamples * seqlen)))
     log(f"ppl = {ppl:.4f} over {nsamples} windows")
     return ppl

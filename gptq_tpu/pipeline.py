@@ -67,8 +67,9 @@ def solver_config_for(cfg: QuantConfig, bits: int, columnwise: bool | None = Non
 
 
 @partial(jax.jit, static_argnames=("spec", "names", "capture"))
-def _layer_scan(spec: ArchSpec, bp: dict, inps: jax.Array, positions: jax.Array,
-                mask: jax.Array, names: tuple, capture: bool = True):
+def _layer_scan_impl(spec: ArchSpec, bp: dict, inps: jax.Array,
+                     positions: jax.Array, mask: jax.Array, names: tuple,
+                     capture: bool = True):
     """Scan over calibration samples: returns (outs, hessian states per name).
 
     inps: (nsamples, T, hidden). Hessians accumulate exactly as the
@@ -97,6 +98,15 @@ def _layer_scan(spec: ArchSpec, bp: dict, inps: jax.Array, positions: jax.Array,
         outs = jax.lax.map(fwd, inps)
         hstates = h0
     return outs, hstates
+
+
+# jit with the layer params as an ARGUMENT, never a closure: closed-over
+# multi-GB weight tensors ride inside the compile request, which the
+# relayed backend's compile service rejects outright at 7B layer sizes
+# (HTTP 413) — and as arguments the program compiles ONCE and is reused
+# by every layer (shapes match), instead of re-staging per layer.
+_layer_scan = jax.jit(_layer_scan_impl,
+                      static_argnames=("spec", "names", "capture"))
 
 
 @dataclass
@@ -131,10 +141,16 @@ def quantize_model(
     positions = jnp.arange(T)[None]
     mask = build_mask(spec, T, T)
 
+    # embed params pass as an argument (NOT a closure: a closed-over 7B
+    # embedding table overflows the relayed compile service's request
+    # body — see _layer_scan)
     embed = jax.jit(
-        lambda ids: embed_forward(spec, params, ids, jnp.broadcast_to(jnp.arange(T), ids.shape))
+        lambda ep, ids: embed_forward(
+            spec, {"embed": ep}, ids,
+            jnp.broadcast_to(jnp.arange(T), ids.shape))
     )
-    inps = jnp.stack([embed(calib_ids[j : j + 1])[0] for j in range(nsamples)])
+    inps = jnp.stack([embed(params["embed"], calib_ids[j: j + 1])[0]
+                      for j in range(nsamples)])
 
     if cfg.true_sequential:
         groups = [tuple(g) for g in arch.seq_groups]

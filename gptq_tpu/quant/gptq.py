@@ -160,11 +160,34 @@ def _quantize_col(w, scale, zero, maxq: int):
     return scale * (q - zero)
 
 
-def _upper_cholesky_inverse(H):
-    """U upper-triangular with U^T U = H^-1 (reference: gptq.py:177-180)."""
+def _upper_cholesky_inverse(H, rhs_chunk: int = 1024):
+    """U upper-triangular with U^T U = H^-1 (reference: gptq.py:177-180).
+
+    The identity RHS solves in `rhs_chunk`-column chunks: XLA's blocked
+    triangular-solve lowering materializes one trailing temp per 128-row
+    block, each scaled by the RHS width — with the full n=11008 identity
+    that chain alone needs > 20 GB of HBM (chip compile OOM, found on the
+    first honest full-scale llama-7B quantize run, round 4); 1024-column
+    chunks bound it near 2 GB at identical total FLOPs."""
+    n = H.shape[0]
     L = jnp.linalg.cholesky(H)
-    eye = jnp.eye(H.shape[0], dtype=H.dtype)
-    Hinv = jax.scipy.linalg.cho_solve((L, True), eye)
+    if n <= 2 * rhs_chunk:
+        eye = jnp.eye(n, dtype=H.dtype)
+        Hinv = jax.scipy.linalg.cho_solve((L, True), eye)
+    else:
+        def solve_chunk(c0):
+            cols = jax.lax.broadcasted_iota(jnp.int32, (n, rhs_chunk), 1) + c0
+            rows = jax.lax.broadcasted_iota(jnp.int32, (n, rhs_chunk), 0)
+            # overflow columns (last chunk when rhs_chunk does not divide
+            # n) carry an all-zero RHS -> zero solution, sliced off below
+            eye_c = (rows == cols).astype(H.dtype)
+            return jax.scipy.linalg.cho_solve((L, True), eye_c)
+
+        nc = -(-n // rhs_chunk)
+        chunks = jax.lax.map(solve_chunk,
+                             jnp.arange(nc) * rhs_chunk)  # (nc, n, chunk)
+        Hinv = jnp.transpose(chunks, (1, 0, 2)).reshape(
+            n, nc * rhs_chunk)[:, :n]
     Hinv = (Hinv + Hinv.T) / 2  # symmetrize before the second factorization
     return jnp.linalg.cholesky(Hinv).T
 
