@@ -312,6 +312,23 @@ def _retry(fn, attempts: int = 2):
             time.sleep(5)
 
 
+def _note(s):
+    """Leg-level progress to stderr (the driver parses stdout's one JSON
+    line; stderr narrates which leg is running / failed)."""
+    print(f"[bench] {s}", file=sys.stderr, flush=True)
+
+
+def _soft(name, fn):
+    """Auxiliary legs must not zero the headline: on failure record None
+    and note the error."""
+    _note(name)
+    try:
+        return _retry(fn)
+    except Exception as e:  # noqa: BLE001
+        _note(f"{name} FAILED: {type(e).__name__}: {e}"[:300])
+        return None
+
+
 def main():
     spec = llama7b_spec()
     try:
@@ -324,6 +341,30 @@ def main():
 
         enable_compilation_cache()
         import jax.numpy as jnp
+
+        # bf16 dense baseline FIRST, on a clean HBM (13.3 GB of dense
+        # weights + the decode cache; running it after the other legs
+        # fragments memory and the leg dies); on OOM fall back to a
+        # half-depth model and double its per-token latency
+        t_pf_dense = None
+        try:
+            _note("bf16 dense baseline")
+            params_d = synth_dense_params(spec)
+            t_d = measure_decode(spec, params_d)
+            t_pf_dense = _soft("bf16 dense prefill",
+                               lambda: measure_prefill(spec, params_d))
+            del params_d
+        except Exception as e:  # noqa: BLE001
+            _note(f"dense baseline FAILED ({type(e).__name__}); "
+                  f"half-depth fallback")
+            try:
+                half = dataclasses.replace(spec,
+                                           n_layers=spec.n_layers // 2)
+                params_d = synth_dense_params(half)
+                t_d = 2.0 * measure_decode(half, params_d)
+                del params_d
+            except Exception:  # noqa: BLE001
+                t_d = None
 
         params_q = synth_packed_params(spec, bits=4)
         from gptq_tpu.models.common import fuse_serving
@@ -342,32 +383,38 @@ def main():
             del fused
         except Exception:  # noqa: BLE001 — tuning is best-effort
             pass
+        _note("b1 w4a16")
         t_q = _retry(lambda: measure_decode(spec, params_q))
         # fast path: dynamic int8 activations (the reference's headline
         # 3.25x is its --faster-kernel number; this is ours) plus the
         # near-lossless 8-bit packed lm_head (--quant_lm_head 8). The a8
         # path also engages the single-launch post-attention kernel
         # (o + residual + norm + gateup + act + down, ops/ffn.py).
+        _note("b1 w4a8")
         t_q8 = _retry(lambda: measure_decode(spec, params_q, a8=True))
         from gptq_tpu.pipeline import quantize_lm_head
 
         quantize_lm_head(spec, params_q, bits=8)
+        _note("b1 w4a8+head8")
         t_fast = _retry(lambda: measure_decode(spec, params_q, a8=True))
         # fastest config adds the int8 KV cache (dynamic per-token-head
         # scales + fused dequant attention kernel; near-lossless like the
         # 8-bit head — both beyond-reference serving options, reported
         # separately in detail)
+        _note("b1 w4a8+head8+int8kv")
         t_kv8 = _retry(lambda: measure_decode(spec, params_q, a8=True,
                                               cache_dtype=jnp.int8))
         # a16 serving also runs the single-launch fused kernels (and at
         # M=1 skips the dynamic row-quant pass, so it can beat a8 — the
         # stream is weight-bandwidth bound); measure the same fast combos
+        _note("b1 a16 combos")
         t_fast16 = _retry(lambda: measure_decode(spec, params_q))
         t_kv16 = _retry(lambda: measure_decode(spec, params_q,
                                                cache_dtype=jnp.int8))
         # 4-bit head: the most aggressive config (the whole model incl.
         # the output projection at 4 bits; chip r4: 4.90 vs 5.00 ms/token
         # against the 8-bit head)
+        _note("b1 w4a8+head4")
         params_h4 = synth_packed_params(spec, bits=4)
         quantize_lm_head(spec, params_h4, bits=4)
         t_h4 = _retry(lambda: measure_decode(spec, params_h4, a8=True))
@@ -376,48 +423,58 @@ def main():
         # the cache dominates the byte budget — the int8-KV story at
         # honest lengths (2k / 4k / 8k; the reference is hard-capped at
         # 2048, opt.py:26). Every step attends the full buffer.
-        t_long_kv8 = _retry(lambda: measure_decode(
+        t_long_kv8 = _soft("longctx 2k int8kv", lambda: measure_decode(
             spec, params_q, a8=True, cache_dtype=jnp.int8, max_len=2048,
             prefix=1900, n_tokens=64, reps=3))
-        t_long_bf16 = _retry(lambda: measure_decode(
+        t_long_bf16 = _soft("longctx 2k bf16kv", lambda: measure_decode(
             spec, params_q, a8=True, max_len=2048, prefix=1900,
             n_tokens=64, reps=3))
-        t_4k_kv8 = _retry(lambda: measure_decode(
+        t_4k_kv8 = _soft("longctx 4k int8kv", lambda: measure_decode(
             spec, params_q, a8=True, cache_dtype=jnp.int8, max_len=4096,
             prefix=4000, n_tokens=32, reps=2))
-        t_4k_bf16 = _retry(lambda: measure_decode(
+        t_4k_bf16 = _soft("longctx 4k bf16kv", lambda: measure_decode(
             spec, params_q, a8=True, max_len=4096, prefix=4000,
             n_tokens=32, reps=2))
-        t_8k_kv8 = _retry(lambda: measure_decode(
+        t_8k_kv8 = _soft("longctx 8k int8kv", lambda: measure_decode(
             spec, params_q, a8=True, cache_dtype=jnp.int8, max_len=8192,
             prefix=8000, n_tokens=32, reps=2))
-        t_8k_bf16 = _retry(lambda: measure_decode(
+        t_8k_bf16 = _soft("longctx 8k bf16kv", lambda: measure_decode(
             spec, params_q, a8=True, max_len=8192, prefix=8000,
             n_tokens=32, reps=2))
         # batched lock-step decode legs (weight streams amortize across
         # the batch; the reference kernels are strictly batch-1,
         # quant.py:203)
-        t_b8 = _retry(lambda: measure_decode(spec, params_q, a8=True,
-                                             batch=8, n_tokens=64, reps=3))
-        t_b32 = _retry(lambda: measure_decode(spec, params_q, a8=True,
-                                              batch=32, n_tokens=64,
-                                              reps=3))
+        t_b8 = _soft("batched b8", lambda: measure_decode(
+            spec, params_q, a8=True, batch=8, n_tokens=64, reps=3))
+        t_b32 = _soft("batched b32", lambda: measure_decode(
+            spec, params_q, a8=True, batch=32, n_tokens=64, reps=3))
         # prefill legs (VERDICT r3 #3): whole-prompt forward at T=2048
         # through the packed model — staged native-s4 path auto-on vs
         # forced off (regresses the GPTQ_TPU_STAGE_M routing end-to-end)
-        t_pf = _retry(lambda: measure_prefill(spec, params_q, a8=True))
+        del params_q
+        # pre-fused model for the prefill legs: fuse_serving inside
+        # measure_prefill is a no-op on already-fused params, so only ONE
+        # 3.4 GB weight copy is alive (raw + fused together OOMed the
+        # T=2048 forward's temp budget)
+        from gptq_tpu.models.common import fuse_serving as _fuse
+
+        params_pf = _fuse(spec, synth_packed_params(spec, bits=4), a8=True)
+        t_pf = _soft("prefill staged-auto",
+                     lambda: measure_prefill(spec, params_pf, a8=True))
         os.environ["GPTQ_TPU_STAGE_M"] = "0"
         try:
-            t_pf_nostage = _retry(
-                lambda: measure_prefill(spec, params_q, a8=True))
+            t_pf_nostage = _soft(
+                "prefill staged-off",
+                lambda: measure_prefill(spec, params_pf, a8=True))
         finally:
             del os.environ["GPTQ_TPU_STAGE_M"]
-        del params_q
+        del params_pf
         # Mixtral-8x7B-shape MoE decode (VERDICT r3 #5): packed expert
         # banks + top-2 scalar-prefetch selection, REAL model forward.
         # 8 of 32 layers (a full 4-bit 8x7B is ~23 GB, one v5e has 16 GB);
         # the 4/8-layer diff isolates the true per-layer cost
         try:
+            _note("moe decode")
             moe_spec = dataclasses.replace(
                 spec, n_kv_heads=8, ffn=14336, n_experts=8, expert_top_k=2,
                 n_layers=8)
@@ -431,46 +488,34 @@ def main():
                 moe_spec4, params_m, a8=True, n_tokens=48, reps=3))
             del params_m
             moe_layer_s = (t_moe8 - t_moe4) / 4.0
-        except Exception:  # noqa: BLE001 — auxiliary leg must not zero
-            t_moe8 = moe_layer_s = None  # the headline
+        except Exception as e:  # noqa: BLE001 — auxiliary leg must
+            t_moe8 = moe_layer_s = None  # not zero the headline
+            _note(f"moe decode FAILED: {type(e).__name__}: {e}"[:300])
         # GPTQ quantization wall-clock (VERDICT r3 #4; reference prints
         # per-layer/total timing at gptq.py:293, opt.py:691)
         try:
+            _note("quantize wall-clock")
             q_total, q_layer, q_proj32 = measure_quantize(
                 spec, n_layers=8, nsamples=32)
-        except Exception:  # noqa: BLE001
+        except Exception as e:  # noqa: BLE001
             q_total = q_layer = q_proj32 = None
+            _note(f"quantize FAILED: {type(e).__name__}: {e}"[:300])
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"metric": "llama7b-4bit decode", "value": 0,
                           "unit": "tok/s", "vs_baseline": 0,
                           "error": f"{type(e).__name__}: {e}"[:400]}))
         return 1
 
-    # bf16 dense baseline on the same chip; on OOM fall back to a
-    # half-depth model and double its per-token latency (layer-linear cost)
-    t_pf_dense = None
-    try:
-        params_d = synth_dense_params(spec)
-        t_d = measure_decode(spec, params_d)
-        try:
-            t_pf_dense = _retry(lambda: measure_prefill(spec, params_d))
-        except Exception:  # noqa: BLE001
-            pass
-        del params_d
-    except Exception:
-        try:
-            import dataclasses
-
-            half = dataclasses.replace(spec, n_layers=spec.n_layers // 2)
-            params_d = synth_dense_params(half)
-            t_d = 2.0 * measure_decode(half, params_d)
-            del params_d
-        except Exception:
-            t_d = None
 
     t_best = min(t_q, t_q8, t_fast, t_kv8, t_fast16, t_kv16, t_h4)
     toks = 1.0 / t_best
     speedup = (t_d / t_best) if t_d else None
+
+    def _r(x, nd=6):
+        return round(x, nd) if x is not None else None
+
+    def _inv(x, scale=1.0, nd=1):
+        return round(scale / x, nd) if x else None
     out = {
         "metric": "llama7b-4bit-decode tokens/s/chip "
                   "(batch1, median, fastest serving config)",
@@ -487,22 +532,22 @@ def main():
             "median_token_s_w4a8_head4": round(t_h4, 6),
             "median_token_s_bf16": round(t_d, 6) if t_d else None,
             "speedup_vs_bf16": round(speedup, 3) if speedup else None,
-            "median_token_s_longctx_int8kv": round(t_long_kv8, 6),
-            "median_token_s_longctx_bf16kv": round(t_long_bf16, 6),
-            "median_token_s_4k_int8kv": round(t_4k_kv8, 6),
-            "median_token_s_4k_bf16kv": round(t_4k_bf16, 6),
-            "median_token_s_8k_int8kv": round(t_8k_kv8, 6),
-            "median_token_s_8k_bf16kv": round(t_8k_bf16, 6),
-            "toks_chip_b8": round(8.0 / t_b8, 1),
-            "toks_chip_b32": round(32.0 / t_b32, 1),
-            "prefill_tok_s_T2048": round(2048.0 / t_pf, 1),
-            "prefill_tok_s_T2048_nostage": round(2048.0 / t_pf_nostage, 1),
+            "median_token_s_longctx_int8kv": _r(t_long_kv8),
+            "median_token_s_longctx_bf16kv": _r(t_long_bf16),
+            "median_token_s_4k_int8kv": _r(t_4k_kv8),
+            "median_token_s_4k_bf16kv": _r(t_4k_bf16),
+            "median_token_s_8k_int8kv": _r(t_8k_kv8),
+            "median_token_s_8k_bf16kv": _r(t_8k_bf16),
+            "toks_chip_b8": _inv(t_b8, 8.0),
+            "toks_chip_b32": _inv(t_b32, 32.0),
+            "prefill_tok_s_T2048": _inv(t_pf, 2048.0),
+            "prefill_tok_s_T2048_nostage": _inv(t_pf_nostage, 2048.0),
             "prefill_tok_s_T2048_bf16dense": (
                 round(2048.0 / t_pf_dense, 1) if t_pf_dense else None),
             # mm-FLOPs MFU: 2 * (6.48e9 layer + 0.131e9 head params) * T
             # over the v5e bf16 peak (1.97e14 FLOP/s)
-            "prefill_mfu": round(
-                2 * 6.61e9 * 2048 / t_pf / 1.97e14, 3),
+            "prefill_mfu": (round(
+                2 * 6.61e9 * 2048 / t_pf / 1.97e14, 3) if t_pf else None),
             "moe8x7b_toks_8layer": (round(1.0 / t_moe8, 1)
                                     if t_moe8 else None),
             "moe8x7b_ms_per_layer": (round(moe_layer_s * 1e3, 4)

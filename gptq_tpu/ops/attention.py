@@ -171,8 +171,17 @@ def decode_attention(
     softmax exactly (deferred-cache-write decode: slots < length come
     from the buffer, the token itself from registers).
     Returns (B, H, hd) f32 attention output."""
+    import os
+
     B, H, hd = q.shape
     S, Hkv = k.shape[1], k.shape[2]
+    if hd % 128 == 0 and os.environ.get("GPTQ_TPU_ATTN_WIDE", "1") != "0":
+        # all-heads-per-dot variant: 3 wide MXU dots per S block instead
+        # of Hkv sequential matvec-shaped dots (chip: the head loop was
+        # issue-bound, ~420 us/layer at S=8k vs the ~90 us byte floor)
+        return decode_attention_wide(
+            q, k, v, length, sm_scale, k_scale=k_scale, v_scale=v_scale,
+            fresh_k=fresh_k, fresh_v=fresh_v, interpret=interpret)
     G = H // Hkv
     has_scales = k_scale is not None
     has_fresh = fresh_k is not None
@@ -235,6 +244,212 @@ def decode_attention_int8(
     return decode_attention(q, k, v, length, sm_scale,
                             k_scale=k_scale, v_scale=v_scale,
                             interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# wide decode kernel: every head in one MXU dot per S block
+# ---------------------------------------------------------------------------
+
+def _attn_kernel_wide(G, Sb, n_sb, Hkv, hd, H, has_scales, has_fresh,
+                      len_ref, qmat_ref, e_ref, ekv_ref, k_ref, v_ref,
+                      *rest):
+    """One (batch, S-block) program with ALL heads per dot.
+
+    The head-loop kernel above issues Hkv sequential (G, hd) x (Sb, hd)
+    matvec-shaped dots per block — VPU/issue-bound, chip-measured ~420
+    us/layer at S=8k (worse than the XLA einsum on a dequantized copy).
+    This variant restructures the whole block as three wide MXU dots:
+
+      scores (Sb, H) = slab (Sb, Hkv*hd) @ qmat (Hkv*hd, H)
+      p_exp (Sb, H*hd) = p (Sb, H) @ E (H, H*hd)
+      out (1, H*hd)   = ones (1, Sb) @ (p_exp * v_slab_expanded)
+
+    qmat is the query folded into a block-diagonal matrix (built by the
+    caller in XLA: rows kv(h)*hd+d carry q[h, d] * sm_scale, zero
+    elsewhere — GQA maps via kv(h) = h // G); E is the block-diagonal
+    ones expander. int8 per-token-head scales fold on the SMALL (Sb, H)
+    score/probability planes (ks @ ekv), never on the slabs."""
+    idx = 0
+    if has_fresh:
+        fk_ref, fv_ref = rest[:2]
+        idx = 2
+    if has_scales:
+        ks_ref, vs_ref = rest[idx:idx + 2]
+        idx += 2
+    out_ref, acc_ref, m_ref, l_ref = rest[idx:]
+    sb = pl.program_id(1)
+    length = len_ref[pl.program_id(0), 0]
+
+    @pl.when(sb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    qmat = qmat_ref[0]  # (Hkv*hd, H) bf16, sm_scale folded
+    e = e_ref[:]  # (H, H*hd) bf16 block-diag ones
+    kb = k_ref[0].astype(jnp.bfloat16)  # (Sb, Hkv*hd); int8 codes exact
+    vb = v_ref[0].astype(jnp.bfloat16)
+
+    sc = jax.lax.dot_general(kb, qmat, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (Sb, H)
+    if has_scales:
+        kse = jax.lax.dot_general(
+            ks_ref[0], ekv_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (Sb, H)
+        sc = sc * kse
+    pos = sb * Sb + jax.lax.broadcasted_iota(jnp.int32, (Sb, H), 0)
+    valid = pos < length
+    sc = jnp.where(valid, sc, NEG_INF)
+
+    m_blk = jnp.max(sc, axis=0, keepdims=True)  # (1, H)
+    m_new = jnp.maximum(m_ref[:], m_blk)
+    alpha = jnp.exp(m_ref[:] - m_new)  # (1, H)
+    p = jnp.exp(sc - m_new)  # (Sb, H)
+    p = jnp.where(valid, p, 0.0)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=0, keepdims=True)
+    m_ref[:] = m_new
+
+    if has_scales:
+        vse = jax.lax.dot_general(
+            vs_ref[0], ekv_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        p = p * vse
+    p_exp = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), e, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (Sb, H*hd)
+    pv = jax.lax.dot_general(
+        jnp.ones((1, Sb), jnp.bfloat16),
+        (p_exp.astype(jnp.bfloat16) * vb), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (1, H*hd)
+    alpha_exp = jax.lax.dot_general(
+        alpha.astype(jnp.bfloat16), e, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * alpha_exp + pv
+
+    @pl.when(sb == n_sb - 1)
+    def _():
+        if has_fresh:
+            fk = fk_ref[0].astype(jnp.bfloat16)  # (1, Hkv*hd)
+            fv = fv_ref[0].astype(jnp.bfloat16)
+            scf = jax.lax.dot_general(fk, qmat, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            m_new = jnp.maximum(m_ref[:], scf)  # (1, H)
+            alpha = jnp.exp(m_ref[:] - m_new)
+            pf = jnp.exp(scf - m_new)  # (1, H)
+            l_ref[:] = l_ref[:] * alpha + pf
+            pf_exp = jax.lax.dot_general(
+                pf.astype(jnp.bfloat16), e, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            alpha_exp = jax.lax.dot_general(
+                alpha.astype(jnp.bfloat16), e, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_ref[:] = acc_ref[:] * alpha_exp + pf_exp * fv
+        l_exp = jax.lax.dot_general(
+            l_ref[:].astype(jnp.bfloat16), e, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[0] = acc_ref[:] / l_exp
+
+
+def _wide_operands(q, sm_scale, Hkv, hd):
+    """(qmat, e, ekv) for the wide kernel, built in XLA per call:
+    qmat (B, Hkv*hd, H) bf16 block-diagonal query (sm_scale folded),
+    e (H, H*hd) bf16 block-diagonal ones, ekv (Hkv, H) f32 kv->H map."""
+    B, H, hd_ = q.shape
+    G = H // Hkv
+    qt = jnp.swapaxes(q.astype(jnp.float32) * sm_scale, 1, 2)  # (B, hd, H)
+    tiled = jnp.tile(qt, (1, Hkv, 1))  # (B, Hkv*hd, H)
+    r = jnp.arange(Hkv * hd)[:, None]
+    c = jnp.arange(H)[None, :]
+    maskq = (r // hd) == (c // G)
+    qmat = jnp.where(maskq[None], tiled, 0.0).astype(jnp.bfloat16)
+    j = jnp.arange(H * hd)[None, :]
+    h = jnp.arange(H)[:, None]
+    e = ((j // hd) == h).astype(jnp.bfloat16)  # (H, H*hd)
+    kh = jnp.arange(Hkv)[:, None]
+    ekv = ((c // G) == kh).astype(jnp.float32)  # (Hkv, H)
+    return qmat, e, ekv
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def decode_attention_wide(
+    q: jax.Array,  # (B, H, hd)
+    k: jax.Array,  # (B, S, Hkv, hd) int8 (with scales) or bf16/f32
+    v: jax.Array,
+    length: jax.Array,
+    sm_scale: float,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
+    fresh_k: jax.Array | None = None,
+    fresh_v: jax.Array | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """decode_attention through the wide (all-heads-per-dot) kernel.
+    Same contract; requires hd and Hkv*hd to be lane-aligned (128)."""
+    B, H, hd = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    G = H // Hkv
+    has_scales = k_scale is not None
+    has_fresh = fresh_k is not None
+    lens = jnp.broadcast_to(jnp.asarray(length, jnp.int32), (B,)).reshape(B, 1)
+    # temps are (Sb, H*hd) f32/bf16 — cap the block so three of them stay
+    # well under VMEM alongside the double-buffered slabs
+    Sb = min(_pick_sb(S, Hkv * hd * k.dtype.itemsize), 256)
+    while S % Sb:
+        Sb //= 2
+    n_sb = S // Sb
+
+    qmat, e, ekv = _wide_operands(q, float(sm_scale), Hkv, hd)
+    k2 = k.reshape(B, S, Hkv * hd)
+    v2 = v.reshape(B, S, Hkv * hd)
+
+    in_specs = [
+        pl.BlockSpec((B, 1), lambda b, s: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, Hkv * hd, H), lambda b, s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, H * hd), lambda b, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Hkv, H), lambda b, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Sb, Hkv * hd), lambda b, s: (b, s, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Sb, Hkv * hd), lambda b, s: (b, s, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [lens, qmat, e, ekv, k2, v2]
+    if has_fresh:
+        in_specs += [pl.BlockSpec((1, 1, Hkv * hd), lambda b, s: (b, 0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+        operands += [fresh_k.astype(jnp.float32).reshape(B, 1, Hkv * hd),
+                     fresh_v.astype(jnp.float32).reshape(B, 1, Hkv * hd)]
+    if has_scales:
+        in_specs += [pl.BlockSpec((1, Sb, Hkv), lambda b, s: (b, s, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+        operands += [k_scale, v_scale]
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_wide, G, Sb, n_sb, Hkv, hd, H,
+                          has_scales, has_fresh),
+        grid=(B, n_sb),
+        in_specs=in_specs,
+        # out as (B, 1, H*hd): a (1, H*hd) block over a (B, H*hd) array
+        # fails Mosaic's sublane check the moment B > 1 (1 is neither a
+        # multiple of 8 nor the full dim); with the explicit singleton
+        # the block's last two dims equal the array's
+        out_specs=pl.BlockSpec((1, 1, H * hd), lambda b, s: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, H * hd), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, H * hd), jnp.float32),
+            pltpu.VMEM((1, H), jnp.float32),
+            pltpu.VMEM((1, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out.reshape(B, H, hd)
 
 
 # ---------------------------------------------------------------------------
