@@ -525,6 +525,10 @@ def block_forward(
     moe_aux: list | None = None,  # collects MoE load-balancing losses
     defer_write: bool = False,  # decode: return fresh k/v instead of
     # writing them (model_forward batches ONE cache update per step)
+    full_cache: tuple | None = None,  # (kL, vL, ksL, vsL, layer_idx): the
+    # WHOLE (L, B, S, kvh, hd) cache stack + this block's index, for the
+    # layer-prefetch attention kernel (a layer-sliced operand feeding a
+    # custom call materializes a copy; see decode_attention_wide)
 ):
     """One decoder block. Returns (out, new_kv, captures).
 
@@ -626,17 +630,37 @@ def block_forward(
         if defer_write:
             assert T == 1 and getattr(cache_len, "ndim", 0) == 0
             new_kv = (k, v)  # FRESH rows; the caller writes them
-            if ks is not None:
-                if (spec.pos != "alibi" and attn_fn is None
-                        and _attn_int8_impl()):
-                    from gptq_tpu.ops.attention import decode_attention
 
+            def _kernel_attn(impl):
+                from gptq_tpu.ops.attention import (decode_attention,
+                                                    decode_attention_wide)
+
+                import os
+
+                wide = (full_cache is not None and spec.hd % 128 == 0
+                        and os.environ.get("GPTQ_TPU_ATTN_WIDE",
+                                           "1") != "0")
+                if wide:
+                    # whole cache stack + in-kernel layer prefetch: the
+                    # blocks DMA straight from HBM, no sliced-operand copy
+                    out = decode_attention_wide(
+                        q[:, 0], full_cache[0], full_cache[1], cache_len,
+                        spec.scale, k_scale=full_cache[2],
+                        v_scale=full_cache[3], fresh_k=k[:, 0],
+                        fresh_v=v[:, 0], layer=full_cache[4],
+                        interpret=impl == "interpret")
+                else:
                     out = decode_attention(
                         q[:, 0], ck, cv, cache_len, spec.scale,
                         k_scale=ks, v_scale=vs,
                         fresh_k=k[:, 0], fresh_v=v[:, 0],
-                        interpret=_attn_int8_impl() == "interpret")
-                    attn = out.reshape(B, 1, -1).astype(x.dtype)
+                        interpret=impl == "interpret")
+                return out.reshape(B, 1, -1).astype(x.dtype)
+
+            if ks is not None:
+                if (spec.pos != "alibi" and attn_fn is None
+                        and _attn_int8_impl()):
+                    attn = _kernel_attn(_attn_int8_impl())
                     return _finish_block(spec, p, residual, attn,
                                          captures, tp_axis, new_kv,
                                          ep_axis, ep_size, moe_aux)
@@ -645,13 +669,7 @@ def block_forward(
             else:
                 if (spec.pos != "alibi" and attn_fn is None
                         and _attn_bf16_impl()):
-                    from gptq_tpu.ops.attention import decode_attention
-
-                    out = decode_attention(
-                        q[:, 0], ck, cv, cache_len, spec.scale,
-                        fresh_k=k[:, 0], fresh_v=v[:, 0],
-                        interpret=_attn_bf16_impl() == "interpret")
-                    attn = out.reshape(B, 1, -1).astype(x.dtype)
+                    attn = _kernel_attn(_attn_bf16_impl())
                     return _finish_block(spec, p, residual, attn,
                                          captures, tp_axis, new_kv,
                                          ep_axis, ep_size, moe_aux)
@@ -1248,6 +1266,7 @@ def model_forward(
             cache=layer_cache, cache_len=clen, tp_axis=tp_axis, rope=rope,
             ep_axis=ep_axis, ep_size=ep_size, moe_aux=moe_aux,
             defer_write=defer,
+            full_cache=(ck, cv, ks, vs, i) if defer else None,
         )
         if defer:
             fresh.append(new_kv)  # (k, v) fresh (B, 1, kvh, hd) rows

@@ -251,8 +251,8 @@ def decode_attention_int8(
 # ---------------------------------------------------------------------------
 
 def _attn_kernel_wide(G, Sb, n_sb, Hkv, hd, H, has_scales, has_fresh,
-                      len_ref, qmat_ref, e_ref, ekv_ref, k_ref, v_ref,
-                      *rest):
+                      len_ref, qmat_ref, e_ref, ekv_ref, k_ref,
+                      v_ref, *rest):
     """One (batch, S-block) program with ALL heads per dot.
 
     The head-loop kernel above issues Hkv sequential (G, hd) x (Sb, hd)
@@ -288,14 +288,18 @@ def _attn_kernel_wide(G, Sb, n_sb, Hkv, hd, H, has_scales, has_fresh,
 
     qmat = qmat_ref[0]  # (Hkv*hd, H) bf16, sm_scale folded
     e = e_ref[:]  # (H, H*hd) bf16 block-diag ones
-    kb = k_ref[0].astype(jnp.bfloat16)  # (Sb, Hkv*hd); int8 codes exact
-    vb = v_ref[0].astype(jnp.bfloat16)
+    # blocks arrive in the cache's native (Sb, Hkv, hd) tiling and merge
+    # to (Sb, Hkv*hd) INSIDE VMEM: a caller-side reshape of the carried
+    # (L, B, S, Hkv, hd) buffer is a physical relayout XLA re-runs every
+    # decode step (~2.7 ms/step at 8k) because the carry changes
+    kb = k_ref[0, 0].reshape(Sb, Hkv * hd).astype(jnp.bfloat16)
+    vb = v_ref[0, 0].reshape(Sb, Hkv * hd).astype(jnp.bfloat16)
 
     sc = jax.lax.dot_general(kb, qmat, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)  # (Sb, H)
     if has_scales:
         kse = jax.lax.dot_general(
-            ks_ref[0], ekv_ref[:], (((1,), (0,)), ((), ())),
+            ks_ref[0, 0], ekv_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (Sb, H)
         sc = sc * kse
     pos = sb * Sb + jax.lax.broadcasted_iota(jnp.int32, (Sb, H), 0)
@@ -312,7 +316,7 @@ def _attn_kernel_wide(G, Sb, n_sb, Hkv, hd, H, has_scales, has_fresh,
 
     if has_scales:
         vse = jax.lax.dot_general(
-            vs_ref[0], ekv_ref[:], (((1,), (0,)), ((), ())),
+            vs_ref[0, 0], ekv_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         p = p * vse
     p_exp = jax.lax.dot_general(
@@ -371,23 +375,42 @@ def _wide_operands(q, sm_scale, Hkv, hd):
     return qmat, e, ekv
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("sm_scale", "layer",
+                                              "interpret"))
 def decode_attention_wide(
     q: jax.Array,  # (B, H, hd)
-    k: jax.Array,  # (B, S, Hkv, hd) int8 (with scales) or bf16/f32
-    v: jax.Array,
+    k: jax.Array,  # (B, S, Hkv, hd) or (L, B, S, Hkv, hd) with `layer`;
+    v: jax.Array,  # int8 (with scales) or bf16/f32
     length: jax.Array,
     sm_scale: float,
-    k_scale: jax.Array | None = None,
+    k_scale: jax.Array | None = None,  # (B, S, Hkv) / (L, B, S, Hkv)
     v_scale: jax.Array | None = None,
     fresh_k: jax.Array | None = None,
     fresh_v: jax.Array | None = None,
+    layer: int | None = None,  # STATIC index into the leading L dim
     interpret: bool = False,
 ) -> jax.Array:
     """decode_attention through the wide (all-heads-per-dot) kernel.
-    Same contract; requires hd and Hkv*hd to be lane-aligned (128)."""
+    Same contract; requires hd and Hkv*hd to be lane-aligned (128).
+
+    `layer`: the cache may pass as the WHOLE (L, B, S, Hkv, hd) stack
+    with the layer chosen by a STATIC index in the block index_map. This
+    is load-bearing twice over: XLA materializes a COPY of any sliced
+    operand feeding a custom call (einsum operands fuse the slice; Pallas
+    operands do not), ~70 MB/layer of hidden traffic at S=8k — and a
+    DYNAMIC (scalar-prefetch) layer index defeats Mosaic's block
+    pipelining (chip: 202 vs 45 us at S=2k). The model's layer loop is a
+    Python loop, so the index is static by construction."""
     B, H, hd = q.shape
-    S, Hkv = k.shape[1], k.shape[2]
+    stacked = layer is not None
+    if not stacked:
+        layer = 0
+        k = k[None]
+        v = v[None]
+        if k_scale is not None:
+            k_scale, v_scale = k_scale[None], v_scale[None]
+    L, _, S, Hkv, _ = k.shape
+    li = int(layer)
     G = H // Hkv
     has_scales = k_scale is not None
     has_fresh = fresh_k is not None
@@ -400,8 +423,6 @@ def decode_attention_wide(
     n_sb = S // Sb
 
     qmat, e, ekv = _wide_operands(q, float(sm_scale), Hkv, hd)
-    k2 = k.reshape(B, S, Hkv * hd)
-    v2 = v.reshape(B, S, Hkv * hd)
 
     in_specs = [
         pl.BlockSpec((B, 1), lambda b, s: (0, 0), memory_space=pltpu.SMEM),
@@ -411,19 +432,23 @@ def decode_attention_wide(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((Hkv, H), lambda b, s: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Sb, Hkv * hd), lambda b, s: (b, s, 0),
+        pl.BlockSpec((1, 1, Sb, Hkv, hd),
+                     lambda b, s: (li, b, s, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Sb, Hkv * hd), lambda b, s: (b, s, 0),
+        pl.BlockSpec((1, 1, Sb, Hkv, hd),
+                     lambda b, s: (li, b, s, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    operands = [lens, qmat, e, ekv, k2, v2]
+    operands = [lens, qmat, e, ekv, k, v]
     if has_fresh:
-        in_specs += [pl.BlockSpec((1, 1, Hkv * hd), lambda b, s: (b, 0, 0),
+        in_specs += [pl.BlockSpec((1, 1, Hkv * hd),
+                                  lambda b, s: (b, 0, 0),
                                   memory_space=pltpu.VMEM)] * 2
         operands += [fresh_k.astype(jnp.float32).reshape(B, 1, Hkv * hd),
                      fresh_v.astype(jnp.float32).reshape(B, 1, Hkv * hd)]
     if has_scales:
-        in_specs += [pl.BlockSpec((1, Sb, Hkv), lambda b, s: (b, s, 0),
+        in_specs += [pl.BlockSpec((1, 1, Sb, Hkv),
+                                  lambda b, s: (li, b, s, 0),
                                   memory_space=pltpu.VMEM)] * 2
         operands += [k_scale, v_scale]
 
