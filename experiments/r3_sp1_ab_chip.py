@@ -52,7 +52,19 @@ def run_chain(step_state, step_fn, length):
 
 
 def timed(fn, state, reps=3):
-    out = fn(state)
+    # the relayed compile service occasionally drops a long request
+    # (broken pipe); the compilation cache keeps earlier programs, so one
+    # retry resumes rather than restarts
+    for attempt in range(3):
+        try:
+            out = fn(state)
+            break
+        except Exception as e:  # noqa: BLE001
+            if attempt == 2:
+                raise
+            print(f"  [retry] compile/dispatch dropped: {e}"[:200],
+                  flush=True)
+            time.sleep(10)
     int(np.asarray(out))
     ts = []
     for _ in range(reps):

@@ -37,12 +37,33 @@ class Request:
     done: bool = False
 
 
-def _decode_step_fn(spec: ArchSpec):
-    """Batched single-token decode with per-slot positions and lengths."""
+def _decode_fns(spec: ArchSpec):
+    """Deferred-write lock-step decode: single step + windowed scan.
 
-    @jax.jit
-    def step(params, kc, vc, ks, vs, tokens, lengths, active):
-        # tokens: (B,) ; lengths: (B,) filled prefix per slot ; active: (B,)
+    Each step attends slots strictly below the slot's filled length plus
+    the token's own k/v (the deferred-cache-write path of
+    models.common.block_forward), then writes ALL layers' fresh rows with
+    ONE per-slot scatter into the (L, B, S, kvh, hd) stack. The per-layer
+    read-modify-write this replaces defeated XLA's in-place analysis and
+    copied the whole cache every step (chip: 5.8 ms/step write chain at
+    b32 S=256, experiments/r4_batch_decomp.py).
+
+    The window variant runs `n` lock-steps in one on-device lax.scan and
+    returns the (n, B) token matrix — ONE host round-trip per n tokens,
+    so continuous batching runs at chip rate on a relayed device (~30 ms
+    RTT per dispatch). Lengths advance for every slot each step (idle /
+    just-finished slots decode junk into their own rows until the host
+    refills them; junk is never read — a slot's attention covers only
+    positions below its own length, each rewritten before it is read)."""
+
+    from gptq_tpu.models.common import (
+        _quantize_kv,
+        alibi_slopes,
+        rope_tables,
+    )
+
+    def body(params, kc, vc, ks, vs, tokens, lengths):
+        # tokens/lengths: (B,); kc/vc: (L, B, S, kvh, hd);
         # ks/vs: int8-cache scale planes (L, B, S, kvh) or None
         B = tokens.shape[0]
         S = kc.shape[2]
@@ -50,36 +71,67 @@ def _decode_step_fn(spec: ArchSpec):
         h = embed_forward(spec, params, tokens[:, None], positions)
         k_pos = jnp.arange(S)[None, None, None, :]
         q_pos = lengths[:, None, None, None]
-        mask = jnp.where(k_pos <= q_pos, 0.0, NEG_INF).astype(jnp.float32)
+        valid = k_pos < q_pos  # STRICT: the fresh pair merges separately
+        mask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
         if spec.pos == "alibi":
-            from gptq_tpu.models.common import alibi_slopes
-
             slopes = jnp.asarray(alibi_slopes(spec.n_heads))
             rel = (k_pos - q_pos).astype(jnp.float32)
-            bias = slopes[None, :, None, None] * rel
-            mask = mask + jnp.where(k_pos <= q_pos, bias, 0.0)
-        new_k, new_v, new_ks, new_vs = [], [], [], []
+            mask = mask + jnp.where(valid, slopes[None, :, None, None] * rel,
+                                    0.0)
+        rope = rope_tables(spec, positions) if spec.pos == "rope" else None
+        fresh = []
         for i, bp in enumerate(params["layers"]):
-            layer_cache = ((kc[i], vc[i]) if ks is None else
-                           (kc[i], vc[i], ks[i], vs[i]))
-            h, kv, _ = block_forward(
+            layer_cache = (kc[i], vc[i],
+                           None if ks is None else ks[i],
+                           None if vs is None else vs[i])
+            h, new_kv, _ = block_forward(
                 spec, bp, h, positions=positions, mask=mask,
-                cache=layer_cache, cache_len=lengths,
+                cache=layer_cache, cache_len=lengths, rope=rope,
+                defer_write=True, full_cache=(kc, vc, ks, vs, i),
             )
-            new_k.append(kv[0])
-            new_v.append(kv[1])
-            if len(kv) == 4:
-                new_ks.append(kv[2])
-                new_vs.append(kv[3])
+            fresh.append(new_kv)
+        fk = jnp.stack([f[0] for f in fresh])  # (L, B, 1, kvh, hd)
+        fv = jnp.stack([f[1] for f in fresh])
+        b_idx = jnp.arange(B)
+        if ks is not None:
+            kq, ksn = jax.vmap(_quantize_kv)(fk)
+            vq, vsn = jax.vmap(_quantize_kv)(fv)
+            kc = kc.at[:, b_idx, lengths].set(kq[:, :, 0])
+            vc = vc.at[:, b_idx, lengths].set(vq[:, :, 0])
+            ks = ks.at[:, b_idx, lengths].set(ksn[:, :, 0])
+            vs = vs.at[:, b_idx, lengths].set(vsn[:, :, 0])
+        else:
+            kc = kc.at[:, b_idx, lengths].set(fk[:, :, 0].astype(kc.dtype))
+            vc = vc.at[:, b_idx, lengths].set(fv[:, :, 0].astype(vc.dtype))
         logits = head_forward(spec, params, h)[:, 0]
         next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        lengths = lengths + active.astype(jnp.int32)
-        return (jnp.stack(new_k), jnp.stack(new_v),
-                jnp.stack(new_ks) if new_ks else None,
-                jnp.stack(new_vs) if new_vs else None,
-                next_tok, lengths, logits)
+        # clamp: slots decoding junk past a finished request must not
+        # scatter out of bounds (their rows rewrite in place at S-1, which
+        # no reader ever covers — q_pos tops out at S-1 so reads stay < S-1)
+        lengths = jnp.minimum(lengths + 1, S - 1)
+        return kc, vc, ks, vs, next_tok, lengths, logits
 
-    return step
+    # donation aliases the cache stacks across the jit boundary (no 4 GB
+    # copy per call); CPU (tests) does not implement donation and warns
+    donate = (1, 2, 3, 4) if jax.default_backend() == "tpu" else ()
+
+    @partial(jax.jit, donate_argnums=donate)
+    def step(params, kc, vc, ks, vs, tokens, lengths):
+        return body(params, kc, vc, ks, vs, tokens, lengths)
+
+    @partial(jax.jit, static_argnames=("n",), donate_argnums=donate)
+    def window(params, kc, vc, ks, vs, tokens, lengths, *, n):
+        def s(carry, _):
+            kc, vc, ks, vs, tokens, lengths = carry
+            kc, vc, ks, vs, tok, lengths, _ = body(
+                params, kc, vc, ks, vs, tokens, lengths)
+            return (kc, vc, ks, vs, tok, lengths), tok
+
+        (kc, vc, ks, vs, tokens, lengths), toks = jax.lax.scan(
+            s, (kc, vc, ks, vs, tokens, lengths), None, length=n)
+        return kc, vc, ks, vs, tokens, lengths, toks
+
+    return step, window
 
 
 def _prefill_fn(spec: ArchSpec):
@@ -169,7 +221,7 @@ class ContinuousBatcher:
         self.slot_req: list[Request | None] = [None] * batch_slots
         self.queue: list[Request] = []
         self.finished: list[Request] = []
-        self._step = _decode_step_fn(spec)
+        self._step, self._window = _decode_fns(spec)
         self._prefill = _prefill_fn(spec)
         self._buckets = prefill_buckets
         self._uid = 0
@@ -239,40 +291,65 @@ class ContinuousBatcher:
             if nks is not None:
                 self.ks = self.ks.at[:, real].set(nks[:, :n_real])
                 self.vs = self.vs.at[:, real].set(nvs[:, :n_real])
-            # re-decode from each true prompt end (padding wrote junk beyond
-            # T, but lengths masks it out)
+            # re-decode from each true prompt end (padding wrote junk
+            # beyond T, but lengths masks it out). ONE batched state
+            # update per group — per-slot .at[] calls cost a ~30 ms relay
+            # dispatch each
+            sl = jnp.asarray([s for s, _ in group])
+            self.lengths = self.lengths.at[sl].set(jnp.asarray(
+                [len(req.prompt) - 1 for _, req in group], jnp.int32))
+            self.tokens = self.tokens.at[sl].set(jnp.asarray(
+                [int(req.prompt[-1]) for _, req in group], jnp.int32))
             for slot, req in group:
-                self.lengths = self.lengths.at[slot].set(len(req.prompt) - 1)
-                self.tokens = self.tokens.at[slot].set(int(req.prompt[-1]))
                 self.slot_req[slot] = req
 
     def step(self) -> None:
-        active = jnp.asarray(
-            [1 if r is not None and not r.done else 0 for r in self.slot_req],
-            jnp.int32,
-        )
         (self.kc, self.vc, self.ks, self.vs, next_tok, self.lengths,
          _) = self._step(self.params, self.kc, self.vc, self.ks, self.vs,
-                         self.tokens, self.lengths, active)
-        toks = np.asarray(next_tok)
+                         self.tokens, self.lengths)
         self.tokens = next_tok
-        for slot, req in enumerate(self.slot_req):
-            if req is None:
-                continue
-            t = int(toks[slot])
-            req.output.append(t)
-            if (req.eos_id is not None and t == req.eos_id) or (
-                len(req.output) >= req.max_new_tokens
-            ):
-                req.done = True
-                self.finished.append(req)
-                self.slot_req[slot] = None
-                self.lengths = self.lengths.at[slot].set(0)
+        self._harvest(np.asarray(next_tok)[None])
 
-    def run(self, progress: Callable[[int, int], None] | None = None) -> list[Request]:
+    def _harvest(self, tok_rows: np.ndarray) -> None:
+        """Fold (n_steps, B) generated tokens into the per-request outputs;
+        retire requests at eos/max_new_tokens (later window rows for a
+        retired slot are the junk the lock-step kept decoding — dropped).
+        Freed slots reset lengths in ONE batched update."""
+        freed: list[int] = []
+        for row in tok_rows:
+            for slot, req in enumerate(self.slot_req):
+                if req is None:
+                    continue
+                t = int(row[slot])
+                req.output.append(t)
+                if (req.eos_id is not None and t == req.eos_id) or (
+                    len(req.output) >= req.max_new_tokens
+                ):
+                    req.done = True
+                    self.finished.append(req)
+                    self.slot_req[slot] = None
+                    freed.append(slot)
+        if freed:
+            self.lengths = self.lengths.at[jnp.asarray(freed)].set(0)
+
+    def run(self, progress: Callable[[int, int], None] | None = None,
+            window: int = 1) -> list[Request]:
+        """Drain the queue. window > 1 runs that many lock-steps per host
+        round-trip (one on-device lax.scan + one token fetch): slots
+        refill only on window boundaries and a request finishing
+        mid-window idles its slot until the boundary — the standard
+        lock-step amortization; outputs are identical to window=1
+        (greedy argmax per slot depends only on that slot's own cache)."""
         while self.queue or any(r is not None for r in self.slot_req):
             self._fill_slots()
-            self.step()
+            if window == 1:
+                self.step()
+            else:
+                (self.kc, self.vc, self.ks, self.vs, self.tokens,
+                 self.lengths, toks) = self._window(
+                     self.params, self.kc, self.vc, self.ks, self.vs,
+                     self.tokens, self.lengths, n=window)
+                self._harvest(np.asarray(toks))
             if progress:
                 progress(len(self.finished), len(self.queue))
         out = sorted(self.finished, key=lambda r: r.uid)

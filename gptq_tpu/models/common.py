@@ -536,7 +536,8 @@ def block_forward(
     attention runs against the full cache prefix (decode path); otherwise
     S = T (calibration/eval path).
 
-    With `defer_write` (T == 1, scalar cache_len), the block does NOT
+    With `defer_write` (T == 1; scalar or per-slot (B,) cache_len), the
+    block does NOT
     write the cache: attention covers slots < cache_len from the buffer
     plus the token's own k/v merged exactly (self softmax column /
     in-kernel fresh pair), and new_kv returns the FRESH (B, 1, kvh, hd)
@@ -628,7 +629,10 @@ def block_forward(
                 "provides them); casting values to int8 without scales "
                 "silently truncates")
         if defer_write:
-            assert T == 1 and getattr(cache_len, "ndim", 0) == 0
+            # cache_len: scalar (model_forward) or per-slot (B,) vector
+            # (continuous batching) — the attention kernels take lens per
+            # batch row and the XLA path masks from the caller's mask
+            assert T == 1 and getattr(cache_len, "ndim", 0) <= 1
             new_kv = (k, v)  # FRESH rows; the caller writes them
 
             def _kernel_attn(impl):

@@ -115,6 +115,28 @@ def test_batched_refill_one_dispatch_per_bucket():
     assert cb2.prefill_calls == 2, cb2.prefill_calls
 
 
+def test_windowed_run_matches_stepwise():
+    """run(window=n) — n lock-steps per host round-trip via one on-device
+    scan — must produce exactly the window=1 outputs, for both cache
+    dtypes, including mid-window finishes and slot refills."""
+    import pytest
+
+    params = init_params(SPEC, jax.random.PRNGKey(5))
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(1, 61, size=(n,)) for n in (4, 6, 5, 7, 3)]
+
+    for dtype in (jnp.float32, jnp.int8):
+        def run(window):
+            cb = ContinuousBatcher(SPEC, params, batch_slots=2, max_len=64,
+                                   cache_dtype=dtype, prefill_buckets=(8,))
+            for p in prompts:
+                cb.submit(p, max_new_tokens=6)
+            return [r.output for r in cb.run(window=window)]
+
+        if run(4) != run(1):
+            pytest.fail(f"windowed outputs diverge for {dtype}")
+
+
 def test_submit_rejects_overlong_request():
     """prompt + max_new_tokens beyond the cache max_len must fail loudly at
     submit time, not scribble past the KV buffer during prefill."""
