@@ -35,12 +35,15 @@ PREFIX = 1024
 
 
 def run_chain(step_state, step_fn, length):
-    """Chain `length` decode steps on device from (tok, state)."""
+    """Chain `length` decode steps on device from (tok, state). weights
+    are a jit OPERAND — closure-captured arrays embed in the lowered
+    module as constants (~1.7 GB here), which the remote compile service
+    drops after ~25 min (this script found that the hard way)."""
     @jax.jit
-    def run(state):
+    def run(weights, state):
         def body(carry, _):
             tok, st = carry
-            logits, st = step_fn(st, tok)
+            logits, st = step_fn(weights, st, tok)
             nxt = jnp.argmax(logits, axis=-1).reshape(1, 1)
             return (nxt, st), None
 
@@ -51,13 +54,13 @@ def run_chain(step_state, step_fn, length):
     return run
 
 
-def timed(fn, state, reps=3):
+def timed(fn, weights, state, reps=3):
     # the relayed compile service occasionally drops a long request
     # (broken pipe); the compilation cache keeps earlier programs, so one
     # retry resumes rather than restarts
     for attempt in range(3):
         try:
-            out = fn(state)
+            out = fn(weights, state)
             break
         except Exception as e:  # noqa: BLE001
             if attempt == 2:
@@ -69,22 +72,23 @@ def timed(fn, state, reps=3):
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(state)
+        out = fn(weights, state)
         int(np.asarray(out))
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
 
 # --- flat path: int8 KV cache, fused a8 serving ---
-def flat_step(cache, tok):
-    logits, cache = model_forward(spec, fused, tok, cache)
+def flat_step(weights, cache, tok):
+    logits, cache = model_forward(spec, weights, tok, cache)
     return logits[:, -1], cache
 
 
 flat_cache = KVCache.init(spec, 1, 2048, jnp.int8)
 flat_cache = flat_cache._replace(length=jnp.asarray(PREFIX, jnp.int32))
-t_half = timed(run_chain(flat_cache, flat_step, N_TOK // 2), flat_cache)
-t_full = timed(run_chain(flat_cache, flat_step, N_TOK), flat_cache)
+t_half = timed(run_chain(flat_cache, flat_step, N_TOK // 2), fused,
+               flat_cache)
+t_full = timed(run_chain(flat_cache, flat_step, N_TOK), fused, flat_cache)
 flat_tok = (t_full - t_half) / (N_TOK - N_TOK // 2)
 print(f"flat int8-KV decode: {flat_tok*1e3:.3f} ms/token @ prefix {PREFIX}")
 
@@ -105,8 +109,9 @@ spc = SPCache(
     meta=(Tc, ml))
 sp_step = make_sp_decode_step(spec, fused, mesh, spc.meta, int8_cache=True,
                               check_capacity=False)
-t_half = timed(run_chain(spc, sp_step.inner, N_TOK // 2), spc)
-t_full = timed(run_chain(spc, sp_step.inner, N_TOK), spc)
+t_half = timed(run_chain(spc, sp_step.inner, N_TOK // 2), sp_step.weights,
+               spc)
+t_full = timed(run_chain(spc, sp_step.inner, N_TOK), sp_step.weights, spc)
 sp_tok = (t_full - t_half) / (N_TOK - N_TOK // 2)
 print(f"sp=1 SPCache decode: {sp_tok*1e3:.3f} ms/token @ prefix {PREFIX}")
 print(f"ratio sp1/flat: {sp_tok/flat_tok:.3f} (<= ~1.1 = no regression)")

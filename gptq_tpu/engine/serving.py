@@ -104,21 +104,25 @@ class SPEngine:
         lax.scan over the unguarded step (the TPU-idiomatic serving loop;
         the reference syncs per token, opt.py:489-501)."""
         if meta not in self._chunks:
-            inner = self._step_for(meta).inner
-            local = self._local
+            step_obj = self._step_for(meta)
+            inner = step_obj.inner
+            # weights ride as a jit OPERAND (first arg): closure-captured
+            # arrays embed in the lowered module as constants — ~GBs of
+            # packed weights per program at 7B scale, which the remote
+            # compile service cannot take (parallel/sp.py _inner note)
+            weights = (self._local if self._local is not None
+                       else step_obj.weights)
 
-            @partial(jax.jit, static_argnums=(2, 3))
-            def chunk(cache, tok, n: int, check: bool, forced=None):
+            @partial(jax.jit, static_argnums=(3, 4))
+            def chunk(weights, cache, tok, n: int, check: bool,
+                      forced=None):
                 """forced (n, B) overrides the greedy pick (benchmark
                 protocol feeds a fixed sequence); with check=True also
                 accumulates next-token NLL of the forced sequence."""
 
                 def body(carry, x):
                     tok, cache, nll = carry
-                    if local is not None:
-                        logits, cache = inner(local, cache, tok)
-                    else:
-                        logits, cache = inner(cache, tok)
+                    logits, cache = inner(weights, cache, tok)
                     nxt = jnp.argmax(logits, axis=-1)
                     if forced is not None:
                         if check:
@@ -134,7 +138,7 @@ class SPEngine:
                     body, (tok, cache, jnp.zeros((), jnp.float32)), xs)
                 return tok, cache, toks, nll
 
-            self._chunks[meta] = chunk
+            self._chunks[meta] = partial(chunk, weights)
         return self._chunks[meta]
 
     # -- serving API --------------------------------------------------------

@@ -580,10 +580,19 @@ def make_sp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
         check_vma=False,
     )
 
-    def _step(cache: SPCache, token: jax.Array):
+    weights = (stacked, hp)
+
+    def _inner(weights, cache: SPCache, token: jax.Array):
+        # weights is a jit OPERAND, never a closure capture: arrays closed
+        # over by a traced fn are embedded in the lowered module as
+        # constants, and at 7B scale that ships ~GBs of packed weights to
+        # the compiler per program (chip: the remote compile service
+        # drops the request after ~25 min; experiments/r3_sp1_ab_chip.py
+        # first found this)
+        stacked_, hp_ = weights
         dummy = jnp.zeros((), jnp.float32)
         logits, ck, cv, ks, vs, pos = fwd(
-            stacked, hp["embed"], hp["final_ln"], hp["lm_head"],
+            stacked_, hp_["embed"], hp_["final_ln"], hp_["lm_head"],
             cache.k, cache.v,
             cache.k_scale if int8_cache else dummy,
             cache.v_scale if int8_cache else dummy,
@@ -593,7 +602,7 @@ def make_sp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
             k_scale=ks if int8_cache else None,
             v_scale=vs if int8_cache else None, meta=cache.meta)
 
-    step_jit = jax.jit(_step)
+    step_jit = jax.jit(_inner)
 
     def step(cache: SPCache, token: jax.Array):
         # host-side guards (OUTSIDE jit — length is a concrete array here)
@@ -618,10 +627,12 @@ def make_sp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
                     f"SPCache full: {int(cache.length)} tokens stored, "
                     f"capacity {Tc * sp + (ml - Tc) * sp} "
                     f"(prompt {Tc * sp} + headroom {(ml - Tc) * sp})")
-        return step_jit(cache, token)
+        return step_jit(weights, cache, token)
 
-    step.inner = _step  # unguarded: for on-device chained loops
+    step.inner = _inner  # unguarded (weights, cache, token): for
+    # on-device chained loops — pass step.weights THROUGH the outer jit
     # (engine/serving.py lax.scans over it; guards run once on the host)
+    step.weights = weights
     step.capacity = lambda cache: (Tc * sp + (ml - Tc) * sp)
     return step
 
