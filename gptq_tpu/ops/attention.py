@@ -294,6 +294,15 @@ def _attn_kernel_wide(G, Sb, n_sb, Hkv, hd, H, has_scales, has_fresh,
     # decode step (~2.7 ms/step at 8k) because the carry changes
     kb = k_ref[0, 0].reshape(Sb, Hkv * hd).astype(jnp.bfloat16)
     vb = v_ref[0, 0].reshape(Sb, Hkv * hd).astype(jnp.bfloat16)
+    if G > 1:
+        # GQA: the probability plane expands to H*hd lanes but the value
+        # slab only has Hkv*hd — replicate each kv head's hd-lane block
+        # per query head (static lane slices at hd multiples, a VMEM
+        # copy of the slab x G; scores need no expansion, qmat's
+        # block-diagonal already maps kv(h) = h // G)
+        vb = jnp.concatenate(
+            [vb[:, (h // G) * hd:(h // G + 1) * hd] for h in range(H)],
+            axis=-1)  # (Sb, H*hd)
 
     sc = jax.lax.dot_general(kb, qmat, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)  # (Sb, H)
@@ -336,6 +345,10 @@ def _attn_kernel_wide(G, Sb, n_sb, Hkv, hd, H, has_scales, has_fresh,
         if has_fresh:
             fk = fk_ref[0].astype(jnp.bfloat16)  # (1, Hkv*hd)
             fv = fv_ref[0].astype(jnp.bfloat16)
+            if G > 1:  # GQA value expansion, as for the slab above
+                fv = jnp.concatenate(
+                    [fv[:, (h // G) * hd:(h // G + 1) * hd]
+                     for h in range(H)], axis=-1)  # (1, H*hd)
             scf = jax.lax.dot_general(fk, qmat, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
             m_new = jnp.maximum(m_ref[:], scf)  # (1, H)
@@ -475,6 +488,193 @@ def decode_attention_wide(
         interpret=interpret,
     )(*operands)
     return out.reshape(B, H, hd)
+
+
+# ---------------------------------------------------------------------------
+# wide partial (unnormalized) variant for context-parallel decode
+# ---------------------------------------------------------------------------
+
+def _attn_partial_wide_kernel(G, Sb, n_sb, Hkv, hd, H, has_scales,
+                              has_slopes, *refs):
+    """Wide (all-heads-per-MXU-dot) variant of _attn_partial_kernel: one
+    (batch, S-block) program emitting UNNORMALIZED online-softmax state
+    (m, l, acc) over content-masked slots. Same three-wide-dots block
+    structure as _attn_kernel_wide; the slot position plane arrives as an
+    (S, 1) column so validity/alibi broadcast over the (Sb, H) score
+    plane without any in-kernel transpose."""
+    idx = 0
+    slopes_ref = None
+    if has_slopes:
+        slopes_ref = refs[idx]  # (1, H) VMEM
+        idx += 1
+    pos_ref, qmat_ref, e_ref, ekv_ref, k_ref, v_ref = refs[idx:idx + 6]
+    idx += 6
+    if has_scales:
+        ks_ref, vs_ref = refs[idx:idx + 2]
+        idx += 2
+    acc_out, m_out, l_out, acc_ref, m_ref, l_ref = refs[idx:idx + 6]
+    sb = pl.program_id(1)
+
+    @pl.when(sb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    qmat = qmat_ref[0]  # (Hkv*hd, H) bf16, sm_scale folded
+    e = e_ref[:]  # (H, H*hd) bf16 block-diag ones
+    kb = k_ref[0, 0].reshape(Sb, Hkv * hd).astype(jnp.bfloat16)
+    vb = v_ref[0, 0].reshape(Sb, Hkv * hd).astype(jnp.bfloat16)
+    if G > 1:  # GQA value expansion (see _attn_kernel_wide)
+        vb = jnp.concatenate(
+            [vb[:, (h // G) * hd:(h // G + 1) * hd] for h in range(H)],
+            axis=-1)  # (Sb, H*hd)
+
+    sc = jax.lax.dot_general(kb, qmat, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (Sb, H)
+    if has_scales:
+        kse = jax.lax.dot_general(
+            ks_ref[0, 0], ekv_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (Sb, H)
+        sc = sc * kse
+    pos = pos_ref[:]  # (Sb, 1) int32, -1 = empty
+    valid = pos >= 0  # broadcasts over (Sb, H)
+    if has_slopes:
+        # HF BLOOM: slope * key_pos (the query position cancels in softmax)
+        sc = sc + jnp.maximum(pos, 0).astype(jnp.float32) * slopes_ref[:]
+    sc = jnp.where(valid, sc, NEG_INF)
+
+    m_blk = jnp.max(sc, axis=0, keepdims=True)  # (1, H)
+    m_new = jnp.maximum(m_ref[:], m_blk)
+    alpha = jnp.exp(m_ref[:] - m_new)  # (1, H)
+    p = jnp.exp(sc - m_new)  # (Sb, H)
+    p = jnp.where(valid, p, 0.0)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=0, keepdims=True)
+    m_ref[:] = m_new
+
+    if has_scales:
+        vse = jax.lax.dot_general(
+            vs_ref[0, 0], ekv_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        p = p * vse
+    p_exp = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), e, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (Sb, H*hd)
+    pv = jax.lax.dot_general(
+        jnp.ones((1, Sb), jnp.bfloat16),
+        (p_exp.astype(jnp.bfloat16) * vb), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (1, H*hd)
+    alpha_exp = jax.lax.dot_general(
+        alpha.astype(jnp.bfloat16), e, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * alpha_exp + pv
+
+    @pl.when(sb == n_sb - 1)
+    def _():
+        acc_out[0] = acc_ref[:]
+        m_out[0] = m_ref[:]
+        l_out[0] = l_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "layer",
+                                              "interpret"))
+def decode_attention_partial_wide(
+    q: jax.Array,  # (B, H, hd) queries for ONE token
+    k: jax.Array,  # (B, S, Hkv, hd) or (L, B, S, Hkv, hd) with `layer`
+    v: jax.Array,
+    pos: jax.Array,  # (S,) int32 global position per slot, -1 = empty
+    sm_scale: float,
+    k_scale: jax.Array | None = None,  # (B, S, Hkv) / (L, B, S, Hkv)
+    v_scale: jax.Array | None = None,
+    slopes: jax.Array | None = None,  # (H,) alibi slopes
+    layer: int | None = None,  # STATIC index into the leading L dim
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """decode_attention_partial through the wide kernel: same (m, l, acc)
+    contract, but all heads per MXU dot and the cache consumable as the
+    WHOLE (L, B, S, Hkv, hd) stack with a STATIC layer index (avoids
+    XLA's sliced-operand copy + caller-side relayout before a custom
+    call — the two hidden per-step costs decode_attention_wide killed on
+    the flat path, DESIGN.md round 4). Requires hd % 128 == 0. Unlike the
+    narrow partial kernel, alibi slopes compose with GQA (the bias is a
+    (Sb, 1) x (1, H) outer product on the score plane)."""
+    B, H, hd = q.shape
+    stacked = layer is not None
+    if not stacked:
+        layer = 0
+        k = k[None]
+        v = v[None]
+        if k_scale is not None:
+            k_scale, v_scale = k_scale[None], v_scale[None]
+    L, _, S, Hkv, _ = k.shape
+    li = int(layer)
+    G = H // Hkv
+    has_scales = k_scale is not None
+    has_slopes = slopes is not None
+    Sb = min(_pick_sb(S, Hkv * hd * k.dtype.itemsize), 256)
+    while S % Sb:
+        Sb //= 2
+    n_sb = S // Sb
+
+    qmat, e, ekv = _wide_operands(q, float(sm_scale), Hkv, hd)
+    pos2 = jnp.asarray(pos, jnp.int32).reshape(S, 1)
+
+    in_specs = []
+    operands = []
+    if has_slopes:
+        in_specs.append(pl.BlockSpec((1, H), lambda b, s: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(slopes.astype(jnp.float32).reshape(1, H))
+    in_specs += [
+        pl.BlockSpec((Sb, 1), lambda b, s: (s, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Hkv * hd, H), lambda b, s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, H * hd), lambda b, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Hkv, H), lambda b, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Sb, Hkv, hd), lambda b, s: (li, b, s, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Sb, Hkv, hd), lambda b, s: (li, b, s, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands += [pos2, qmat, e, ekv, k, v]
+    if has_scales:
+        in_specs += [pl.BlockSpec((1, 1, Sb, Hkv),
+                                  lambda b, s: (li, b, s, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+        operands += [k_scale, v_scale]
+
+    acc, m, l = pl.pallas_call(
+        functools.partial(_attn_partial_wide_kernel, G, Sb, n_sb, Hkv, hd,
+                          H, has_scales, has_slopes),
+        grid=(B, n_sb),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, H * hd), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, H * hd), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, H * hd), jnp.float32),
+            pltpu.VMEM((1, H), jnp.float32),
+            pltpu.VMEM((1, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*operands)
+    return m[:, 0], l[:, 0], acc.reshape(B, H, hd)
 
 
 # ---------------------------------------------------------------------------
