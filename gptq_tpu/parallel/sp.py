@@ -367,33 +367,53 @@ def _sp_attn_impl(int8: bool) -> str | None:
     return "tpu" if int8 and jax.default_backend() == "tpu" else None
 
 
-def _sp_decode_attention(spec: ArchSpec, q, kc, vc, ksc, vsc, pos_local,
-                         slopes):
+def _sp_partial(spec: ArchSpec, q, ck, cv, ksc, vsc, pos_local, slopes,
+                layer: int):
     """Per-device partial online-softmax attention of one query step
-    against the local cache slots (int8 slots dequantize via the ksc/vsc
-    scale planes; None for bf16/f32 slots). Returns (m, l, acc) for the
-    cross-device combine:
+    against the local cache slots of one layer (int8 slots dequantize via
+    the ksc/vsc scale planes; None for bf16/f32 slots). Returns (m, l,
+    acc) for the fresh-pair merge + cross-device combine:
     out = sum_d exp(m_d - M) acc_d / sum_d exp(m_d - M) l_d.
 
-    On TPU with int8 slots the partial-attention Pallas kernel consumes
-    the int8 slabs + scale planes directly (see _sp_attn_impl); the jnp
+    The slabs arrive as the WHOLE (L, B, ml, kvh, hd) local stack with a
+    STATIC layer index — on the kernel paths the block index_map slices
+    the layer, so XLA never materializes a sliced-operand copy before the
+    custom call and the cache never relayouts (the two hidden per-step
+    costs the flat path killed in round 4, DESIGN.md). The stack is never
+    modified mid-step: decode appends are deferred to ONE batched write
+    after the layer loop (see make_sp_decode_step).
+
+    On TPU with int8 slots the wide partial-attention Pallas kernel
+    consumes the int8 slabs + scale planes directly (hd lane-aligned;
+    see _sp_attn_impl), the narrow one covers other head dims; the jnp
     body below is the oracle/CPU path."""
     B, T, H, hd = q.shape  # T == 1
     impl = _sp_attn_impl(ksc is not None)
-    S = kc.shape[1]
+    S = ck.shape[2]
+    kvh = ck.shape[3]
     # compiled mode wants tile-aligned slab blocks; odd capacities (tiny
     # test meshes) keep the jnp path
     if impl is not None and (impl == "interpret" or S % 128 == 0):
-        from gptq_tpu.ops.attention import decode_attention_partial
+        if hd % 128 == 0:
+            from gptq_tpu.ops.attention import decode_attention_partial_wide
 
-        return decode_attention_partial(
-            q[:, 0], kc, vc, pos_local, spec.scale, k_scale=ksc,
-            v_scale=vsc, slopes=slopes, interpret=impl == "interpret")
-    kvh = kc.shape[2]
+            return decode_attention_partial_wide(
+                q[:, 0], ck, cv, pos_local, spec.scale, k_scale=ksc,
+                v_scale=vsc, slopes=slopes, layer=layer,
+                interpret=impl == "interpret")
+        if slopes is None or H == kvh:  # narrow kernel: alibi needs G=1
+            from gptq_tpu.ops.attention import decode_attention_partial
+
+            return decode_attention_partial(
+                q[:, 0], ck[layer], cv[layer], pos_local, spec.scale,
+                k_scale=None if ksc is None else ksc[layer],
+                v_scale=None if vsc is None else vsc[layer],
+                slopes=slopes, interpret=impl == "interpret")
+    kc, vc = ck[layer], cv[layer]
     rep = H // kvh
     if ksc is not None:
-        kc = kc.astype(jnp.float32) * ksc[..., None]
-        vc = vc.astype(jnp.float32) * vsc[..., None]
+        kc = kc.astype(jnp.float32) * ksc[layer][..., None]
+        vc = vc.astype(jnp.float32) * vsc[layer][..., None]
     kr = jnp.repeat(kc, rep, axis=2) if rep > 1 else kc
     vr = jnp.repeat(vc, rep, axis=2) if rep > 1 else vc
     qf = q[:, 0].astype(jnp.float32) * spec.scale  # (B, H, hd)
@@ -412,36 +432,72 @@ def _sp_decode_attention(spec: ArchSpec, q, kc, vc, ksc, vsc, pos_local,
     return m, l, acc
 
 
-def _sp_attend_update(spec, q, k, v, slabs, my_turn, slot, pos_new, slopes,
+def _sp_fresh_combine(spec, q, k, v, parts, my_turn, length, slopes,
                       sp_axis):
-    """Shared decode core: append the new token's k/v into the local slab
-    on the owning device (quantizing when the slab is int8), run the
-    partial attention, and combine exactly across the sp axis. Returns
-    (attn out (B, 1, H*hd), updated slabs)."""
-    ckl, cvl, ksl, vsl = slabs
-    if ksl is not None:
+    """Merge the current token's own (un-written, exact) k/v pair into the
+    owning device's partial state, then combine exactly across the sp
+    axis. The fresh token never touches the slabs here — the caller
+    batches ALL layers' appends into one write after the layer loop (the
+    per-layer slab read-modify-write this replaces rewrote the whole
+    local cache every step; chip A/B results/r3_sp1_ab_chip.txt).
+    Returns attention out (B, 1, H*hd)."""
+    m, l, acc = parts  # (B, H), (B, H), (B, H, hd)
+    B, T, H, hd = q.shape  # T == 1
+    kvh = k.shape[2]
+    rep = H // kvh
+    qf = q[:, 0].astype(jnp.float32) * spec.scale  # (B, H, hd)
+    kf = k[:, 0].astype(jnp.float32)
+    vf = v[:, 0].astype(jnp.float32)
+    if rep > 1:
+        kf = jnp.repeat(kf, rep, axis=1)
+        vf = jnp.repeat(vf, rep, axis=1)
+    sf = jnp.sum(qf * kf, axis=-1)  # (B, H) score of the fresh pair
+    if slopes is not None:  # fresh key position = length (same
+        # slope * key_pos convention as the slab path)
+        sf = sf + slopes[None, :] * jnp.asarray(length, jnp.float32)
+    sf = jnp.where(my_turn, sf, -jnp.inf)  # only the owner attends it
+    m2 = jnp.maximum(m, sf)
+    shift = jnp.maximum(m2, -1e30)
+    a_old = jnp.exp(jnp.maximum(m, -1e30) - shift)
+    p_f = jnp.where(my_turn, jnp.exp(sf - shift), 0.0)
+    l2 = l * a_old + p_f
+    acc2 = acc * a_old[..., None] + p_f[..., None] * vf
+    M = jax.lax.pmax(m2, sp_axis)
+    w = jnp.exp(jnp.maximum(m2, -1e30) - jnp.maximum(M, -1e30))
+    l_g = jax.lax.psum(w * l2, sp_axis)
+    acc_g = jax.lax.psum(w[..., None] * acc2, sp_axis)
+    out = acc_g / l_g[..., None]
+    return out.reshape(B, 1, H * hd).astype(q.dtype)
+
+
+def _sp_write_fresh(ck, cv, ksc, vsc, fresh, my_turn, slot, int8: bool):
+    """ONE batched deferred append for all layers: stack the per-layer
+    fresh k/v pairs (quantizing when the slabs are int8) and write them
+    at the owning device's slot — non-owners rewrite their existing row
+    in place. Replaces L per-layer slab updates per step."""
+    fk = jnp.stack([f[0] for f in fresh])  # (L, B, 1, kvh, hd)
+    fv = jnp.stack([f[1] for f in fresh])
+    if int8:
         from gptq_tpu.models.common import _quantize_kv
 
-        kq, ksn = _quantize_kv(k)
-        vq, vsn = _quantize_kv(v)
-        k, v = kq, vq
-        ksl = jax.lax.dynamic_update_index_in_dim(
-            ksl, jnp.where(my_turn, ksn[:, 0], ksl[:, slot]), slot, 1)
-        vsl = jax.lax.dynamic_update_index_in_dim(
-            vsl, jnp.where(my_turn, vsn[:, 0], vsl[:, slot]), slot, 1)
-    kw = jnp.where(my_turn, k[:, 0].astype(ckl.dtype), ckl[:, slot])
-    vw = jnp.where(my_turn, v[:, 0].astype(cvl.dtype), cvl[:, slot])
-    ckl = jax.lax.dynamic_update_index_in_dim(ckl, kw, slot, 1)
-    cvl = jax.lax.dynamic_update_index_in_dim(cvl, vw, slot, 1)
-    m, l, acc = _sp_decode_attention(spec, q, ckl, cvl, ksl, vsl,
-                                     pos_new, slopes)
-    M = jax.lax.pmax(m, sp_axis)
-    w = jnp.exp(jnp.maximum(m, -1e30) - jnp.maximum(M, -1e30))
-    l_g = jax.lax.psum(w * l, sp_axis)
-    acc_g = jax.lax.psum(w[..., None] * acc, sp_axis)
-    out = acc_g / l_g[..., None]
-    B, H, hd = out.shape
-    return out.reshape(B, 1, H * hd).astype(q.dtype), (ckl, cvl, ksl, vsl)
+        kq, ksn = jax.vmap(_quantize_kv)(fk)
+        vq, vsn = jax.vmap(_quantize_kv)(fv)
+        old = jax.lax.dynamic_slice_in_dim(ksc, slot, 1, axis=2)
+        ksc = jax.lax.dynamic_update_slice_in_dim(
+            ksc, jnp.where(my_turn, ksn, old), slot, axis=2)
+        old = jax.lax.dynamic_slice_in_dim(vsc, slot, 1, axis=2)
+        vsc = jax.lax.dynamic_update_slice_in_dim(
+            vsc, jnp.where(my_turn, vsn, old), slot, axis=2)
+        fkw, fvw = kq, vq
+    else:
+        fkw, fvw = fk.astype(ck.dtype), fv.astype(cv.dtype)
+    old = jax.lax.dynamic_slice_in_dim(ck, slot, 1, axis=2)
+    ck = jax.lax.dynamic_update_slice_in_dim(
+        ck, jnp.where(my_turn, fkw, old), slot, axis=2)
+    old = jax.lax.dynamic_slice_in_dim(cv, slot, 1, axis=2)
+    cv = jax.lax.dynamic_update_slice_in_dim(
+        cv, jnp.where(my_turn, fvw, old), slot, axis=2)
+    return ck, cv, ksc, vsc
 
 
 def make_sp_cache_prefill(spec: ArchSpec, params: dict, mesh: Mesh,
@@ -509,16 +565,23 @@ def make_sp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
     (decode step t lands on device t mod sp) so headroom drains evenly.
     int8_cache=True expects an SPCache built with cache_dtype=int8 (scale
     planes present; appends quantize dynamically). Weights are replicated
-    (make_sp_tp_decode_step composes with tp)."""
+    (make_sp_tp_decode_step composes with tp).
+
+    The layer loop is a PYTHON loop (static layer indices) so the partial
+    attention kernel reads the UNMODIFIED (L, B, ml, kvh, hd) slab stack
+    straight from HBM — no sliced-operand copies — and all L fresh k/v
+    pairs land in ONE batched deferred write after the loop. The previous
+    lax.scan-over-layers carried the slabs through per-layer updates,
+    which rewrote the whole local cache every step (chip A/B: 2.88x flat
+    decode at sp=1, results/r3_sp1_ab_chip.txt)."""
     sp = mesh.shape[axis]
     Tc, ml = meta
-    stacked = _stack_trees(params["layers"])
     hp = {"embed": params["embed"], "final_ln": params.get("final_ln"),
           "lm_head": params.get("lm_head")}
     rep_sh = NamedSharding(mesh, P())
-    stacked = jax.tree_util.tree_map(
+    layers_rep = jax.tree_util.tree_map(
         lambda v: None if v is None else jax.device_put(v, rep_sh),
-        stacked, is_leaf=lambda v: v is None)
+        params["layers"], is_leaf=lambda v: v is None)
 
     def shmap_body(layers, embed, final_ln, lm_head, ck, cv, ksc, vsc,
                    pos, length, token):
@@ -536,35 +599,33 @@ def make_sp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
         slopes = (jnp.asarray(alibi_slopes(spec.n_heads), jnp.float32)
                   if spec.pos == "alibi" else None)
 
-        cell = {}
-
-        def decode_attn(spec_, q, k, v, mask, plain_causal=False):
-            out, cell["slabs"] = _sp_attend_update(
-                spec_, q, k, v, cell["slabs"], my_turn, slot, pos_new,
-                slopes, axis)
-            return out
-
+        ksL = ksc if int8_cache else None
+        vsL = vsc if int8_cache else None
+        fresh = []
         h = embed_forward(spec, hparams, token, positions)
+        for i, lp in enumerate(layers):
+            def decode_attn(spec_, q, k, v, mask, plain_causal=False, i=i):
+                # mask with the OLD pos plane: the fresh token is not in
+                # the slabs yet (deferred write) — it enters exactly once
+                # via the fresh-pair merge; pos_new only describes the
+                # state AFTER this step's write
+                parts = _sp_partial(spec_, q, ck, cv, ksL, vsL, pos,
+                                    slopes, i)
+                fresh.append((k, v))
+                return _sp_fresh_combine(spec_, q, k, v, parts, my_turn,
+                                         length, slopes, axis)
 
-        def body(hc, xs):
-            lp, slabs = xs
-            cell["slabs"] = slabs
-            out, _, _ = block_forward(spec, lp, hc, positions=positions,
+            out, _, _ = block_forward(spec, lp, h, positions=positions,
                                       mask=None, rope=rope,
                                       attn_fn=decode_attn)
-            return out.astype(hc.dtype), cell.pop("slabs")
-
-        slabs0 = ((ck, cv, ksc, vsc) if int8_cache else
-                  (ck, cv, None, None))
-        h, new_slabs = jax.lax.scan(body, h, (layers, slabs0))
+            h = out.astype(h.dtype)
         logits = head_forward(spec, hparams, h)
-        ck_n, cv_n = new_slabs[0], new_slabs[1]
-        ks_n = new_slabs[2] if int8_cache else ksc
-        vs_n = new_slabs[3] if int8_cache else vsc
+        ck_n, cv_n, ks_n, vs_n = _sp_write_fresh(
+            ck, cv, ksc, vsc, fresh, my_turn, slot, int8_cache)
         return logits[:, -1], ck_n, cv_n, ks_n, vs_n, pos_new
 
     layer_specs = jax.tree_util.tree_map(
-        lambda v: None if v is None else P(), stacked,
+        lambda v: None if v is None else P(), layers_rep,
         is_leaf=lambda v: v is None)
     rep = jax.tree_util.tree_map(
         lambda v: None if v is None else P(),
@@ -580,7 +641,7 @@ def make_sp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
         check_vma=False,
     )
 
-    weights = (stacked, hp)
+    weights = (layers_rep, hp)
 
     def _inner(weights, cache: SPCache, token: jax.Array):
         # weights is a jit OPERAND, never a closure capture: arrays closed
@@ -751,29 +812,26 @@ def make_sp_tp_decode_step(spec: ArchSpec, params: dict, mesh: Mesh,
         slopes = (_local_slopes(spec, tp_axis, tp)
                   if spec.pos == "alibi" else None)
 
+        ksL = ksc if int8_cache else None
+        vsL = vsc if int8_cache else None
+        fresh = []
         h = embed_forward(spec, p, token, positions)
-        outs = []
         for i, bp in enumerate(p["layers"]):
-            cell = {"slabs": (ck[i], cv[i],
-                              ksc[i] if int8_cache else None,
-                              vsc[i] if int8_cache else None)}
-
-            def decode_attn(spec_, q, k, v, mask, plain_causal=False,
-                            cell=cell):
-                out, cell["slabs"] = _sp_attend_update(
-                    spec_, q, k, v, cell["slabs"], my_turn, slot,
-                    pos_new, slopes, sp_axis)
-                return out
+            def decode_attn(spec_, q, k, v, mask, plain_causal=False, i=i):
+                # OLD pos plane: deferred write — the fresh pair enters
+                # exactly once via the merge (see make_sp_decode_step)
+                parts = _sp_partial(spec_, q, ck, cv, ksL, vsL, pos,
+                                    slopes, i)
+                fresh.append((k, v))
+                return _sp_fresh_combine(spec_, q, k, v, parts, my_turn,
+                                         length, slopes, sp_axis)
 
             h, _, _ = block_forward(spec, bp, h, positions=positions,
                                     mask=None, rope=rope, tp_axis=tp_axis,
                                     attn_fn=decode_attn)
-            outs.append(cell.pop("slabs"))
         logits = head_forward(spec, p, h, tp_axis=tp_axis)
-        ck_n = jnp.stack([o[0] for o in outs])
-        cv_n = jnp.stack([o[1] for o in outs])
-        ks_n = jnp.stack([o[2] for o in outs]) if int8_cache else ksc
-        vs_n = jnp.stack([o[3] for o in outs]) if int8_cache else vsc
+        ck_n, cv_n, ks_n, vs_n = _sp_write_fresh(
+            ck, cv, ksc, vsc, fresh, my_turn, slot, int8_cache)
         return logits[:, -1], ck_n, cv_n, ks_n, vs_n, pos_new
 
     cshard = P(None, None, sp_axis, tp_axis)

@@ -95,20 +95,25 @@ def test_sp_decode_exact_combine_per_layer():
         step = make_sp_decode_step(spec, params, mesh, spc.meta,
                                    check_capacity=False)
         reps[nl] = collective_report(step, spc, tok, n_devices=4)
-    # the sp step scans stacked layers, so the per-layer combine appears
-    # ONCE in program text (identical counts at both depths proves the
-    # collectives all live in the scan body)
-    assert reps[2]["counts"] == reps[4]["counts"], (reps[2], reps[4])
-    counts = dict(reps[4]["counts"])
-    # exact cross-device online-softmax combine: pmax(m) + psum(l, acc)
-    # (XLA merges the two same-shape psums into one variadic all-reduce);
-    # the cache itself NEVER moves — no all-gather/permute of slots
-    assert counts.pop("all-reduce") == 2, reps[4]
-    assert not counts, counts
+    # the r5 deferred-write sp step unrolls layers as a Python loop (the
+    # partial-attention kernel needs STATIC layer indices into the
+    # unmodified slab stack), so the combine appears once PER LAYER in
+    # program text: exact cross-device online-softmax combine =
+    # pmax(m) + psum(l, acc) (XLA merges the same-shape psums into one
+    # variadic all-reduce -> 2 all-reduces/layer); the cache itself
+    # NEVER moves — no all-gather/permute of slots, nothing else scales
+    # with depth
+    per_layer = _per_layer_counts(reps[2], reps[4])
+    assert per_layer.pop("all-reduce") == 2, (reps[2], reps[4])
+    assert all(v == 0 for v in per_layer.values()), per_layer
+    fixed = {op: reps[2]["counts"].get(op, 0) - 2 * 2
+             for op in ("all-reduce",)}
+    assert fixed["all-reduce"] == 0, reps[2]  # no depth-independent comms
     H, hd = 4, 32
     combine_bytes = (H * hd * 4) + 2 * (H * 4)  # acc + (m, l) per head
+    # payload_bytes sums over the program: nl=4 layers x one combine each
     assert reps[4]["payload_bytes"]["all-reduce"] == pytest.approx(
-        combine_bytes), reps[4]["payload_bytes"]
+        4 * combine_bytes), reps[4]["payload_bytes"]
 
 
 def test_ep_decode_one_psum_per_layer():
