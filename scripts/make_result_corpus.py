@@ -105,6 +105,45 @@ DEEP_CONFIGS = [
     ("w4-rtn", dict(wbits=4, nearest=True)),
 ]
 
+# the DISCRIMINATIVE anchor (VERDICT r4 #5): same architecture trained on
+# the sparse order-1 Markov stream (data.markov_stream) whose held-out
+# PPL floor is the chain's conditional entropy — far below uniform, so
+# any weight perturbation strictly hurts and the bit ordering
+# fp16 < w4 < w3 < w2 (and GPTQ < RTN at matched bits) emerges cleanly;
+# tests/test_result_corpus.py ASSERTS those orderings
+MARKOV_CONFIGS = [
+    ("fp16", dict(wbits=16)),
+    ("w4", dict(wbits=4)),
+    ("w3", dict(wbits=3)),
+    ("w2", dict(wbits=2)),
+    ("w4-rtn", dict(wbits=4, nearest=True)),
+    ("w3-rtn", dict(wbits=3, nearest=True)),
+    ("w3-g32-actorder", dict(wbits=3, groupsize=32, act_order=True,
+                             static_groups=True)),
+]
+
+
+def markov_trained_base(spec, steps: int = 600):
+    """Train the deep spec on the Markov stream. More unique data per
+    step than trained_base (the stream is cheap and overfitting would
+    re-blur the ordering the anchor exists to sharpen)."""
+    from gptq_tpu.data import markov_stream
+    from gptq_tpu.finetune import make_optimizer, make_train_step
+    from gptq_tpu.models.common import init_params
+
+    params = init_params(spec, jax.random.PRNGKey(0))
+    opt = make_optimizer("adamw", lr=5e-4)
+    init, step = make_train_step(spec, opt)
+    st = init(params)
+    T = spec.max_pos
+    data = markov_stream(spec.vocab, 8 * T * steps // 8 + 8 * T, seed=21,
+                         seq_seed=100)
+    for i in range(steps):
+        off = (i * 8 * T) % (len(data) - 8 * T)
+        batch = jnp.asarray(data[off:off + 8 * T].reshape(8, T))
+        params, st, _ = step(params, st, batch)
+    return params
+
 
 class StableWordTokenizer:
     """Deterministic word tokenizer for the offline zero-shot corpus:
@@ -257,6 +296,33 @@ def main() -> int:
             quantize_model(dspec, params, calib, cfg, log=lambda s: None)
         ppl = eval_ppl(dspec, params, test, T)
         line = (f"model = {dname}, dataset = synthetic-s2, "
+                f"config = {tag}, wbits = {cfg.wbits}, "
+                f"groupsize = {cfg.groupsize}, lut = {cfg.lut_eval}, "
+                f"nonLinear = {cfg.non_linear}, "
+                f"columnwise = {cfg.columnwise}, protocol = eval"
+                f"   :   {ppl:.4f}")
+        print(line)
+        lines.append(line)
+    # Markov-stream anchor rows: held-out path (seq_seed=200) from the
+    # SAME transition table — the ordering-discriminative corpus
+    from gptq_tpu.data import markov_stream
+
+    mspec = deep_model()[1]
+    mbase = markov_trained_base(mspec)
+    T = mspec.max_pos
+    mcalib = jnp.asarray(
+        markov_stream(mspec.vocab, 4 * T, seed=21, seq_seed=150)
+        .reshape(4, T))
+    mtest = jnp.asarray(
+        markov_stream(mspec.vocab, 8 * T, seed=21, seq_seed=200)
+        .reshape(1, -1))
+    for tag, over in MARKOV_CONFIGS:
+        params = copy.deepcopy(mbase)
+        cfg = QuantConfig(nsamples=4, seed=0, dataset="synthetic", **over)
+        if cfg.wbits < 16 or cfg.trits:
+            quantize_model(mspec, params, mcalib, cfg, log=lambda s: None)
+        ppl = eval_ppl(mspec, params, mtest, T)
+        line = (f"model = tiny-llama-markov, dataset = markov-s200, "
                 f"config = {tag}, wbits = {cfg.wbits}, "
                 f"groupsize = {cfg.groupsize}, lut = {cfg.lut_eval}, "
                 f"nonLinear = {cfg.non_linear}, "

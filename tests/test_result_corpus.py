@@ -120,6 +120,66 @@ def test_zeroshot_corpus_row_reproduces():
     assert abs(got - want) <= 1.0 / 64 + 1e-9, (got, want)
 
 
+def test_markov_anchor_orders_quant_quality():
+    """The Markov-stream anchor rows (VERDICT r4 #5) must DISCRIMINATE:
+    on held-out data from a learnable process, more aggressive
+    quantization strictly hurts (fp16 < w4 < w3 < w2), GPTQ beats RTN at
+    matched bits, and act-order+groups improves plain w3. A solver
+    regression that degrades quality now moves rows outside these
+    ordered bands — the failure mode the old near-IID corpus could not
+    see (quantized rows there beat fp16 via regularization noise)."""
+    vals = {}
+    with open(CORPUS) as f:
+        for line in f:
+            if "tiny-llama-markov" in line:
+                cfg = line.split("config = ")[1].split(",")[0]
+                vals[cfg] = float(line.split(":")[-1])
+    assert set(vals) >= {"fp16", "w4", "w3", "w2", "w4-rtn", "w3-rtn",
+                         "w3-g32-actorder"}, vals
+    assert vals["fp16"] < vals["w4"] < vals["w3"] < vals["w2"], vals
+    assert vals["w4"] < vals["w4-rtn"], vals  # GPTQ beats RTN @ 4 bits
+    assert vals["w3"] < vals["w3-rtn"], vals  # GPTQ beats RTN @ 3 bits
+    assert vals["w3-g32-actorder"] < vals["w3"], vals  # groups+actorder
+    # the anchor has real headroom: fp16 sits far below uniform (vocab
+    # 256) — the PPL floor is the chain's conditional entropy
+    assert vals["fp16"] < 8.0, vals
+
+
+def test_markov_anchor_row_reproduces():
+    """Re-run the markov fp16 + w3 rows end-to-end (train -> GPTQ ->
+    eval) and match the recorded PPLs — the discriminative anchor is
+    also a determinism baseline."""
+    import copy
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import make_result_corpus as mrc
+
+    from gptq_tpu.config import QuantConfig
+    from gptq_tpu.data import markov_stream
+    from gptq_tpu.eval.ppl import eval_ppl
+    from gptq_tpu.pipeline import quantize_model
+
+    spec = mrc.deep_model()[1]
+    base = mrc.markov_trained_base(spec)
+    T = spec.max_pos
+    mcalib = jnp.asarray(
+        markov_stream(spec.vocab, 4 * T, seed=21, seq_seed=150)
+        .reshape(4, T))
+    mtest = jnp.asarray(
+        markov_stream(spec.vocab, 8 * T, seed=21, seq_seed=200)
+        .reshape(1, -1))
+    ppl_fp16 = eval_ppl(spec, base, mtest, T, log=lambda s: None)
+    assert abs(ppl_fp16 - _recorded("tiny-llama-markov", "fp16")) \
+        / ppl_fp16 < 5e-3
+    qp = copy.deepcopy(base)
+    quantize_model(spec, qp, mcalib, QuantConfig(wbits=3, nsamples=4),
+                   log=lambda s: None)
+    ppl_w3 = eval_ppl(spec, qp, mtest, T, log=lambda s: None)
+    assert abs(ppl_w3 - _recorded("tiny-llama-markov", "w3")) \
+        / ppl_w3 < 5e-3
+
+
 def test_deep_model_rows_recorded():
     """The deeper-trained anchor rows exist and are sane: every config
     beats uniform (= vocab 256) and the quantized rows sit within 10% of
