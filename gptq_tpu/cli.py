@@ -77,7 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lut_eval", action="store_true")
     p.add_argument("--bcq_round", type=int, default=5)
     p.add_argument("--columnwise", action="store_true")
-    p.add_argument("--use_bst", action="store_true", default=True)
+    # BooleanOptionalAction so --no-use_bst reaches the non-BST find_B
+    # path (the reference defaults False, lut_gemm argparse; our BST
+    # default is the better fit — but it must be switchable)
+    p.add_argument("--use_bst", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--apot_nums", type=int, default=2)
     # non-linear
     p.add_argument("--non_linear", action="store_true")

@@ -63,3 +63,15 @@ def test_result_log_format(tmp_path):
     assert "protocol = eval" in line
     append_result_log(str(log), args, 180.4, "decode-tok/s", protocol="chained")
     assert "protocol = chained" in log.read_text().splitlines()[1]
+
+
+def test_use_bst_is_switchable():
+    """--use_bst defaults True but --no-use_bst must reach the non-BST
+    find_B path (VERDICT r4 #8: store_true+default=True made the flag
+    inert; the reference's default is False, lut_gemm argparse)."""
+    p = build_parser()
+    assert p.parse_args(["m", "c4"]).use_bst is True
+    assert p.parse_args(["m", "c4", "--use_bst"]).use_bst is True
+    args = p.parse_args(["m", "c4", "--no-use_bst"])
+    assert args.use_bst is False
+    assert config_from_args(args).use_bst is False
