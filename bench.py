@@ -220,7 +220,8 @@ def synth_moe_packed_params(spec, bits=4, seed=0):
 
 
 def measure_continuous(spec, fused_params, slots=32, n_requests=64,
-                       prompt_len=128, max_new=64, window=16, reps=2):
+                       prompt_len=128, max_new=64, window=16, reps=2,
+                       cache_dtype=None):
     """Continuous-batching serving throughput (generated tokens/s,
     INCLUDING prefill + refill waves) through engine/batching.py:
     `slots` lock-step decode slots, freed slots refilled from the queue,
@@ -242,7 +243,8 @@ def measure_continuous(spec, fused_params, slots=32, n_requests=64,
 
     def run_once(nreq):
         cb = ContinuousBatcher(spec, fused_params, batch_slots=slots,
-                               max_len=256, cache_dtype=jnp.bfloat16,
+                               max_len=256,
+                               cache_dtype=cache_dtype or jnp.bfloat16,
                                prefill_buckets=(prompt_len,))
         try:
             for p in prompts[:nreq]:
@@ -524,6 +526,16 @@ def leg_base():
     soft("batched b32", lambda: measure_decode(
         spec, params_q, a8=True, batch=32, n_tokens=64, reps=3),
         key="t_b32")
+    # int8-KV batched legs: at b32 S=256 the bf16 cache stream (~4.3 GB
+    # read + rewrite-adjacent traffic per step across 32 layers) rivals
+    # the 3.3 GB weight stream — the int8 cache halves the dominant term
+    # where batch-1 short-context serving barely noticed it
+    soft("batched b8 int8kv", lambda: measure_decode(
+        spec, params_q, a8=True, batch=8, cache_dtype=jnp.int8,
+        n_tokens=64, reps=3), key="t_b8_kv8")
+    soft("batched b32 int8kv", lambda: measure_decode(
+        spec, params_q, a8=True, batch=32, cache_dtype=jnp.int8,
+        n_tokens=64, reps=3), key="t_b32_kv8")
     del params_q
     return L, fails
 
@@ -556,6 +568,12 @@ def leg_continuous():
             # round-trips, but a populated leg beats a dead one
             soft("continuous b32 window8", lambda: measure_continuous(
                 spec, params_srv, window=8), key="toks_cont")
+        # int8 slot cache: halves the 4.3 GB 32-slot cache (memory
+        # headroom) and its per-step stream (see the batched int8kv legs)
+        import jax.numpy as jnp
+
+        soft("continuous b32 int8kv", lambda: measure_continuous(
+            spec, params_srv, cache_dtype=jnp.int8), key="toks_cont_kv8")
     return L, fails
 
 
@@ -744,8 +762,13 @@ def main(isolate: bool = False):
             "median_token_s_8k_bf16kv": _r(L.get("t_8k_bf16")),
             "toks_chip_b8": _inv(L.get("t_b8"), 8.0),
             "toks_chip_b32": _inv(L.get("t_b32"), 32.0),
+            "toks_chip_b8_int8kv": _inv(L.get("t_b8_kv8"), 8.0),
+            "toks_chip_b32_int8kv": _inv(L.get("t_b32_kv8"), 32.0),
             "toks_continuous_32slot": (round(L["toks_cont"], 1)
                                        if L.get("toks_cont") else None),
+            "toks_continuous_32slot_int8kv": (
+                round(L["toks_cont_kv8"], 1)
+                if L.get("toks_cont_kv8") else None),
             "prefill_tok_s_T2048": _inv(L.get("t_pf"), 2048.0),
             "prefill_tok_s_T2048_nostage": _inv(L.get("t_pf_nostage"),
                                                 2048.0),
