@@ -562,6 +562,27 @@ def _build_srv(spec):
     return fuse_serving(spec, synth_packed_params(spec, bits=4), a8=True)
 
 
+def leg_continuous_int8():
+    """Continuous batching, int8 slot cache — its OWN subprocess, and it
+    runs BEFORE the bf16 variant: the bf16 window program deterministically
+    crashes today's relay compile helper (HTTP 500), and a crashed compile
+    leaks HBM into whatever runs next in the same process (2026-08-20
+    run 2: the int8 program compiled fine but then OOMed behind two
+    crashed bf16 attempts)."""
+    import jax.numpy as jnp
+
+    spec = llama7b_spec()
+    L: dict = {}
+    fails: list = []
+    soft = _mk_soft(L, fails)
+    params_srv = soft("fused serving weights", lambda: _build_srv(spec),
+                      attempts=1)
+    if params_srv is not None:
+        soft("continuous b32 int8kv", lambda: measure_continuous(
+            spec, params_srv, cache_dtype=jnp.int8), key="toks_cont_kv8")
+    return L, fails
+
+
 def leg_continuous():
     """Continuous batching (VERDICT r3 #1): requests stream through a
     32-slot pool with windowed on-device decode — the end-to-end serving
@@ -584,12 +605,6 @@ def leg_continuous():
             # round-trips, but a populated leg beats a dead one
             soft("continuous b32 window8", lambda: measure_continuous(
                 spec, params_srv, window=8), key="toks_cont")
-        # int8 slot cache: halves the 4.3 GB 32-slot cache (memory
-        # headroom) and its per-step stream (see the batched int8kv legs)
-        import jax.numpy as jnp
-
-        soft("continuous b32 int8kv", lambda: measure_continuous(
-            spec, params_srv, cache_dtype=jnp.int8), key="toks_cont_kv8")
     return L, fails
 
 
@@ -666,6 +681,7 @@ def leg_quantize():
 # compile-helper crash) were cascades, not first-order failures
 LEG_GROUPS = (
     ("base", leg_base, 2700),
+    ("continuous_int8", leg_continuous_int8, 1500),
     ("continuous", leg_continuous, 1500),
     ("prefill", leg_prefill, 1500),
     ("moe", leg_moe, 1500),
