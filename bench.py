@@ -72,12 +72,13 @@ def synth_packed_params(spec, bits=4, groupsize=-1, dtype=None, seed=0,
                 "b": None}
 
     h, f = spec.hidden, spec.ffn
+    kv = spec.kv_heads * spec.hd  # GQA: k/v project to kv_heads, not H
     layers = []
     for li in range(spec.n_layers):
         b = li * 8
         layers.append({
-            "q": packed_linear(h, h, b), "k": packed_linear(h, h, b + 1),
-            "v": packed_linear(h, h, b + 2), "o": packed_linear(h, h, b + 3),
+            "q": packed_linear(h, h, b), "k": packed_linear(kv, h, b + 1),
+            "v": packed_linear(kv, h, b + 2), "o": packed_linear(h, h, b + 3),
             "gate": packed_linear(f, h, b + 4), "up": packed_linear(f, h, b + 5),
             "down": packed_linear(h, f, b + 6),
             "ln1": {"w": jnp.ones((h,), dtype)},
@@ -97,6 +98,7 @@ def synth_dense_params(spec, dtype=None, seed=0):
     dtype = dtype or jnp.bfloat16
     key = jax.random.PRNGKey(seed)
     h, f = spec.hidden, spec.ffn
+    kv = spec.kv_heads * spec.hd  # GQA: k/v project to kv_heads, not H
 
     def lin(out_d, in_d, s):
         return {"w": jax.random.normal(jax.random.fold_in(key, s),
@@ -107,7 +109,8 @@ def synth_dense_params(spec, dtype=None, seed=0):
     for li in range(spec.n_layers):
         b = li * 8
         layers.append({
-            "q": lin(h, h, b), "k": lin(h, h, b + 1), "v": lin(h, h, b + 2),
+            "q": lin(h, h, b), "k": lin(kv, h, b + 1),
+            "v": lin(kv, h, b + 2),
             "o": lin(h, h, b + 3), "gate": lin(f, h, b + 4),
             "up": lin(f, h, b + 5), "down": lin(h, f, b + 6),
             "ln1": {"w": jnp.ones((h,), dtype)},
