@@ -613,8 +613,11 @@ def leg_continuous():
 
 def leg_prefill():
     """Prefill legs (VERDICT r3 #3): whole-prompt forward at T=2048
-    through the packed model — staged native-s4 path auto-on vs forced
-    off (regresses the GPTQ_TPU_STAGE_M routing end-to-end)."""
+    through the packed model — default (Pallas) path vs the staged
+    native-s4 path forced on (regresses the GPTQ_TPU_STAGE_M routing
+    end-to-end; staged lost its round-3 advantage to the round-4/5
+    kernel tiles — 5749 vs 7318 tok/s, r5 run 2 — so the default is now
+    the Pallas path and the A/B keeps the evidence fresh)."""
     spec = llama7b_spec()
     L: dict = {}
     fails: list = []
@@ -624,17 +627,17 @@ def leg_prefill():
     if params_srv is not None:
         # fuse_serving inside measure_prefill is a no-op on the already-
         # fused params, so only ONE 3.4 GB weight copy is alive
-        soft("prefill staged-auto",
+        soft("prefill default",
              lambda: measure_prefill(spec, params_srv, a8=True), key="t_pf")
 
-        def _pf_nostage():
-            os.environ["GPTQ_TPU_STAGE_M"] = "0"
+        def _pf_staged():
+            os.environ["GPTQ_TPU_STAGE_M"] = "256"
             try:
                 return measure_prefill(spec, params_srv, a8=True)
             finally:
                 del os.environ["GPTQ_TPU_STAGE_M"]
 
-        soft("prefill staged-off", _pf_nostage, key="t_pf_nostage")
+        soft("prefill staged-forced", _pf_staged, key="t_pf_staged")
     return L, fails
 
 
@@ -807,8 +810,8 @@ def main(isolate: bool = False):
                 round(L["toks_cont_kv8"], 1)
                 if L.get("toks_cont_kv8") else None),
             "prefill_tok_s_T2048": _inv(L.get("t_pf"), 2048.0),
-            "prefill_tok_s_T2048_nostage": _inv(L.get("t_pf_nostage"),
-                                                2048.0),
+            "prefill_tok_s_T2048_staged": _inv(L.get("t_pf_staged"),
+                                               2048.0),
             "prefill_tok_s_T2048_bf16dense": _inv(L.get("t_pf_dense"),
                                                   2048.0),
             # mm-FLOPs MFU: 2 * (6.48e9 layer + 0.131e9 head params) * T

@@ -495,10 +495,15 @@ def _matmul_staged_native(x: jax.Array, pw: PackedWeight) -> jax.Array:
 def _stage_threshold() -> int:
     """Row count at which dequant_matmul switches from the Pallas unpack
     kernel to the staged native-s4 dot (GPTQ_TPU_STAGE_M overrides;
-    0 disables). Chip A/B: see experiments/r3_prefill_mfu.py."""
+    0 disables). Default OFF: the round-3 crossover that favored staging
+    at M >= 256 did not survive the round-4/5 kernel and tile
+    improvements — end-to-end T=2048 prefill measures 7318 tok/s on the
+    Pallas path vs 5749 staged (results/r5_bench_builder_run2.json; the
+    per-call unpack_codes materialization now outweighs the native-dot
+    advantage). Set GPTQ_TPU_STAGE_M=256 to re-enable."""
     import os
 
-    return int(os.environ.get("GPTQ_TPU_STAGE_M", "256"))
+    return int(os.environ.get("GPTQ_TPU_STAGE_M", "0"))
 
 
 def _pick_tile(dim: int, prefer: int, minimum: int = 128) -> int:
