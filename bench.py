@@ -583,6 +583,21 @@ def leg_continuous_int8():
     if params_srv is not None:
         soft("continuous b32 int8kv", lambda: measure_continuous(
             spec, params_srv, cache_dtype=jnp.int8), key="toks_cont_kv8")
+        if L.get("toks_cont_kv8") is None:
+            # last resort against the flaky compile helper: no buffer
+            # donation (the structural difference vs the lock-step scan
+            # that always compiles) and a half-size pool/window
+            def _small():
+                os.environ["GPTQ_TPU_DONATE"] = "0"
+                try:
+                    return measure_continuous(
+                        spec, params_srv, cache_dtype=jnp.int8, slots=16,
+                        n_requests=32, window=4)
+                finally:
+                    del os.environ["GPTQ_TPU_DONATE"]
+
+            soft("continuous b16 int8kv nodonate", _small, attempts=1,
+                 key="toks_cont16_kv8")
     return L, fails
 
 
@@ -809,6 +824,9 @@ def main(isolate: bool = False):
             "toks_continuous_32slot_int8kv": (
                 round(L["toks_cont_kv8"], 1)
                 if L.get("toks_cont_kv8") else None),
+            "toks_continuous_16slot_int8kv_nodonate": (
+                round(L["toks_cont16_kv8"], 1)
+                if L.get("toks_cont16_kv8") else None),
             "prefill_tok_s_T2048": _inv(L.get("t_pf"), 2048.0),
             "prefill_tok_s_T2048_staged": _inv(L.get("t_pf_staged"),
                                                2048.0),

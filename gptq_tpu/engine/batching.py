@@ -112,8 +112,16 @@ def _decode_fns(spec: ArchSpec):
         return kc, vc, ks, vs, next_tok, lengths, logits
 
     # donation aliases the cache stacks across the jit boundary (no 4 GB
-    # copy per call); CPU (tests) does not implement donation and warns
-    donate = (1, 2, 3, 4) if jax.default_backend() == "tpu" else ()
+    # copy per call); CPU (tests) does not implement donation and warns.
+    # GPTQ_TPU_DONATE=0 disables it: the relay's compile helper has been
+    # observed crashing (HTTP 500) on the donated window program while
+    # the equally-sized non-donated lock-step scan compiles fine — the
+    # un-donated fallback pays one cache copy per window call (~0.3
+    # ms/token at window 16, bf16), which beats measuring nothing.
+    import os
+
+    donate = ((1, 2, 3, 4) if jax.default_backend() == "tpu"
+              and os.environ.get("GPTQ_TPU_DONATE", "1") != "0" else ())
 
     @partial(jax.jit, donate_argnums=donate)
     def step(params, kc, vc, ks, vs, tokens, lengths):
