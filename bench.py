@@ -584,9 +584,17 @@ def leg_continuous_int8():
         soft("continuous b32 int8kv", lambda: measure_continuous(
             spec, params_srv, cache_dtype=jnp.int8), key="toks_cont_kv8")
         if L.get("toks_cont_kv8") is None:
-            # last resort against the flaky compile helper: no buffer
-            # donation (the structural difference vs the lock-step scan
-            # that always compiles) and a half-size pool/window
+            # fallback ladder against the flaky compile helper (it
+            # crashes on the 32-slot batcher programs most of the time,
+            # 2026-08-20; probes showed a 16-slot pool compiles): first
+            # the half pool at full window, then the minimal no-donate
+            # config that is known to get through
+            soft("continuous b16 int8kv", lambda: measure_continuous(
+                spec, params_srv, cache_dtype=jnp.int8, slots=16,
+                n_requests=32, window=8), attempts=1,
+                key="toks_cont16_kv8")
+        if (L.get("toks_cont_kv8") is None
+                and L.get("toks_cont16_kv8") is None):
             def _small():
                 os.environ["GPTQ_TPU_DONATE"] = "0"
                 try:
@@ -824,7 +832,7 @@ def main(isolate: bool = False):
             "toks_continuous_32slot_int8kv": (
                 round(L["toks_cont_kv8"], 1)
                 if L.get("toks_cont_kv8") else None),
-            "toks_continuous_16slot_int8kv_nodonate": (
+            "toks_continuous_16slot_int8kv": (
                 round(L["toks_cont16_kv8"], 1)
                 if L.get("toks_cont16_kv8") else None),
             "prefill_tok_s_T2048": _inv(L.get("t_pf"), 2048.0),
