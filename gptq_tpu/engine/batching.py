@@ -10,6 +10,8 @@ models.common.block_forward.
 
 from __future__ import annotations
 
+import functools
+
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Callable
@@ -39,6 +41,25 @@ class Request:
 
 def _decode_fns(spec: ArchSpec):
     """Deferred-write lock-step decode: single step + windowed scan.
+    The GPTQ_TPU_DONATE gate is resolved here so it participates in the
+    trace-cache key (see _decode_fns_cached)."""
+    import os
+
+    donate_on = (jax.default_backend() == "tpu"
+                 and os.environ.get("GPTQ_TPU_DONATE", "1") != "0")
+    return _decode_fns_cached(spec, donate_on)
+
+
+@functools.lru_cache(maxsize=None)
+def _decode_fns_cached(spec: ArchSpec, donate_on: bool):
+    """Deferred-write lock-step decode: single step + windowed scan.
+
+    Cached per (frozen, hashable) spec: every ContinuousBatcher used to
+    build fresh jit wrappers, so each batcher instance re-TRACED the
+    32-layer window program (~seconds per trace on a 1-core host even
+    when the XLA compile itself hits the persistent cache) — a serving
+    benchmark constructing one batcher per repetition paid that tax
+    three times over.
 
     Each step attends slots strictly below the slot's filled length plus
     the token's own k/v (the deferred-cache-write path of
@@ -113,15 +134,11 @@ def _decode_fns(spec: ArchSpec):
 
     # donation aliases the cache stacks across the jit boundary (no 4 GB
     # copy per call); CPU (tests) does not implement donation and warns.
-    # GPTQ_TPU_DONATE=0 disables it: the relay's compile helper has been
-    # observed crashing (HTTP 500) on the donated window program while
-    # the equally-sized non-donated lock-step scan compiles fine — the
-    # un-donated fallback pays one cache copy per window call (~0.3
-    # ms/token at window 16, bf16), which beats measuring nothing.
-    import os
-
-    donate = ((1, 2, 3, 4) if jax.default_backend() == "tpu"
-              and os.environ.get("GPTQ_TPU_DONATE", "1") != "0" else ())
+    # GPTQ_TPU_DONATE=0 disables it (resolved by the _decode_fns wrapper
+    # so it keys the cache): the un-donated variant pays one cache copy
+    # per window call (~0.3 ms/token at window 16, bf16) but its program
+    # has been observed to matter to the flaky relay compile helper.
+    donate = (1, 2, 3, 4) if donate_on else ()
 
     @partial(jax.jit, donate_argnums=donate)
     def step(params, kc, vc, ks, vs, tokens, lengths):
@@ -142,6 +159,7 @@ def _decode_fns(spec: ArchSpec):
     return step, window
 
 
+@functools.lru_cache(maxsize=None)
 def _prefill_fn(spec: ArchSpec):
     @partial(jax.jit, static_argnames=())
     def prefill(params, kc_slot, vc_slot, ks_slot, vs_slot, ids):
