@@ -248,7 +248,8 @@ def measure_continuous(spec, fused_params, slots=32, n_requests=64,
         cb = ContinuousBatcher(spec, fused_params, batch_slots=slots,
                                max_len=256,
                                cache_dtype=cache_dtype or jnp.bfloat16,
-                               prefill_buckets=(prompt_len,))
+                               prefill_buckets=(prompt_len,),
+                               prefill_group=16)
         try:
             for p in prompts[:nreq]:
                 cb.submit(p, max_new_tokens=max_new)

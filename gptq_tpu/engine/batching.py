@@ -206,7 +206,7 @@ class ContinuousBatcher:
     def __init__(self, spec: ArchSpec, params: dict, batch_slots: int = 8,
                  max_len: int = 2048, cache_dtype=jnp.bfloat16,
                  prefill_buckets=(32, 64, 128, 256, 512, 1024),
-                 mesh=None):
+                 mesh=None, prefill_group: int | None = None):
         """mesh: optional jax Mesh with a "dp" axis — the slot (request)
         dimension of the KV cache and token state shards across it, so one
         lock-step decode serves batch_slots requests data-parallel across
@@ -250,6 +250,12 @@ class ContinuousBatcher:
         self._step, self._window = _decode_fns(spec)
         self._prefill = _prefill_fn(spec)
         self._buckets = prefill_buckets
+        # cap on batched-prefill rows per dispatch: oversized groups
+        # split into chunks of this many rows (the relay compile helper
+        # crashes on the 32-row 7B prefill program while 16 rows compile
+        # reliably, 2026-08-20 bisect; two dispatches cost one extra
+        # ~30 ms round-trip per wave)
+        self._prefill_group = prefill_group or batch_slots
         self._uid = 0
         self.prefill_calls = 0  # dispatch counter (batched-refill tests)
 
@@ -287,7 +293,10 @@ class ContinuousBatcher:
         for slot, req in assign:
             by_bucket.setdefault(self._bucket(len(req.prompt)), []).append(
                 (slot, req))
-        for Tp, group in by_bucket.items():
+        cap = self._prefill_group
+        for Tp, full_group in by_bucket.items():
+          for g0 in range(0, len(full_group), cap):
+            group = full_group[g0:g0 + cap]
             # pad the group to a power-of-two row count so the jitted
             # prefill compiles at most log2(batch_slots)+1 shapes per
             # bucket (each compile is ~minutes on a relayed chip — far
@@ -298,7 +307,7 @@ class ContinuousBatcher:
             gp = 1
             while gp < n_real:
                 gp *= 2
-            gp = min(gp, self.B)
+            gp = min(gp, self.B, cap)
             slots = np.asarray([s for s, _ in group]
                                + [group[0][0]] * (gp - n_real))
             ids = np.zeros((gp, Tp), np.int32)
