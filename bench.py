@@ -626,12 +626,13 @@ def leg_continuous():
         soft("continuous b32",
              lambda: measure_continuous(spec, params_srv), key="toks_cont")
         if L.get("toks_cont") is None:
-            # the relay's compile helper has crashed on the 16-step x
-            # 32-layer window program (HTTP 500, 2026-08-20 twice); an
-            # 8-step window halves the program — slightly more host
-            # round-trips, but a populated leg beats a dead one
-            soft("continuous b32 window8", lambda: measure_continuous(
-                spec, params_srv, window=8), key="toks_cont")
+            # the 32-slot bf16 config is marginal in HBM (4.3 GB slot
+            # cache + donation headroom + prefill gathers; r5 run 4:
+            # runtime RESOURCE_EXHAUSTED where the int8 variant fits) —
+            # half the pool rather than lose the bf16 protocol entirely
+            soft("continuous b16 bf16kv", lambda: measure_continuous(
+                spec, params_srv, slots=16, n_requests=32, window=8),
+                attempts=1, key="toks_cont16")
     return L, fails
 
 
@@ -836,6 +837,8 @@ def main(isolate: bool = False):
             "toks_continuous_16slot_int8kv": (
                 round(L["toks_cont16_kv8"], 1)
                 if L.get("toks_cont16_kv8") else None),
+            "toks_continuous_16slot": (round(L["toks_cont16"], 1)
+                                       if L.get("toks_cont16") else None),
             "prefill_tok_s_T2048": _inv(L.get("t_pf"), 2048.0),
             "prefill_tok_s_T2048_staged": _inv(L.get("t_pf_staged"),
                                                2048.0),
