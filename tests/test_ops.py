@@ -343,3 +343,15 @@ def test_gptq_to_packed_serving(groupsize):
     y_packed = dequant_matmul(x, pw, impl="xla")
     y_dense = np.asarray(x) @ np.asarray(out["Q"]).T
     np.testing.assert_allclose(np.asarray(y_packed), y_dense, rtol=1e-3, atol=1e-3)
+
+
+def test_stage_threshold_default_off(monkeypatch):
+    """The staged-s4 auto-route is OFF by default (round-5 flip: T=2048
+    prefill measured 7318 tok/s Pallas vs 5749 staged,
+    results/r5_bench_builder_run2.json); GPTQ_TPU_STAGE_M re-enables."""
+    from gptq_tpu.ops.qmatmul import _stage_threshold
+
+    monkeypatch.delenv("GPTQ_TPU_STAGE_M", raising=False)
+    assert _stage_threshold() == 0
+    monkeypatch.setenv("GPTQ_TPU_STAGE_M", "256")
+    assert _stage_threshold() == 256
