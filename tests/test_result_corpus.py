@@ -144,6 +144,21 @@ def test_markov_anchor_orders_quant_quality():
     # 256) — the PPL floor is the chain's conditional entropy
     assert vals["fp16"] < 8.0, vals
 
+    # second arch family (learned-pos layernorm opt): same bit and
+    # GPTQ-vs-RTN orderings hold; its act-order row sits within noise
+    # at this scale so it is recorded but not ordered (BLOOM prototyped
+    # and excluded entirely — see scripts/make_result_corpus.py)
+    ovals = {}
+    with open(CORPUS) as f:
+        for line in f:
+            if "tiny-opt-markov" in line:
+                cfg = line.split("config = ")[1].split(",")[0]
+                ovals[cfg] = float(line.split(":")[-1])
+    assert ovals["fp16"] < ovals["w4"] < ovals["w3"] < ovals["w2"], ovals
+    assert ovals["w4"] < ovals["w4-rtn"], ovals
+    assert ovals["w3"] < ovals["w3-rtn"], ovals
+    assert ovals["fp16"] < 8.0, ovals
+
 
 def test_markov_anchor_row_reproduces():
     """Re-run the markov fp16 + w3 rows end-to-end (train -> GPTQ ->
