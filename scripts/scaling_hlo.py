@@ -160,21 +160,29 @@ def sp_reports(n: int, devs) -> dict:
         step = make_sp_decode_step(spec, fused, mesh, spc.meta,
                                    int8_cache=True, check_capacity=False)
         reps[nl] = collective_report(step, spc, tok, n_devices=n)
-    # the sp step SCANS layers (stacked params), so its per-layer
-    # collectives appear ONCE in the program text — identical counts at
-    # both depths confirm everything lives in the scan body and executes
-    # n_layers times per step
-    assert reps[2]["counts"] == reps[4]["counts"], (reps[2], reps[4])
-    per_b = reps[4]["sent_bytes_per_device"]
+    # the r5 deferred-write sp step unrolls layers as a Python loop (the
+    # partial-attention kernel needs STATIC layer indices into the
+    # unmodified slab stack), so the pmax+psum combine appears once PER
+    # LAYER in program text; the depth diff isolates the per-layer cost
+    # and confirms nothing else scales with depth
+    per_layer_counts = {
+        op: (reps[4]["counts"].get(op, 0) - reps[2]["counts"].get(op, 0))
+        // 2
+        for op in set(reps[2]["counts"]) | set(reps[4]["counts"])}
+    assert per_layer_counts.get("all-reduce") == 2, (reps[2], reps[4])
+    assert all(v == 0 for op, v in per_layer_counts.items()
+               if op != "all-reduce"), per_layer_counts
+    per_b = (reps[4]["sent_bytes_per_device"]
+             - reps[2]["sent_bytes_per_device"]) / 2
     # sp's scaled resource is cache capacity: per-device cache bytes for a
     # FULL max_len context shrink by 1/n (the point of the strategy)
     cache_full = FULL_LAYERS * 2 * ml_total * 4096 * 1.03  # int8 + scales
     return {
-        "counts_in_layer_scan": reps[4]["counts"],
+        "counts_per_layer": per_layer_counts,
         "sent_bytes_per_device_per_layer": per_b,
-        "note": "layers run under lax.scan — the combine collectives "
-                "appear once in program text and execute n_layers times "
-                "per step",
+        "note": "the layer loop is unrolled (static layer index feeds "
+                "the partial-attention kernel); one pmax + one merged "
+                "psum pair per layer, the cache itself never moves",
         "projection_llama7b": {
             "sent_bytes_per_device_per_step": FULL_LAYERS * per_b,
             "t_ici_s_per_step": FULL_LAYERS * per_b / ICI_BW,
