@@ -294,9 +294,10 @@ class ContinuousBatcher:
             by_bucket.setdefault(self._bucket(len(req.prompt)), []).append(
                 (slot, req))
         cap = self._prefill_group
-        for Tp, full_group in by_bucket.items():
-          for g0 in range(0, len(full_group), cap):
-            group = full_group[g0:g0 + cap]
+        chunks = [(Tp, full_group[g0:g0 + cap])
+                  for Tp, full_group in by_bucket.items()
+                  for g0 in range(0, len(full_group), cap)]
+        for Tp, group in chunks:
             # pad the group to a power-of-two row count so the jitted
             # prefill compiles at most log2(batch_slots)+1 shapes per
             # bucket (each compile is ~minutes on a relayed chip — far
