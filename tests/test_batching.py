@@ -148,3 +148,28 @@ def test_submit_rejects_overlong_request():
     with pytest.raises(ValueError, match="max_len"):
         cb.submit(np.arange(1, 15), max_new_tokens=8)
     cb.submit(np.arange(1, 9), max_new_tokens=4)  # fits: 8 + 4 <= 16
+
+
+def test_prefill_group_cap_splits_dispatches():
+    """prefill_group caps rows per batched-prefill dispatch (the relay's
+    compile helper crashes on the 32-row 7B prefill program; 16-row
+    programs compile reliably — r5 bisect). Oversized refill groups
+    split into chunks; outputs must be identical to the uncapped run."""
+    params = init_params(SPEC, jax.random.PRNGKey(9))
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(1, 61, size=(5,)) for _ in range(4)]
+
+    def serve(cap):
+        cb = ContinuousBatcher(SPEC, params, batch_slots=4, max_len=64,
+                               cache_dtype=jnp.float32,
+                               prefill_buckets=(8,), prefill_group=cap)
+        for p in prompts:
+            cb.submit(p, max_new_tokens=4)
+        out = [r.output for r in cb.run()]
+        return out, cb.prefill_calls
+
+    full, calls_full = serve(None)   # one 4-row dispatch
+    split, calls_split = serve(2)    # two 2-row dispatches
+    assert calls_full == 1, calls_full
+    assert calls_split == 2, calls_split
+    assert split == full
