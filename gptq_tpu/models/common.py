@@ -671,9 +671,11 @@ def block_forward(
                 k_all = ck.astype(jnp.float32) * ks[..., None]
                 v_all = cv.astype(jnp.float32) * vs[..., None]
             else:
-                if (spec.pos != "alibi" and attn_fn is None
-                        and _attn_bf16_impl()):
-                    attn = _kernel_attn(_attn_bf16_impl())
+                impl_b = _attn_bf16_impl(
+                    S=ck.shape[1],
+                    wide_ok=spec.hd % 128 == 0 and full_cache is not None)
+                if (spec.pos != "alibi" and attn_fn is None and impl_b):
+                    attn = _kernel_attn(impl_b)
                     return _finish_block(spec, p, residual, attn,
                                          captures, tp_axis, new_kv,
                                          ep_axis, ep_size, moe_aux)
@@ -789,12 +791,19 @@ def _attn_int8_impl() -> str | None:
     return "tpu" if jax.default_backend() == "tpu" else None
 
 
-def _attn_bf16_impl() -> str | None:
+def _attn_bf16_impl(S: int | None = None,
+                    wide_ok: bool = False) -> str | None:
     """Whether the decode-attention kernel also serves bf16/f32 caches.
-    OPT-IN only ('kernel'/'interpret'); chip A/B measured the XLA einsum
-    path faster at model level at S=256 AND S=2048 (DESIGN.md) — XLA
-    overlaps it with the weight streams better than it schedules around
-    an opaque custom call."""
+
+    Short contexts stay on the XLA einsum (chip A/B: einsum faster at
+    model level at S=256 and S=2048 — XLA overlaps it with the weight
+    streams better than it schedules around an opaque custom call), but
+    once the cache stream dominates the step the WIDE kernel's smaller
+    working set wins: chip A/B 2026-08-20 at llama-7B b1, ms/token —
+    2k: 6.50 einsum vs 6.56 kernel; 4k: 8.28 vs 8.24 (tie); 8k: 11.50
+    vs 10.69 (kernel 7.5% ahead). auto therefore engages the kernel for
+    S > 4096 when the wide path is available (hd lane-aligned + stacked
+    cache feed); 'kernel'/'interpret' force it at any length."""
     import os
 
     mode = os.environ.get("GPTQ_TPU_ATTN_IMPL", "auto")
@@ -805,6 +814,9 @@ def _attn_bf16_impl() -> str | None:
     if mode not in ("auto", "xla"):
         raise ValueError(
             f"GPTQ_TPU_ATTN_IMPL={mode!r}: expected auto/kernel/interpret/xla")
+    if (mode == "auto" and wide_ok and S is not None and S > 4096
+            and jax.default_backend() == "tpu"):
+        return "tpu"
     return None
 
 
