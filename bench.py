@@ -625,14 +625,25 @@ def leg_continuous():
     if params_srv is not None:
         soft("continuous b32",
              lambda: measure_continuous(spec, params_srv), key="toks_cont")
-        if L.get("toks_cont") is None:
-            # the 32-slot bf16 config is marginal in HBM (4.3 GB slot
-            # cache + donation headroom + prefill gathers; r5 run 4:
-            # runtime RESOURCE_EXHAUSTED where the int8 variant fits) —
-            # half the pool rather than lose the bf16 protocol entirely
-            soft("continuous b16 bf16kv", lambda: measure_continuous(
-                spec, params_srv, slots=16, n_requests=32, window=8),
-                attempts=1, key="toks_cont16")
+    return L, fails
+
+
+def leg_continuous_bf16_small():
+    """16-slot bf16 continuous leg, its OWN subprocess: the 32-slot bf16
+    config is HBM-marginal (4.3 GB slot cache + donation headroom +
+    prefill gathers — runtime RESOURCE_EXHAUSTED where the int8 variant
+    fits, r5 runs 4/5), and its OOM poisons any fallback sharing the
+    process. The half pool measures the bf16 protocol on clean HBM."""
+    spec = llama7b_spec()
+    L: dict = {}
+    fails: list = []
+    soft = _mk_soft(L, fails)
+    params_srv = soft("fused serving weights", lambda: _build_srv(spec),
+                      attempts=1)
+    if params_srv is not None:
+        soft("continuous b16 bf16kv", lambda: measure_continuous(
+            spec, params_srv, slots=16, n_requests=32, window=8),
+            attempts=1, key="toks_cont16")
     return L, fails
 
 
@@ -714,6 +725,7 @@ LEG_GROUPS = (
     ("base", leg_base, 2700),
     ("continuous_int8", leg_continuous_int8, 1500),
     ("continuous", leg_continuous, 1500),
+    ("continuous_bf16_small", leg_continuous_bf16_small, 1200),
     ("prefill", leg_prefill, 1500),
     ("moe", leg_moe, 1500),
     ("quantize", leg_quantize, 1500),
