@@ -556,6 +556,17 @@ def leg_base():
     soft("batched b32 int8kv", lambda: measure_decode(
         spec, params_q, a8=True, batch=32, cache_dtype=jnp.int8,
         n_tokens=64, reps=3), key="t_b32_kv8")
+    # batch x long context — where the two serving wins COMPOUND: the
+    # cache stream dominates (8 slots x 2k) and int8 halves it (chip
+    # probe 2026-08-20: 496 vs 435 tok/s, +14%, where b32 S=256 int8
+    # LOST to bf16)
+    soft("batched b8 2k int8kv", lambda: measure_decode(
+        spec, params_q, a8=True, batch=8, cache_dtype=jnp.int8,
+        max_len=2048, prefix=1900, n_tokens=32, reps=2),
+        key="t_b8_2k_kv8")
+    soft("batched b8 2k bf16kv", lambda: measure_decode(
+        spec, params_q, a8=True, batch=8, max_len=2048, prefix=1900,
+        n_tokens=32, reps=2), key="t_b8_2k")
     del params_q
     return L, fails
 
@@ -841,6 +852,8 @@ def main(isolate: bool = False):
             "toks_chip_b32": _inv(L.get("t_b32"), 32.0),
             "toks_chip_b8_int8kv": _inv(L.get("t_b8_kv8"), 8.0),
             "toks_chip_b32_int8kv": _inv(L.get("t_b32_kv8"), 32.0),
+            "toks_chip_b8_2k_int8kv": _inv(L.get("t_b8_2k_kv8"), 8.0),
+            "toks_chip_b8_2k_bf16kv": _inv(L.get("t_b8_2k"), 8.0),
             "toks_continuous_32slot": (round(L["toks_cont"], 1)
                                        if L.get("toks_cont") else None),
             "toks_continuous_32slot_int8kv": (
