@@ -224,7 +224,7 @@ def synth_moe_packed_params(spec, bits=4, seed=0):
 
 def measure_continuous(spec, fused_params, slots=32, n_requests=64,
                        prompt_len=128, max_new=64, window=16, reps=2,
-                       cache_dtype=None):
+                       cache_dtype=None, max_len=None):
     """Continuous-batching serving throughput (generated tokens/s,
     INCLUDING prefill + refill waves) through engine/batching.py:
     `slots` lock-step decode slots, freed slots refilled from the queue,
@@ -246,7 +246,7 @@ def measure_continuous(spec, fused_params, slots=32, n_requests=64,
 
     def run_once(nreq):
         cb = ContinuousBatcher(spec, fused_params, batch_slots=slots,
-                               max_len=256,
+                               max_len=max_len or 256,
                                cache_dtype=cache_dtype or jnp.bfloat16,
                                prefill_buckets=(prompt_len,),
                                prefill_group=16)
@@ -593,8 +593,13 @@ def leg_continuous_int8():
     params_srv = soft("fused serving weights", lambda: _build_srv(spec),
                       attempts=1)
     if params_srv is not None:
+        # cache sized to the workload (128 prompt + 64 new = 192 slots):
+        # the attention kernels read the WHOLE buffer, so right-sizing is
+        # both the HBM fix that lets the bf16 variant fit AND honest
+        # serving practice; both cache dtypes use the same S
         soft("continuous b32 int8kv", lambda: measure_continuous(
-            spec, params_srv, cache_dtype=jnp.int8), key="toks_cont_kv8")
+            spec, params_srv, cache_dtype=jnp.int8, max_len=192),
+            key="toks_cont_kv8")
         if L.get("toks_cont_kv8") is None:
             # fallback ladder against the flaky compile helper (it
             # crashes on the 32-slot batcher programs most of the time,
@@ -634,8 +639,8 @@ def leg_continuous():
     params_srv = soft("fused serving weights", lambda: _build_srv(spec),
                       attempts=1)
     if params_srv is not None:
-        soft("continuous b32",
-             lambda: measure_continuous(spec, params_srv), key="toks_cont")
+        soft("continuous b32", lambda: measure_continuous(
+            spec, params_srv, max_len=192), key="toks_cont")
     return L, fails
 
 
