@@ -224,6 +224,22 @@ def main(argv=None) -> int:
                       "apot_nums", "use_bst"):
                 if hasattr(loaded_cfg, f):
                     setattr(args, f, getattr(loaded_cfg, f))
+        else:
+            # cfg-less checkpoint (programmatic save_checkpoint without a
+            # QuantConfig): the packed weights still know their own bits —
+            # infer, so the result log never claims "wbits = 16" for a
+            # 4-bit serve
+            import jax as _jax
+
+            from gptq_tpu.ops.pack import PackedWeight as _PW
+
+            for leaf in _jax.tree.leaves(
+                    params, is_leaf=lambda x: isinstance(x, _PW)):
+                if isinstance(leaf, _PW):
+                    args.wbits = leaf.bits
+                    args.groupsize = leaf.groupsize
+                    args.lut_eval = leaf.fmt == "bcq"
+                    break
         if args.quant_lm_head:
             from gptq_tpu.pipeline import quantize_lm_head
 
