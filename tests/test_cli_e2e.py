@@ -275,3 +275,31 @@ def test_cli_mixtral_packed_experts_cycle(tmp_path, monkeypatch, capsys):
     with open(log) as f:
         ppl1 = float(f.read().strip().splitlines()[-1].split(":")[-1])
     assert abs(ppl1 - ppl0) / ppl0 < 0.05
+
+
+def test_cli_cfg_less_checkpoint_logs_inferred_bits(tmp_path, capsys):
+    """A checkpoint saved WITHOUT a QuantConfig (programmatic
+    save_checkpoint, e.g. bench harnesses) must still log its benchmark
+    lines with the bits the packed weights actually carry, inferred from
+    the PackedWeight leaves — not the argparse default wbits=16."""
+    import dataclasses
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    from bench import llama7b_spec, synth_packed_params
+    from gptq_tpu.io import save_checkpoint
+
+    spec = dataclasses.replace(llama7b_spec(), n_layers=2, hidden=256,
+                               n_heads=2, n_kv_heads=2, ffn=512, vocab=128)
+    params = synth_packed_params(spec, bits=3)
+    ckpt = str(tmp_path / "cfgless.npz")
+    save_checkpoint(ckpt, spec, params)  # no cfg on purpose
+    log = str(tmp_path / "ppl.txt")
+    rc = main(["dummy", "c4", "--load", ckpt, "--benchmark", "4",
+               "--results_log", log])
+    assert rc == 0
+    with open(log) as f:
+        line = f.read().strip().splitlines()[-1]
+    assert "wbits = 3" in line, line
